@@ -1,0 +1,101 @@
+package graft.index
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import graft.codec.PostingsCodec
+
+/** Mutable accumulation buffer for one (segment, term) posting list.
+  * Kryo-encoded (opaque) — it only ever lives inside the aggregation. */
+final class PostingsBuf(
+    var docs: Array[Long],
+    var tfs: Array[Int],
+    var norms: Array[Byte],
+    var size: Int,
+    var sorted: Boolean,
+    var isLenRow: Boolean) extends Serializable {
+
+  def this() = this(new Array[Long](8), new Array[Int](8), new Array[Byte](8), 0, true, false)
+
+  def add(doc: Long, tf: Int, norm: Byte): Unit = {
+    if (size == docs.length) grow(size * 2)
+    if (sorted && size > 0 && docs(size - 1) > doc) sorted = false
+    docs(size) = doc; tfs(size) = tf; norms(size) = norm
+    size += 1
+  }
+
+  private def grow(cap: Int): Unit = {
+    docs = java.util.Arrays.copyOf(docs, cap)
+    tfs = java.util.Arrays.copyOf(tfs, cap)
+    norms = java.util.Arrays.copyOf(norms, cap)
+  }
+
+  def absorb(o: PostingsBuf): PostingsBuf = {
+    if (o.size > 0) {
+      if (size + o.size > docs.length) grow(math.max(size + o.size, size * 2))
+      System.arraycopy(o.docs, 0, docs, size, o.size)
+      System.arraycopy(o.tfs, 0, tfs, size, o.size)
+      System.arraycopy(o.norms, 0, norms, size, o.size)
+      if (size > 0 && (!o.sorted || docs(size) < docs(size - 1))) sorted = false
+      else if (!o.sorted) sorted = false
+      size += o.size
+    }
+    this
+  }
+
+  /** Sort by docId if out-of-order partials were merged (argsort, stable). */
+  def ensureSorted(): Unit = {
+    if (!sorted) {
+      val idx = Array.range(0, size).sortBy(docs(_))
+      val d = new Array[Long](size); val t = new Array[Int](size); val n = new Array[Byte](size)
+      var i = 0
+      while (i < size) { val j = idx(i); d(i) = docs(j); t(i) = tfs(j); n(i) = norms(j); i += 1 }
+      docs = d; tfs = t; norms = n; sorted = true
+    }
+  }
+}
+
+/** Typed Catalyst aggregation building one compressed posting list per
+  * (segment, term) key — the Spark-native rendering of Lucene's in-RAM
+  * postings build + flush (SURVEY.md §7.2: mirrors the reference's
+  * mergeable-partials SlotAcc pattern,
+  * `solr/core/src/java/org/apache/solr/search/facet/SlotAcc.java`).
+  *
+  * Scale note: because a segment IS a Spark partition of the doc table, each
+  * (segment, term) key is completed map-side (partial aggregation), so the
+  * shuffle moves finished buffers ≈ the index itself, and a hot term's
+  * posting list is bounded by segment size — skew is capped by construction;
+  * no global per-term reduce ever materializes a 10^12-entry list. */
+object PostingsAggregator
+    extends Aggregator[TokenRow, PostingsBuf, PostingRow] {
+
+  override def zero: PostingsBuf = new PostingsBuf()
+
+  override def reduce(b: PostingsBuf, r: TokenRow): PostingsBuf = {
+    if (r.term.isEmpty) b.isLenRow = true
+    b.add(r.doc_id, r.tf, r.norm); b
+  }
+
+  override def merge(a: PostingsBuf, b: PostingsBuf): PostingsBuf = {
+    a.isLenRow |= b.isLenRow
+    a.absorb(b)
+  }
+
+  override def finish(b: PostingsBuf): PostingRow = {
+    b.ensureSorted()
+    val docs = java.util.Arrays.copyOf(b.docs, b.size)
+    val tfs = java.util.Arrays.copyOf(b.tfs, b.size)
+    val norms = java.util.Arrays.copyOf(b.norms, b.size)
+    var ttf = 0L
+    var i = 0
+    while (i < b.size) { ttf += tfs(i); i += 1 }
+    val firstDoc = if (b.size > 0) docs(0) else -1L
+    // term/segment_id are filled by the caller from the grouping key (withKey)
+    if (b.isLenRow)
+      PostingRow("", -1, b.size, ttf, firstDoc, Array.empty, norms)
+    else
+      PostingRow("", -1, b.size, ttf, firstDoc, PostingsCodec.encode(docs, tfs, norms), null)
+  }
+
+  override def bufferEncoder: Encoder[PostingsBuf] = Encoders.kryo[PostingsBuf]
+  override def outputEncoder: Encoder[PostingRow] = Encoders.product[PostingRow]
+}

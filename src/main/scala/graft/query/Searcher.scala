@@ -1,0 +1,191 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.roaringbitmap.RoaringBitmap
+import graft.analysis.Analyzer
+import graft.index.{CorpusStats, PostingRow}
+
+/** Distributed top-k query engine over a built index (SURVEY.md §3.1 "Spark
+  * shape"): driver parses the query and looks up exact global term stats
+  * (the ExactStatsCache analogue), executors run block-max WAND per segment
+  * (segment = partition = the shard-local search of
+  * `solr/core/src/java/org/apache/spark/../SolrIndexSearcher.java` — see SURVEY §3.1),
+  * and the per-segment top-k heaps are merged exactly like Solr's
+  * distributed priority-queue merge
+  * (`solr/core/src/java/org/apache/solr/handler/component/QueryComponent.java:971-1060`)
+  * via `orderBy(score desc, doc_id asc).limit(k)` — Spark's
+  * TakeOrderedAndProject IS a per-partition heap + driver PQ merge.
+  * A second stage joins the k winners back to the stored-fields table
+  * (Solr's PURPOSE_GET_FIELDS round-trip).
+  */
+final class Searcher(
+    spark: SparkSession,
+    indexDir: String,
+    bm25: Bm25 = Bm25(),
+    analyzer: Analyzer = Analyzer.default) extends Serializable {
+
+  import spark.implicits._
+
+  val corpus: CorpusStats =
+    spark.read.parquet(s"$indexDir/corpus").as[CorpusStats].head()
+  val avgdl: Float = bm25.avgdl(corpus.sum_dl, corpus.doc_count)
+
+  private def postings = spark.read.parquet(s"$indexDir/postings")
+  def docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
+
+  import Searcher.SegmentCtx
+
+  /** df lookup for the query's terms (tiny collect — filter pushdown on the
+    * sorted terms table keeps this an index-like point read at scale). */
+  def termStats(terms: Seq[String]): Map[String, Long] = {
+    if (terms.isEmpty) Map.empty
+    else spark.read.parquet(s"$indexDir/terms")
+      .where($"term".isin(terms: _*))
+      .select($"term", $"df").as[(String, Long)]
+      .collect().toMap
+  }
+
+  /** Top-k (doc_id, score) for a raw query string. */
+  def topKHits(q: String, k: Int): Dataset[Hit] = topKHits(QueryParser.parse(q, analyzer), k)
+
+  def topKHits(parsed: ParsedQuery, k: Int): Dataset[Hit] = {
+    val empty = spark.emptyDataset[Hit]
+    if (parsed.isEmpty || k <= 0) return empty
+    val dfs = termStats(parsed.allTerms)
+    val must = parsed.must.filter(t => dfs.getOrElse(t, 0L) > 0)
+    if (must.length != parsed.must.length) return empty // a MUST term is absent from the corpus
+    val should = parsed.should.filter(t => dfs.getOrElse(t, 0L) > 0)
+    val mustNot = parsed.mustNot.filter(t => dfs.getOrElse(t, 0L) > 0)
+    if (must.isEmpty && should.isEmpty) return empty
+
+    // scoring order = MUST terms then SHOULD terms, each in query order
+    // (fixed accumulation order for bit-exact float32 sums)
+    val scoring = must ++ should
+    val meta: Map[String, (Int, Int)] = // term -> (queryPos, occur 0=must 1=should 2=not)
+      (must.zipWithIndex.map { case (t, i) => t -> (i, 0) } ++
+        should.zipWithIndex.map { case (t, i) => t -> (must.length + i, 1) } ++
+        mustNot.zipWithIndex.map { case (t, i) => t -> (scoring.length + i, 2) }).toMap
+    val idfs: Map[String, Float] =
+      dfs.map { case (t, df) => t -> bm25.idf(corpus.doc_count, df) }
+    val cache = bm25.normCache(avgdl)
+    val nMust = must.length
+    val bcMeta = spark.sparkContext.broadcast((meta, idfs, cache))
+
+    val queried = meta.keys.toSeq
+    val rows = postings
+      .where($"term".isin(queried: _*))
+      .as[PostingRow]
+    val ctx = segmentCtx(parsed.filters)
+    val hasFilter = parsed.filters.nonEmpty
+
+    val hits = rows.groupByKey(_.segment_id).cogroup(ctx.groupByKey(_.segment_id)) {
+      (seg, ps, ss) =>
+        if (!ss.hasNext) Iterator.empty
+        else {
+          val sc = ss.next()
+          val (m, idfm, nc) = bcMeta.value
+          val mustCur = scala.collection.mutable.ArrayBuffer.empty[PostingCursor]
+          val shouldCur = scala.collection.mutable.ArrayBuffer.empty[PostingCursor]
+          val notCur = scala.collection.mutable.ArrayBuffer.empty[PostingCursor]
+          ps.foreach { pr =>
+            val (qpos, occ) = m(pr.term)
+            val cur = new PostingCursor(pr.blocks, idfm(pr.term), nc, qpos)
+            occ match {
+              case 0 => mustCur += cur
+              case 1 => shouldCur += cur
+              case _ => notCur += cur
+            }
+          }
+          if (mustCur.length < nMust) Iterator.empty // a MUST term missing in this segment
+          else {
+            val filter: Option[RoaringBitmap] =
+              if (!hasFilter) None
+              else if (sc.fbits == null) Some(new RoaringBitmap()) // filter matches nothing here
+              else Some(Searcher.bitmapFrom(sc.fbits))
+            Wand.scoreSegment(
+              shouldCur.sortBy(_.queryPos).toArray,
+              mustCur.sortBy(_.queryPos).toArray,
+              notCur.toArray,
+              sc.norms, sc.first_doc, filter, k).iterator
+          }
+        }
+    }
+    hits.orderBy($"score".desc, $"doc_id".asc).limit(k)
+  }
+
+  /** Full search: top-k hits joined back to stored fields, ranked. */
+  def search(q: String, k: Int): DataFrame = {
+    val hits = topKHits(q, k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id".asc)
+    hits.join(docs, "doc_id") // hits is <= k rows; Catalyst broadcasts it
+      .withColumn("rank", row_number().over(w))
+      .select($"rank", $"doc_id", $"score", $"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
+      .orderBy($"rank")
+  }
+
+  /** Norms sidecar, optionally joined with a per-segment fq bitmap computed
+    * from the stored-fields table (the ProcessedFilter DocSet analogue —
+    * `solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:1207,1242-1250`).
+    * Filter semantics: restricts results, does NOT change corpus stats. */
+  private def segmentCtx(filters: Vector[(String, String)]): Dataset[SegmentCtx] = {
+    val sidecar = postings.where($"term" === "")
+      .select($"segment_id", $"first_doc", $"doc_count".as("num_docs"), $"norms")
+    if (filters.isEmpty)
+      sidecar.withColumn("fbits", lit(null).cast("binary")).as[SegmentCtx]
+    else {
+      val cond = filters.map { case (f, v) => col(f) === lit(v) }.reduce(_ && _)
+      // per-segment matching docIds, serialized as a bitmap relative to the
+      // segment's min matching id; rebased to first_doc after the sidecar join
+      val fb = docs.where(cond)
+        .select($"segment_id", $"doc_id")
+        .as[(Int, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (seg, it) =>
+          val ids = it.map(_._2).toArray
+          val base = ids.min
+          val bm = new RoaringBitmap()
+          ids.foreach(d => bm.add((d - base).toInt))
+          (seg, base, Searcher.bitmapBytes(bm))
+        }
+        .toDF("segment_id", "fbase", "fraw")
+      sidecar.join(fb, Seq("segment_id"), "left")
+        .as[(Int, Long, Int, Array[Byte], java.lang.Long, Array[Byte])]
+        .map { case (seg, first, n, norms, fbase, fraw) =>
+          val bits =
+            if (fraw == null) null
+            else {
+              val bm = Searcher.bitmapFrom(fraw)
+              val shift = (fbase.longValue() - first).toInt
+              val out = new RoaringBitmap()
+              bm.forEach(new org.roaringbitmap.IntConsumer {
+                def accept(v: Int): Unit = out.add(v + shift)
+              })
+              Searcher.bitmapBytes(out)
+            }
+          SegmentCtx(seg, first, n, norms, bits)
+        }
+    }
+  }
+}
+
+object Searcher {
+  /** Segment scoring context: norms sidecar + optional filter bitmap. */
+  case class SegmentCtx(
+      segment_id: Int, first_doc: Long, num_docs: Int,
+      norms: Array[Byte], fbits: Array[Byte])
+
+  private[query] def bitmapBytes(bm: RoaringBitmap): Array[Byte] = {
+    bm.runOptimize()
+    val buf = new java.io.ByteArrayOutputStream()
+    bm.serialize(new java.io.DataOutputStream(buf))
+    buf.toByteArray
+  }
+
+  private[query] def bitmapFrom(bytes: Array[Byte]): RoaringBitmap = {
+    val bm = new RoaringBitmap()
+    bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+    bm
+  }
+}

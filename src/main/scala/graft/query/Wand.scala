@@ -1,0 +1,311 @@
+package graft.query
+
+import graft.codec.{Block, PostingsCodec}
+import graft.index.PostingRow
+import org.roaringbitmap.RoaringBitmap
+
+/** A doc-at-a-time cursor over one term's block-compressed postings in one
+  * segment, with block-granular skipping (last_doc skip data) and lazy block
+  * decode — the role of Lucene's ImpactsEnum in the reference's WAND path
+  * (collector wiring `solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:1894-1913`).
+  *
+  * @param queryPos position of this term in the query (fixes the float32
+  *                 accumulation order for bit-exact scores, SURVEY.md §4.2)
+  */
+final class PostingCursor(
+    blocks: Array[Block],
+    val idf: Float,
+    cache: Array[Float],
+    val queryPos: Int) {
+
+  /** Global upper bound of this term's score anywhere in the segment. */
+  val maxScore: Float = {
+    var m = 0f
+    var i = 0
+    while (i < blocks.length) {
+      val b = blocks(i)
+      val s = idf * (b.max_tf / (b.max_tf + cache(java.lang.Byte.toUnsignedInt(b.min_norm))))
+      if (s > m) m = s
+      i += 1
+    }
+    m
+  }
+
+  private var bi = 0            // current block index
+  private var decoded = false   // is block `bi` decoded?
+  private var pos = 0           // position within decoded block
+  private val docsBuf = new Array[Long](PostingsCodec.BlockSize)
+  private val tfsBuf = new Array[Int](PostingsCodec.BlockSize)
+
+  /** Current docId; Long.MaxValue once exhausted. */
+  var doc: Long = if (blocks.isEmpty) Long.MaxValue else {
+    decodeCurrent(); docsBuf(0)
+  }
+
+  private def decodeCurrent(): Unit = {
+    PostingsCodec.decodeBlock(blocks(bi), docsBuf, tfsBuf, 0)
+    decoded = true
+    pos = 0
+  }
+
+  def tf: Int = tfsBuf(pos)
+
+  def score(normByte: Byte): Float =
+    idf * (tfsBuf(pos) / (tfsBuf(pos) + cache(java.lang.Byte.toUnsignedInt(normByte))))
+
+  /** Upper bound of any score in the block that covers (or first follows)
+    * `target`, plus that block's last doc — WITHOUT decoding. Advances the
+    * shallow block pointer forward only (never past current position). */
+  def shallowTo(target: Long): Unit = {
+    while (bi < blocks.length - 1 && blocks(bi).last_doc < target) {
+      bi += 1
+      decoded = false
+    }
+  }
+
+  def blockMaxScore: Float = {
+    val b = blocks(bi)
+    idf * (b.max_tf / (b.max_tf + cache(java.lang.Byte.toUnsignedInt(b.min_norm))))
+  }
+
+  def blockLastDoc: Long = blocks(bi).last_doc
+
+  /** Advance to the first posting with docId >= target. */
+  def advanceTo(target: Long): Long = {
+    if (doc >= target) return doc
+    shallowTo(target)
+    if (blocks(bi).last_doc < target) { // ran off the end
+      doc = Long.MaxValue
+      return doc
+    }
+    if (!decoded) decodeCurrent()
+    // linear scan inside the (<=128-entry) block
+    var p = pos
+    val n = blocks(bi).count
+    while (p < n && docsBuf(p) < target) p += 1
+    if (p == n) {
+      // target falls in a gap just past this block: move to next block head
+      bi += 1
+      if (bi == blocks.length) { doc = Long.MaxValue; return doc }
+      decodeCurrent()
+      p = 0
+    }
+    pos = p
+    doc = docsBuf(pos)
+    doc
+  }
+
+  def next(): Long = {
+    if (doc == Long.MaxValue) return doc
+    if (pos + 1 < blocks(bi).count) {
+      pos += 1
+      doc = docsBuf(pos)
+    } else {
+      bi += 1
+      if (bi == blocks.length) doc = Long.MaxValue
+      else { decodeCurrent(); doc = docsBuf(0) }
+    }
+    doc
+  }
+}
+
+final case class Hit(doc_id: Long, score: Float)
+
+/** Bounded top-k heap ordered worst-first by (score asc, docId desc) so the
+  * root is the current k-th hit; ties broken by ascending docId exactly like
+  * a single Lucene index (SURVEY.md §7.3 item 5 — deterministic, strictly
+  * stronger than Solr's shard-name tie-break,
+  * `solr/core/src/java/org/apache/solr/handler/component/ShardFieldSortedHitQueue.java:82-107`). */
+final class TopK(k: Int) {
+  private val heap = new java.util.PriorityQueue[Hit](
+    math.max(1, k),
+    (a: Hit, b: Hit) =>
+      if (a.score != b.score) java.lang.Float.compare(a.score, b.score)
+      else java.lang.Long.compare(b.doc_id, a.doc_id))
+
+  def threshold: Float =
+    if (heap.size < k) Float.NegativeInfinity else heap.peek().score
+
+  def insert(doc: Long, score: Float): Unit = {
+    if (heap.size < k) heap.add(Hit(doc, score))
+    else {
+      val w = heap.peek()
+      if (score > w.score || (score == w.score && doc < w.doc_id)) {
+        heap.poll()
+        heap.add(Hit(doc, score))
+      }
+    }
+  }
+
+  def results: Array[Hit] = {
+    val a = new Array[Hit](heap.size)
+    var i = 0
+    val it = heap.iterator()
+    while (it.hasNext) { a(i) = it.next(); i += 1 }
+    a
+  }
+}
+
+/** Per-segment scoring: block-max WAND for disjunctions, leapfrog
+  * intersection for conjunctions, both with optional NOT terms and an
+  * optional filter bitmap (the fq DocSet analogue —
+  * `solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:1207,1242-1250`). */
+object Wand {
+
+  /** @param should  SHOULD cursors (query order); empty if pure conjunction
+    * @param must    MUST cursors (query order); empty if pure disjunction
+    * @param mustNot cursors whose docs are excluded
+    * @param norms   segment norms blob, indexed by (doc - firstDoc)
+    * @param filter  optional allowed-docs bitmap over (doc - firstDoc)
+    */
+  def scoreSegment(
+      should: Array[PostingCursor],
+      must: Array[PostingCursor],
+      mustNot: Array[PostingCursor],
+      norms: Array[Byte],
+      firstDoc: Long,
+      filter: Option[RoaringBitmap],
+      k: Int): Array[Hit] = {
+    val top = new TopK(k)
+    if (must.nonEmpty) conjunction(must, should, mustNot, norms, firstDoc, filter, top)
+    else if (should.nonEmpty) bmw(should, mustNot, norms, firstDoc, filter, top)
+    top.results
+  }
+
+  private def allowed(doc: Long, firstDoc: Long, filter: Option[RoaringBitmap],
+      mustNot: Array[PostingCursor]): Boolean = {
+    if (filter.exists(f => !f.contains((doc - firstDoc).toInt))) return false
+    var i = 0
+    while (i < mustNot.length) {
+      if (mustNot(i).doc < doc) mustNot(i).advanceTo(doc)
+      if (mustNot(i).doc == doc) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Float32 sum of matching cursors' scores in QUERY order (bit-exact). */
+  private def scoreDoc(doc: Long, norm: Byte, cursors: Array[PostingCursor]): Float = {
+    // cursors arrive sorted by queryPos; sum in that order
+    var acc = 0f
+    var i = 0
+    while (i < cursors.length) {
+      if (cursors(i).doc == doc) acc += cursors(i).score(norm)
+      i += 1
+    }
+    acc
+  }
+
+  /** Block-max WAND over SHOULD terms (Ding & Suel 2011 shape; the
+    * reference enables the Lucene equivalent when minExactCount permits —
+    * `solr/core/src/java/org/apache/solr/search/QueryCommand.java:43`).
+    * Pruning uses `sumUB < threshold` (not <=) so score-ties that could win
+    * the docId tie-break are never pruned — safe for rank-identity. */
+  private def bmw(
+      should: Array[PostingCursor],
+      mustNot: Array[PostingCursor],
+      norms: Array[Byte],
+      firstDoc: Long,
+      filter: Option[RoaringBitmap],
+      top: TopK): Unit = {
+    val byQueryPos = should.sortBy(_.queryPos)
+    val cursors = should.clone() // sorted by current doc below
+    while (true) {
+      java.util.Arrays.sort(cursors, (a: PostingCursor, b: PostingCursor) =>
+        java.lang.Long.compare(a.doc, b.doc))
+      if (cursors(0).doc == Long.MaxValue) return
+      val theta = top.threshold
+      // pivot: first prefix whose global-max sum can reach the threshold
+      var ub = 0f
+      var p = 0
+      var found = false
+      while (p < cursors.length && !found) {
+        if (cursors(p).doc == Long.MaxValue) { p = cursors.length }
+        else {
+          ub += cursors(p).maxScore
+          if (ub >= theta) found = true else p += 1
+        }
+      }
+      if (!found) return // even all terms together can't reach the threshold
+      val pivot = cursors(p).doc
+      // block-max refinement: tighter bound from the blocks covering pivot
+      var bub = 0f
+      var i = 0
+      while (i <= p) {
+        cursors(i).shallowTo(pivot)
+        bub += cursors(i).blockMaxScore
+        i += 1
+      }
+      if (bub < theta) {
+        // no doc in these blocks can qualify: jump past the nearest block end
+        var boundary = Long.MaxValue
+        i = 0
+        while (i <= p) {
+          val bl = cursors(i).blockLastDoc
+          if (bl < boundary) boundary = bl
+          i += 1
+        }
+        val target = math.max(pivot, boundary + 1)
+        i = 0
+        while (i <= p) {
+          if (cursors(i).doc < target) cursors(i).advanceTo(target)
+          i += 1
+        }
+      } else if (cursors(0).doc == pivot) {
+        // all cursors [0..p] are at or before pivot; bring them to pivot
+        i = 0
+        while (i <= p) { if (cursors(i).doc < pivot) cursors(i).advanceTo(pivot); i += 1 }
+        if (allowed(pivot, firstDoc, filter, mustNot)) {
+          val norm = norms((pivot - firstDoc).toInt)
+          val s = scoreDoc(pivot, norm, byQueryPos)
+          top.insert(pivot, s)
+        }
+        i = 0
+        while (i < cursors.length) {
+          if (cursors(i).doc == pivot) cursors(i).next()
+          i += 1
+        }
+      } else {
+        // advance the lagging cursors up to the pivot
+        i = 0
+        while (i < p) { if (cursors(i).doc < pivot) cursors(i).advanceTo(pivot); i += 1 }
+      }
+    }
+  }
+
+  /** Leapfrog intersection over MUST terms; SHOULD terms contribute score
+    * when present on a matching doc (Lucene BooleanQuery semantics). */
+  private def conjunction(
+      must: Array[PostingCursor],
+      should: Array[PostingCursor],
+      mustNot: Array[PostingCursor],
+      norms: Array[Byte],
+      firstDoc: Long,
+      filter: Option[RoaringBitmap],
+      top: TopK): Unit = {
+    val all = (must ++ should).sortBy(_.queryPos)
+    var target = must.map(_.doc).max
+    while (target != Long.MaxValue) {
+      var agreed = true
+      var i = 0
+      while (i < must.length) {
+        val d = must(i).advanceTo(target)
+        if (d != target) { agreed = false; target = d; i = must.length }
+        else i += 1
+      }
+      if (agreed) {
+        if (allowed(target, firstDoc, filter, mustNot)) {
+          var j = 0
+          while (j < should.length) {
+            if (should(j).doc < target) should(j).advanceTo(target)
+            j += 1
+          }
+          val norm = norms((target - firstDoc).toInt)
+          top.insert(target, scoreDoc(target, norm, all))
+        }
+        target += 1
+      }
+      if (target == Long.MaxValue) return
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis.Analyzer
+import graft.query.QueryParser
+
+class AnalyzerSpec extends AnyFunSuite {
+  private val a = Analyzer.default
+
+  test("basic tokenization + lowercase") {
+    assert(a.analyze("Hello World").toSeq == Seq("hello", "world"))
+    assert(a.analyze("Spark SQL rocks!").toSeq == Seq("spark", "sql", "rocks"))
+  }
+
+  test("punctuation splits, numerics and mixed tokens survive") {
+    assert(a.analyze("foo,bar;baz").toSeq == Seq("foo", "bar", "baz"))
+    assert(a.analyze("3.14 x86_64 v2.0").toSeq == Seq("3.14", "x86_64", "v2.0"))
+  }
+
+  test("apostrophes kept inside words (UAX#29 MidLetter)") {
+    assert(a.analyze("don't stop").toSeq == Seq("don't", "stop"))
+  }
+
+  test("empty / whitespace-only / punctuation-only input") {
+    assert(a.analyze("").isEmpty)
+    assert(a.analyze(null).isEmpty)
+    assert(a.analyze("   \t\n").isEmpty)
+    assert(a.analyze("... !!! ---").isEmpty)
+  }
+
+  test("unicode passthrough") {
+    assert(a.analyze("héllo naïve").toSeq == Seq("héllo", "naïve"))
+    assert(a.analyze("café au lait").toSeq == Seq("café", "au", "lait"))
+  }
+
+  test("stop removal happens before lowercasing, matched case-insensitively") {
+    val withStop = new Analyzer(Set("the", "AND"))
+    // "The" and "and" are dropped despite case differences
+    assert(withStop.analyze("The Quick and THE dead").toSeq == Seq("quick", "dead"))
+    // default list is empty like the reference: nothing dropped
+    assert(a.analyze("the quick").toSeq == Seq("the", "quick"))
+  }
+
+  test("idempotence law: analyzing joined output is a fixpoint") {
+    for (s <- Seq("Hello World", "don't STOP now", "a b c 42", "x86_64 v2.0"))
+      assert(a.analyze(a.analyze(s).mkString(" ")).toSeq == a.analyze(s).toSeq)
+  }
+}
+
+class QueryParserSpec extends AnyFunSuite {
+
+  test("bare terms are SHOULD, analyzed + lowercased") {
+    val p = QueryParser.parse("Spark shuffle")
+    assert(p.should == Vector("spark", "shuffle"))
+    assert(p.must.isEmpty && p.mustNot.isEmpty && p.filters.isEmpty)
+  }
+
+  test("+term and AND promote to MUST") {
+    val p1 = QueryParser.parse("+spark shuffle")
+    assert(p1.must == Vector("spark") && p1.should == Vector("shuffle"))
+    val p2 = QueryParser.parse("spark AND shuffle")
+    assert(p2.must == Vector("spark", "shuffle") && p2.should.isEmpty)
+  }
+
+  test("-term and NOT negate") {
+    val p = QueryParser.parse("spark -shuffle NOT join")
+    assert(p.should == Vector("spark"))
+    assert(p.mustNot == Vector("shuffle", "join"))
+  }
+
+  test("field:value becomes a structured filter") {
+    val p = QueryParser.parse("role:user spark tool:bash")
+    assert(p.filters == Vector(("role", "user"), ("tool", "bash")))
+    assert(p.should == Vector("spark"))
+  }
+
+  test("quoted multi-term clause becomes a conjunction") {
+    val p = QueryParser.parse("\"merge segments\" fast")
+    assert(p.must == Vector("merge", "segments"))
+    assert(p.should == Vector("fast"))
+  }
+
+  test("stopword-only query is empty after analysis") {
+    val stop = new Analyzer(Set("the", "a"))
+    val p = QueryParser.parse("the a THE", stop)
+    assert(p.isEmpty)
+  }
+}
