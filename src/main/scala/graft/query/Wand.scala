@@ -228,6 +228,9 @@ object Wand {
       }
       if (!found) return // even all terms together can't reach the threshold
       val pivot = cursors(p).doc
+      // extend the pivot over ties: every cursor already at pivotDoc can
+      // contribute to its score, so it must join the block-max bound
+      while (p + 1 < cursors.length && cursors(p + 1).doc == pivot) p += 1
       // block-max refinement: tighter bound from the blocks covering pivot
       var bub = 0f
       var i = 0
@@ -237,7 +240,9 @@ object Wand {
         i += 1
       }
       if (bub < theta) {
-        // no doc in these blocks can qualify: jump past the nearest block end
+        // no doc in [pivot, boundary] can qualify from cursors [0..p] alone;
+        // cap the jump at the next cursor's doc — docs from there on can
+        // match terms outside the prefix (Ding & Suel 2011, GetNewCandidate)
         var boundary = Long.MaxValue
         i = 0
         while (i <= p) {
@@ -245,7 +250,9 @@ object Wand {
           if (bl < boundary) boundary = bl
           i += 1
         }
-        val target = math.max(pivot, boundary + 1)
+        val next = if (p + 1 < cursors.length) cursors(p + 1).doc else Long.MaxValue
+        val jump = math.min(if (boundary == Long.MaxValue) boundary else boundary + 1, next)
+        val target = math.max(pivot, jump)
         i = 0
         while (i <= p) {
           if (cursors(i).doc < target) cursors(i).advanceTo(target)
