@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+
+/** One operator of the engine's public query surface (SURVEY.md §2): a name,
+  * a Spark DataFrame implementation, and (when ANSI-SQL-expressible) an
+  * equivalent DuckDB SQL oracle over the same parquet tables.
+  *
+  * Oracle-parity rules (the driver hash-compares values):
+  *   - identical column names and order-independent deterministic row sets;
+  *   - no floating-point value that is not either (a) a raw column passthrough,
+  *     (b) derived from exact integer/decimal sums by the same IEEE expression
+  *     shape on both sides, or (c) rounded after such derivation;
+  *   - money/measure sums go through DECIMAL(18,2) (exact, associative) and
+  *     are cast to DOUBLE only at the end.
+  */
+final case class Op(
+    name: String,
+    doc: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+object Op {
+  /** Table reader: parquet by convention `dir/name.parquet`. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact money arithmetic: DECIMAL(18,2) (sums stay exact and associative,
+    * unlike double, so Spark's and DuckDB's aggregation orders agree). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+}

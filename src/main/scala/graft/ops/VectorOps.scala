@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Op.t
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label) — the Spark-first rendering of the reference's
+  * dense-vector surface ({!knn} KnnQParser.java:41-42,123-164,
+  * schema/DenseVectorField.java). Brute-force cosine top-k is the exact
+  * baseline; the LSH-bucketed variant is the scale path (candidates from
+  * sign-random-projection buckets, exact re-rank of candidates only).
+  *
+  * Float parity: elements are widened float->double inside the fold (exact),
+  * dot/norm folds run left-to-right in both engines (Spark `aggregate` with
+  * 0.0 init == DuckDB `list_reduce`), and the one inexact value (cosine) is
+  * rounded to 4 dp on both sides.
+  */
+object VectorOps {
+
+  /** Left-to-right double fold of the element-wise product of two vectors. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private val duckDot =
+    "list_reduce(list_transform(generate_series(1, len(%A%)), i -> " +
+      "CAST(%A%[i] AS DOUBLE) * CAST(%B%[i] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  private def duckCos(a: String, b: String): String = {
+    def d(x: String, y: String) = duckDot.replace("%A%", x).replace("%B%", y)
+    s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
+  }
+
+  def ops: Seq[Op] = Seq(
+
+    Op("vec_ann_topk",
+      "top-k nearest neighbours of a query vector by cosine — brute-force " +
+        "exact baseline ({!knn} default topK=10, KnnQParser.java:41-42); at " +
+        "scale the scan is partition-parallel with a TakeOrdered merge",
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              |SELECT e.vec_id, round(${duckCos("e.embedding", "qe")}, 4) AS cos
+              |FROM embeddings e, q WHERE e.vec_id <> 0
+              |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+        e.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      }),
+
+    Op("vec_knn_join",
+      "k-NN join: top-3 neighbours for each of several query vectors " +
+        "(batched {!knn}; window per query id)",
+      Some(s"""WITH c AS (
+              |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+              |    round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+              |SELECT qid, nid, cos FROM (
+              |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+              |  FROM c) WHERE rn <= 3
+              |ORDER BY qid, cos DESC, nid""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val cand = e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            round(cosine(col("embedding"), col("qe")), 4).as("cos"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        cand.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("qid"), col("nid"), col("cos"))
+          .orderBy(col("qid"), col("cos").desc, col("nid"))
+      }),
+
+    Op("vec_cosine_pairs",
+      "embedding-cosine near-duplicate pairs (threshold 0.45) — the " +
+        "embedding leg of the dedup suite; thresholded self-join, exact",
+      Some(s"""SELECT a.vec_id AS i, b.vec_id AS j,
+              |  round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
+              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.45
+              |ORDER BY i, j""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"))
+        a.join(b, col("i") < col("j"))
+          .withColumn("c", cosine(col("ea"), col("eb")))
+          .where(col("c") >= 0.45)
+          .select(col("i"), col("j"), round(col("c"), 4).as("cos"))
+          .orderBy(col("i"), col("j"))
+      }),
+
+    Op("vec_ann_lsh",
+      "LSH-bucketed ANN (sign random projection, 8-bit signatures from a " +
+        "seeded deterministic hyperplane set): candidates share a bucket, " +
+        "exact cosine re-rank of candidates only — the 100TB-scale path " +
+        "where the O(n^2) pair join is infeasible. Engine-only (approximate " +
+        "recall), no SQL oracle: the driver records a rows-only check",
+      None,
+      (s, dir) => {
+        import s.implicits._
+        val nBits = 8
+        val dim = 64
+        // deterministic pseudo-gaussian-ish hyperplanes from splitmix64
+        def mix(z0: Long): Long = {
+          var z = z0 + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        val planes: Array[Array[Double]] = Array.tabulate(nBits, dim) { (b, d) =>
+          (mix(b * 1000003L + d).toDouble / Long.MaxValue)
+        }
+        val bc = s.sparkContext.broadcast(planes)
+        val sigUdf = udf((v: Seq[Float]) => {
+          val ps = bc.value
+          var sig = 0
+          var b = 0
+          while (b < nBits) {
+            var acc = 0.0
+            var d = 0
+            while (d < dim && d < v.length) { acc += ps(b)(d) * v(d); d += 1 }
+            if (acc > 0) sig |= (1 << b)
+            b += 1
+          }
+          sig
+        })
+        val e = t(s, dir, "embeddings").withColumn("sig", sigUdf(col("embedding")))
+        val q = e.where(col("vec_id") === 0)
+          .select(col("sig").as("qsig"), col("embedding").as("qe"))
+        // candidates: same bucket or hamming-1 neighbour buckets (multi-probe)
+        val probeUdf = udf((sig: Int) => sig +: (0 until nBits).map(b => sig ^ (1 << b)))
+        val probes = q.select(explode(probeUdf(col("qsig"))).as("sig"), col("qe"))
+        e.where(col("vec_id") =!= 0)
+          .join(probes, "sig")
+          .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      })
+  )
+}
