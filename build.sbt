@@ -23,7 +23,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+javaOptions ++= (if (sys.env.contains("GRAFT_GC_LOG"))
+  Seq(s"-Xlog:gc*:file=${sys.env("GRAFT_GC_LOG")}:time,uptime:filecount=1,filesize=50m")
+else Seq()) ++
+sys.env.get("GRAFT_GC_OPTS").toSeq.flatMap(_.split(" ").toSeq) ++
+jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

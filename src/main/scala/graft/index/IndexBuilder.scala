@@ -12,11 +12,14 @@ import graft.codec.SmallFloat
   * Shape (SURVEY.md §3.4 "Spark shape"): range-partition the corpus on the
   * stable key (conv_id, turn_idx) — one partition = one *segment* owning a
   * dense, contiguous docId range (the Lucene segment model,
-  * `solr/core/src/java/org/apache/solr/update/SolrIndexWriter.java:57-155`) —
-  * then one analysis pass per segment feeding a typed Catalyst aggregation
-  * that completes every (segment, term) posting list map-side. The shuffle
-  * moves finished compressed lists, never raw tokens of a hot term, so
-  * hot-term skew is capped at segment size by construction.
+  * `solr/core/src/java/org/apache/solr/update/SolrIndexWriter.java:57-155`).
+  * Posting lists are then built **inside each segment partition** with an
+  * in-memory term map flushed as compressed PostingRows — the Spark
+  * rendering of Lucene's RAM-buffer indexing path (`ramBufferSizeMB`,
+  * `solr/core/src/java/org/apache/solr/update/SolrIndexConfig.java:102`):
+  * no shuffle ever moves raw token rows, a hot term's posting list is
+  * bounded by segment size by construction (skew capped), and the only
+  * shuffled data are the finished per-term stats aggregations.
   *
   * Output layout under `indexDir/`:
   *   docs/      DocRow parquet, sorted by doc_id (stored fields)
@@ -58,46 +61,98 @@ object IndexBuilder {
     val done = completedSteps(spark, dir)
     var skipped = 0
 
-    // ---- step 1: docId assignment (two-pass, no global window) ----------
+
+    // ---- step 1: docId assignment (two-pass, no global window, no cache) -
+    //
+    // Explicit deterministic range partitioning: sample (conv_id, turn_idx)
+    // once on the driver -> numSegments-1 cut points; segment = cut-range
+    // index. Pass A aggregates EXACT per-segment counts (only counts
+    // shuffle); pass B range-shuffles the corpus once on the segment index,
+    // sorts within partitions, and assigns doc_id = offset(seg) + local
+    // rank per segment. doc_ids are independent of the sampled cuts (the
+    // sequence is the global (conv_id, turn_idx) rank for ANY contiguous
+    // cut set), so builds are reproducible at any parallelism — asserted by
+    // EngineSpec's control-vs-distributed suite.
     if (done("docs")) skipped += 1
     else {
       val t0 = System.nanoTime()
-      val sorted = turns
-        .select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
-        .repartitionByRange(cfg.numSegments, $"conv_id", $"turn_idx")
-        .sortWithinPartitions($"conv_id", $"turn_idx")
-        .persist()
-      try {
-        // pass 1: per-partition counts -> exclusive prefix sums (tiny collect:
-        // one long per segment; scales to any corpus)
-        val counts = sorted.groupBy(spark_partition_id().as("pid")).count()
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val offsets = new Array[Long](cfg.numSegments)
-        var acc = 0L
-        for (p <- 0 until cfg.numSegments) {
-          offsets(p) = acc
-          acc += counts.getOrElse(p, 0L)
+      val src = turns.select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
+      val n = src.count()
+      // seeded sample of sort keys -> cut points (~200 per segment)
+      val frac = math.min(1.0, (cfg.numSegments * 200.0) / math.max(1L, n))
+      val sample = src.select($"conv_id", $"turn_idx")
+        .sample(withReplacement = false, frac, seed = 42L)
+        .as[(String, Int)].collect().sorted
+      val cuts: Array[(String, Int)] =
+        if (sample.isEmpty) Array.empty
+        else Array.tabulate(cfg.numSegments - 1) { i =>
+          sample(((i + 1).toLong * sample.length / cfg.numSegments).toInt
+            .min(sample.length - 1))
         }
-        val bc = spark.sparkContext.broadcast(offsets)
-        // pass 2: assign doc_id = partition offset + local rank
-        val docs: Dataset[DocRow] = sorted.as[Turn].mapPartitions { it =>
-          val pid = TaskContext.getPartitionId()
-          var next = bc.value(pid)
-          it.map { t =>
-            val d = DocRow(next, pid, t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts)
-            next += 1
-            d
+      val bcCuts = spark.sparkContext.broadcast(cuts)
+      def segOf(conv: String, turn: Int, cs: Array[(String, Int)]): Int = {
+        // first cut > key, via binary search on the (conv, turn) total order
+        var lo = 0
+        var hi = cs.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          val c = cs(mid)
+          val cmp = {
+            val x = conv.compareTo(c._1)
+            if (x != 0) x else Integer.compare(turn, c._2)
+          }
+          if (cmp < 0) hi = mid else lo = mid + 1
+        }
+        lo
+      }
+      // pass A: exact per-segment counts (shuffles one count per segment)
+      val counts = src.select($"conv_id", $"turn_idx").as[(String, Int)]
+        .mapPartitions { it =>
+          val cs = bcCuts.value
+          val local = new Array[Long](cs.length + 1)
+          it.foreach { case (c, t) => local(segOf(c, t, cs)) += 1 }
+          Iterator.tabulate(local.length)(i => (i, local(i)))
+        }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .collect().toMap
+      val offsets = new Array[Long](cfg.numSegments)
+      var acc = 0L
+      for (p <- 0 until cfg.numSegments) {
+        offsets(p) = acc
+        acc += counts.getOrElse(p, 0L)
+      }
+      val bcOffsets = spark.sparkContext.broadcast(offsets)
+      // pass B: one corpus shuffle, sort within partitions, assign ids
+      val segUdf = udf((c: String, t: Int) => segOf(c, t, bcCuts.value))
+      src.withColumn("seg", segUdf($"conv_id", $"turn_idx"))
+        .repartitionByRange(cfg.numSegments, $"seg")
+        .sortWithinPartitions($"conv_id", $"turn_idx")
+        .as[SegTurn]
+        .mapPartitions { it =>
+          val off = bcOffsets.value
+          val next = new java.util.HashMap[Integer, Long]()
+          it.map { r =>
+            val cur = next.getOrDefault(r.seg, off(r.seg))
+            next.put(r.seg, cur + 1)
+            DocRow(cur, r.seg, r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts)
           }
         }
-        docs.write.mode("overwrite").parquet(s"$dir/docs")
-        appendLineage(spark, dir, LineageRow("docs", 0, cfg.numSegments, acc, 0L,
-          (System.nanoTime() - t0) / 1000000, now()))
-      } finally sorted.unpersist()
+        .write.mode("overwrite").parquet(s"$dir/docs")
+      appendLineage(spark, dir, LineageRow("docs", 0, cfg.numSegments, acc, 0L,
+        (System.nanoTime() - t0) / 1000000, now()))
     }
 
-    val docs = spark.read.parquet(s"$dir/docs")
-
     // ---- step 2: postings, one batch of segments at a time --------------
+    // Always sourced from the committed docs parquet (same path for fresh
+    // and resumed builds), re-colocating whole segments with one explicit
+    // hash exchange. NOTE: reusing the in-memory pre-write plan instead is
+    // a measured 5x pessimization — every downstream task closure then
+    // drags the cached upstream lineage (with per-relation serialized
+    // Hadoop Configurations) through (de)serialization.
+    def source: Dataset[DocRow] =
+      spark.read.parquet(s"$dir/docs")
+        .repartition(cfg.numSegments, $"segment_id").as[DocRow]
+
     val perBatch = math.max(1, math.ceil(cfg.numSegments.toDouble / cfg.batches).toInt)
     val analyzer = new Analyzer(cfg.stopwords)
     for (b <- 0 until cfg.batches) {
@@ -107,8 +162,8 @@ object IndexBuilder {
         if (done(s"batch-$b")) skipped += 1
         else {
           val t0 = System.nanoTime()
-          val n = buildSegments(spark, docs, dir, lo, hi, analyzer)
-          appendLineage(spark, dir, LineageRow(s"batch-$b", lo, hi, 0L, n,
+          buildSegments(spark, source, dir, lo, hi, cfg.batches > 1, analyzer)
+          appendLineage(spark, dir, LineageRow(s"batch-$b", lo, hi, 0L, 0L,
             (System.nanoTime() - t0) / 1000000, now()))
         }
       }
@@ -119,14 +174,17 @@ object IndexBuilder {
     else {
       val t0 = System.nanoTime()
       val postings = spark.read.parquet(s"$dir/postings")
+        .select($"term", $"doc_count", $"ttf").persist()
       postings.where($"term" =!= "")
         .groupBy($"term")
         .agg(sum($"doc_count").cast("long").as("df"), sum($"ttf").as("ttf"))
         .as[TermStats]
+        .sortWithinPartitions($"term") // tight row-group stats for point reads
         .write.mode("overwrite").parquet(s"$dir/terms")
       val c = postings.where($"term" === "")
         .agg(sum($"doc_count").cast("long"), sum($"ttf").cast("long"), count(lit(1)).cast("int"))
         .as[(Long, Long, Int)].head()
+      postings.unpersist()
       Seq(CorpusStats(c._1, c._2, c._3)).toDS()
         .write.mode("overwrite").parquet(s"$dir/corpus")
       appendLineage(spark, dir, LineageRow("stats", 0, cfg.numSegments, c._1, 0L,
@@ -137,20 +195,35 @@ object IndexBuilder {
     BuildResult(c.doc_count, c.sum_dl, c.num_segments, skipped)
   }
 
-  /** One analysis pass + one typed aggregation over segments [lo, hi). */
-  private def buildSegments(spark: SparkSession, docs: DataFrame, dir: String,
-      lo: Int, hi: Int, analyzer: Analyzer): Long = {
+  /** One analysis + in-segment posting-build pass over segments [lo, hi):
+    * a per-partition term -> PostingsBuf map (plus the "" norms-sidecar
+    * entry per segment) flushed as compressed PostingRows. Equivalent to
+    * the typed [[PostingsAggregator]] aggregation but without the exchange —
+    * every (segment, term) key is complete inside its partition. */
+  private def buildSegments(spark: SparkSession, docs: Dataset[DocRow], dir: String,
+      lo: Int, hi: Int, filterBatch: Boolean, analyzer: Analyzer): Unit = {
     import spark.implicits._
-    val rows: Dataset[TokenRow] = docs
-      .where($"segment_id" >= lo && $"segment_id" < hi)
+    val in = if (filterBatch) docs.where($"segment_id" >= lo && $"segment_id" < hi) else docs
+    val rows: Dataset[PostingRow] = in
       .select($"doc_id", $"segment_id", $"text")
       .as[(Long, Int, String)]
       .mapPartitions { it =>
-        it.flatMap { case (docId, seg, text) =>
+        val bufs = new java.util.HashMap[(Int, String), PostingsBuf]()
+        def buf(seg: Int, term: String): PostingsBuf = {
+          val k = (seg, term)
+          var b = bufs.get(k)
+          if (b == null) { b = new PostingsBuf(); bufs.put(k, b) }
+          b
+        }
+        val tf = new java.util.HashMap[String, Integer]()
+        it.foreach { case (docId, seg, text) =>
           val terms = analyzer.analyze(text)
           val dl = terms.length
           val norm = SmallFloat.intToByte4(dl)
-          val tf = new java.util.HashMap[String, Integer]()
+          val lenBuf = buf(seg, "")
+          lenBuf.isLenRow = true
+          lenBuf.add(docId, dl, norm)
+          tf.clear()
           var i = 0
           while (i < terms.length) {
             val t = terms(i)
@@ -158,22 +231,25 @@ object IndexBuilder {
             tf.put(t, if (prev == null) Integer.valueOf(1) else Integer.valueOf(prev.intValue + 1))
             i += 1
           }
-          val len = Iterator.single(TokenRow(seg, "", docId, dl, norm))
           val ts = tf.entrySet().iterator()
-          len ++ new Iterator[TokenRow] {
-            def hasNext = ts.hasNext
-            def next() = { val e = ts.next(); TokenRow(seg, e.getKey, docId, e.getValue, norm) }
+          while (ts.hasNext) {
+            val e = ts.next()
+            buf(seg, e.getKey).add(docId, e.getValue.intValue, norm)
+          }
+        }
+        val out = bufs.entrySet().iterator()
+        new Iterator[PostingRow] {
+          def hasNext = out.hasNext
+          def next() = {
+            val e = out.next()
+            val (seg, term) = e.getKey
+            PostingsAggregator.finish(e.getValue).withKey(seg, term)
           }
         }
       }
-    val agged = rows
-      .groupByKey(r => (r.segment_id, r.term))
-      .agg(PostingsAggregator.toColumn.name("pl"))
-      .map { case ((seg, term), pr) => pr.withKey(seg, term) }
-    agged
+    rows
       .sortWithinPartitions($"term", $"segment_id") // tight row-group stats for term pushdown
       .write.mode("append").parquet(s"$dir/postings")
-    0L
   }
 
   private def now() = new Timestamp(System.currentTimeMillis())

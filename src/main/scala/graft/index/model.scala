@@ -82,3 +82,13 @@ case class TokenRow(
     doc_id: Long,
     tf: Int,
     norm: Byte)
+
+/** Pass-B row of the docId assignment: a turn plus its cut-range segment. */
+case class SegTurn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: java.sql.Timestamp,
+    seg: Int)

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import graft.index.IndexBuilder
+
+/** Dev utility: index-build wall time per parallelism spec, in order, fresh
+  * SparkSession each. Spec forms:
+  *   "8"     -> local[8]
+  *   "lc2x4" -> local-cluster[2,4,4096] (2 executor JVMs x 4 cores — the
+  *              faithful N-executor shape; requires SPARK_HOME=/opt/spark)
+  */
+object ScalingProbe {
+
+  def session(spec: String): (SparkSession, Int) = {
+    val lc = "lc(\\d+)x(\\d+)".r
+    val (master, slots) = spec match {
+      case lc(n, c) => (s"local-cluster[$n,$c,4096]", n.toInt * c.toInt)
+      case n => (s"local[$n]", n.toInt)
+    }
+    val b = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", slots)
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("GRAFT_LOCAL_DIR", System.getProperty("java.io.tmpdir")))
+    if (master.startsWith("local-cluster")) {
+      val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      b.config("spark.executor.extraClassPath", classes)
+        .config("spark.executor.memory", "3g")
+    }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("GRAFT_SLIM_HADOOP_CONF")) {
+      // Experiment: per-write-task deserialization of the full Hadoop conf
+      // (~1000 gzip-compressed strings) convoys on the JDK Inflater cleaner
+      // lock at high slot counts; Hadoop getters fall back to code defaults,
+      // so an (almost) empty conf should behave identically on local FS.
+      val hc = s.sparkContext.hadoopConfiguration
+      val keep = Set("fs.defaultFS", "fs.file.impl", "io.file.buffer.size")
+      import scala.jdk.CollectionConverters._
+      val keys = hc.iterator().asScala.map(_.getKey).toList
+      keys.foreach(k => if (!keep(k)) hc.unset(k))
+      println(s"[probe] slim hadoop conf: ${hc.size()} props (was ${keys.size})")
+    }
+    (s, slots)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val turnsPath = args.headOption.getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft-bench/turns-2000")
+    args.drop(1).foreach { spec =>
+      val (s, _) = session(spec)
+      val base = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/dev/shm/graft-probe")
+      val turns = s.read.parquet(turnsPath)
+      // untimed warmup build on a small slice (JIT + codegen caches)
+      IndexBuilder.build(s, turns.limit(20000), s"$base/warm-$spec-${System.nanoTime()}",
+        IndexBuilder.Config(numSegments = 16))
+      val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
+      val times = (1 to reps).map { _ =>
+        val dir = s"$base/idx-$spec-${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        IndexBuilder.build(s, turns, dir, IndexBuilder.Config(numSegments = 64))
+        val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        dt
+      }
+      println(f"[probe] spec=$spec%-6s min=${times.min}%.2fs all=${times.map(t => f"$t%.1f").mkString(",")}")
+      s.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

@@ -23,7 +23,8 @@ final class Searcher(
     spark: SparkSession,
     indexDir: String,
     bm25: Bm25 = Bm25(),
-    analyzer: Analyzer = Analyzer.default) extends Serializable {
+    analyzer: Analyzer = Analyzer.default,
+    cache: Boolean = true) extends Serializable {
 
   import spark.implicits._
 
@@ -31,8 +32,25 @@ final class Searcher(
     spark.read.parquet(s"$indexDir/corpus").as[CorpusStats].head()
   val avgdl: Float = bm25.avgdl(corpus.sum_dl, corpus.doc_count)
 
-  private def postings = spark.read.parquet(s"$indexDir/postings")
+  // With cache=true the postings and terms tables persist across queries —
+  // the searcher-epoch caching role of the reference's filter/queryResult
+  // caches (`solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:164-165`).
+  // At 10^12-doc scale set cache=false: term-predicate pushdown on the
+  // term-sorted parquet keeps each query an index-like point read instead.
+  private val postingsDF: DataFrame = {
+    val df = spark.read.parquet(s"$indexDir/postings")
+    if (cache) df.persist() else df
+  }
+  private val termsDF: DataFrame = {
+    val df = spark.read.parquet(s"$indexDir/terms")
+    if (cache) df.persist() else df
+  }
+
+  private def postings = postingsDF
   def docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
+
+  /** Drop this searcher's cached tables (end of searcher epoch). */
+  def close(): Unit = if (cache) { postingsDF.unpersist(); termsDF.unpersist() }
 
   import Searcher.SegmentCtx
 
@@ -40,7 +58,7 @@ final class Searcher(
     * sorted terms table keeps this an index-like point read at scale). */
   def termStats(terms: Seq[String]): Map[String, Long] = {
     if (terms.isEmpty) Map.empty
-    else spark.read.parquet(s"$indexDir/terms")
+    else termsDF
       .where($"term".isin(terms: _*))
       .select($"term", $"df").as[(String, Long)]
       .collect().toMap
