@@ -1,0 +1,77 @@
+package graft.index
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segment merging: the sort-merge posting-list union of the north rule —
+  * the Spark rendering of Lucene's background segment merge
+  * (`solr/core/src/java/org/apache/solr/update/SolrIndexWriter.java:57-155`,
+  * TieredMergePolicy config `solr/core/src/java/org/apache/solr/core/SolrIndexConfig.java:66-107`).
+  *
+  * Because a segment owns a dense, contiguous docId range and segments are
+  * ordered by first docId, merging K adjacent segments' posting lists for a
+  * term is a concatenation of their (self-contained, absolute-first_doc)
+  * blocks in segment order — the degenerate, allocation-free case of a
+  * sort-merge union; no block is decoded. The norms sidecars concatenate the
+  * same way. Stats (df/ttf per merged row) are sums.
+  *
+  * The merge is a pure Dataset transformation: group posting rows by
+  * (mergedSegment, term), sort each group by first_doc, concatenate. The
+  * shuffle moves compressed posting lists — the index itself, never raw
+  * postings entries.
+  */
+object IndexMerger {
+
+  /** Merge an index's segments down to `targetSegments`, writing a new
+    * index directory (docs/ and terms/ and corpus/ are shared semantics:
+    * docs are copied by reference — same parquet — only postings rewrite).
+    *
+    * Mapping: old segment s -> merged segment s * targetSegments / numOld
+    * (adjacent ranges stay adjacent, so docId contiguity is preserved).
+    */
+  def mergeSegments(spark: SparkSession, indexDir: String, outDir: String,
+      targetSegments: Int): Unit = {
+    import spark.implicits._
+    val postings = spark.read.parquet(s"$indexDir/postings").as[PostingRow]
+    val numOld = postings.agg(max($"segment_id")).as[Int].head() + 1
+    val target = math.max(1, math.min(targetSegments, numOld))
+
+    val merged = postings
+      .groupByKey(pr => (pr.segment_id.toLong * target / numOld, pr.term))
+      .mapGroups { (key, rows) =>
+        val sorted = rows.toArray.sortBy(_.first_doc)
+        concat(sorted).withKey(key._1.toInt, key._2)
+      }
+    merged
+      .sortWithinPartitions($"term", $"segment_id")
+      .write.mode("overwrite").parquet(s"$outDir/postings")
+
+    // docs / terms / corpus carry over unchanged (docIds are untouched)
+    for (t <- Seq("docs", "terms", "corpus")) {
+      spark.read.parquet(s"$indexDir/$t").write.mode("overwrite").parquet(s"$outDir/$t")
+    }
+    Seq(LineageRow("merge", 0, target, 0L, 0L, 0L,
+      new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDS().write.mode("overwrite").parquet(s"$outDir/lineage")
+  }
+
+  /** Sort-merge union of one term's rows from adjacent segments: block
+    * lists and norms sidecars concatenate in docId order (blocks carry
+    * absolute first/last docIds, so no re-encoding is needed); df/ttf sum. */
+  private[index] def concat(rows: Array[PostingRow]): PostingRow = {
+    if (rows.length == 1) rows(0)
+    else {
+      val docCount = rows.map(_.doc_count).sum
+      val ttf = rows.map(_.ttf).sum
+      val firstDoc = rows.head.first_doc
+      if (rows.head.norms != null) { // norms sidecar rows
+        val norms = new Array[Byte](docCount)
+        var off = 0
+        rows.foreach { r => System.arraycopy(r.norms, 0, norms, off, r.norms.length); off += r.norms.length }
+        PostingRow("", -1, docCount, ttf, firstDoc, Array.empty, norms)
+      } else {
+        PostingRow("", -1, docCount, ttf, firstDoc, rows.flatMap(_.blocks), null)
+      }
+    }
+  }
+}
