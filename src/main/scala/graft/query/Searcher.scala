@@ -49,19 +49,44 @@ final class Searcher(
   private def postings = postingsDF
   def docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
 
+  // fq DocSet cache: computed per-segment filter bitmaps persist across
+  // queries keyed by the filter clause set — the reference's filterCache
+  // (`solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:164-165,443-450`,
+  // CaffeineCache). Entries live for the searcher epoch; close() drops them.
+  private val cacheEnabled = cache
+  private val fqCache =
+    new java.util.concurrent.ConcurrentHashMap[Vector[(String, String)], Dataset[Searcher.SegmentCtx]]()
+
   /** Drop this searcher's cached tables (end of searcher epoch). */
-  def close(): Unit = if (cache) { postingsDF.unpersist(); termsDF.unpersist() }
+  def close(): Unit = if (cache) {
+    postingsDF.unpersist()
+    termsDF.unpersist()
+    fqCache.values().forEach(df => df.unpersist())
+    fqCache.clear()
+  }
 
   import Searcher.SegmentCtx
+
+  // per-seen-term df memo (bounded by distinct queried terms — the cached
+  // term statistics of the reference's stats cache, SolrCore.java:1645-1658)
+  private val dfMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** df lookup for the query's terms (tiny collect — filter pushdown on the
     * sorted terms table keeps this an index-like point read at scale). */
   def termStats(terms: Seq[String]): Map[String, Long] = {
-    if (terms.isEmpty) Map.empty
-    else termsDF
-      .where($"term".isin(terms: _*))
-      .select($"term", $"df").as[(String, Long)]
-      .collect().toMap
+    if (terms.isEmpty) return Map.empty
+    val missing = if (cacheEnabled) terms.filterNot(dfMemo.containsKey) else terms
+    val fetched: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else termsDF
+        .where($"term".isin(missing: _*))
+        .select($"term", $"df").as[(String, Long)]
+        .collect().toMap
+    if (cacheEnabled) {
+      // a term absent from the index memoizes as df=0
+      missing.foreach(t => dfMemo.put(t, java.lang.Long.valueOf(fetched.getOrElse(t, 0L))))
+      terms.map(t => t -> dfMemo.get(t).longValue).toMap.filter(_._2 > 0)
+    } else fetched
   }
 
   /** Top-k (doc_id, score) for a raw query string. */
@@ -94,7 +119,13 @@ final class Searcher(
     val rows = postings
       .where($"term".isin(queried: _*))
       .as[PostingRow]
-    val ctx = segmentCtx(parsed.filters)
+    val ctx =
+      if (!cacheEnabled) segmentCtx(parsed.filters)
+      else fqCache.computeIfAbsent(parsed.filters, fs => {
+        val df = segmentCtx(fs)
+        df.persist()
+        df
+      })
     val hasFilter = parsed.filters.nonEmpty
 
     val hits = rows.groupByKey(_.segment_id).cogroup(ctx.groupByKey(_.segment_id)) {
