@@ -164,6 +164,15 @@ object Bench {
     // ---- registry operator sweep at the driver's SF ---------------------
     locally {
       val s = session(16, slim = false)
+      // pre-build the fts indexes untimed so the first fts_* op isn't
+      // charged the one-time index-build cost (r1: fts_boolean 10.8s of
+      // which ~10s was the build)
+      try {
+        val tb = System.nanoTime()
+        graft.ops.FtsOps.index(s, sfDir, "documents")
+        graft.ops.FtsOps.index(s, sfDir, "transcripts")
+        results("fts_index_build_sec") = sec(System.nanoTime() - tb)
+      } catch { case _: Throwable => }
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(s, sfDir).count() } catch { case _: Throwable => }
@@ -173,7 +182,22 @@ object Bench {
     }
 
     val total = sec(System.nanoTime() - t00)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"bench_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    // full per-op detail goes to a file (and a non-final stdout line); the
+    // FINAL stdout line stays compact — r1's single 3 KB line overflowed the
+    // driver's tail-capture window and parsed as null.
+    val detail = s"""{"metric":"bench_total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail + "\n")
+    catch { case _: Throwable => }
+    println(detail)
+    val headlineKeys = Seq(
+      "index_build_4c_sec", "index_build_16c_sec",
+      "index_turns_per_sec_4c", "index_turns_per_sec_16c",
+      "scaling_efficiency", "index_turns",
+      "query_p50_ms", "query_p95_ms", "query_mean_ms")
+    val headline = headlineKeys.flatMap(k => results.get(k).map(k -> _))
+    println(s"""{"metric":"bench_total","value":$total,"unit":"sec","queries":${fmt(headline)},"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
   }
 }

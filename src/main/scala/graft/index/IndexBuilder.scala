@@ -64,25 +64,40 @@ object IndexBuilder {
 
     // ---- step 1: docId assignment (two-pass, no global window, no cache) -
     //
-    // Explicit deterministic range partitioning: sample (conv_id, turn_idx)
-    // once on the driver -> numSegments-1 cut points; segment = cut-range
-    // index. Pass A aggregates EXACT per-segment counts (only counts
-    // shuffle); pass B range-shuffles the corpus once on the segment index,
-    // sorts within partitions, and assigns doc_id = offset(seg) + local
-    // rank per segment. doc_ids are independent of the sampled cuts (the
-    // sequence is the global (conv_id, turn_idx) rank for ANY contiguous
-    // cut set), so builds are reproducible at any parallelism — asserted by
-    // EngineSpec's control-vs-distributed suite.
+    // Explicit deterministic range partitioning: one fused SKETCH pass over
+    // the (conv_id, turn_idx) key columns yields both the exact row count
+    // and a deterministic bottom-k sample (the k keys with the smallest
+    // murmur3 hashes — a partitioning-independent uniform sample, so cuts
+    // don't depend on input layout) -> numSegments-1 cut points; segment =
+    // cut-range index. Pass A aggregates EXACT per-segment counts (only
+    // counts shuffle); pass B range-shuffles the corpus once on the segment
+    // index, sorts within partitions, and assigns doc_id = offset(seg) +
+    // local rank per segment. doc_ids are independent of the sampled cuts
+    // (the sequence is the global (conv_id, turn_idx) rank for ANY
+    // contiguous cut set), so builds are reproducible at any parallelism —
+    // asserted by EngineSpec's control-vs-distributed suite.
     if (done("docs")) skipped += 1
     else {
       val t0 = System.nanoTime()
       val src = turns.select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
-      val n = src.count()
-      // seeded sample of sort keys -> cut points (~200 per segment)
-      val frac = math.min(1.0, (cfg.numSegments * 200.0) / math.max(1L, n))
-      val sample = src.select($"conv_id", $"turn_idx")
-        .sample(withReplacement = false, frac, seed = 42L)
-        .as[(String, Int)].collect().sorted
+      val sketchK = cfg.numSegments * 200
+      val sketches: Array[PartitionSketch] =
+        src.select($"conv_id", $"turn_idx").as[(String, Int)]
+          .mapPartitions { it =>
+            var n = 0L
+            // bottom-k by hash: max-heap of size k, evict the largest
+            val ord = Ordering.by[SketchKey, Int](_.h).reverse
+            val pq = new java.util.PriorityQueue[SketchKey](64, ord)
+            it.foreach { case (c, t) =>
+              n += 1
+              val h = scala.util.hashing.MurmurHash3.productHash((c, t))
+              if (pq.size < sketchK) pq.add(SketchKey(h, c, t))
+              else if (h < pq.peek().h) { pq.poll(); pq.add(SketchKey(h, c, t)) }
+            }
+            Iterator.single(PartitionSketch(n, pq.toArray(new Array[SketchKey](0))))
+          }.collect()
+      val sample: Array[(String, Int)] = sketches.iterator.flatMap(_.keys).toArray
+        .sortBy(_.h).take(sketchK).map(x => (x.conv_id, x.turn_idx)).sorted
       val cuts: Array[(String, Int)] =
         if (sample.isEmpty) Array.empty
         else Array.tabulate(cfg.numSegments - 1) { i =>
@@ -143,31 +158,47 @@ object IndexBuilder {
     }
 
     // ---- step 2: postings, one batch of segments at a time --------------
-    // Always sourced from the committed docs parquet (same path for fresh
-    // and resumed builds), re-colocating whole segments with one explicit
-    // hash exchange. NOTE: reusing the in-memory pre-write plan instead is
-    // a measured 5x pessimization — every downstream task closure then
-    // drags the cached upstream lineage (with per-relation serialized
-    // Hadoop Configurations) through (de)serialization.
-    def source: Dataset[DocRow] =
-      spark.read.parquet(s"$dir/docs")
-        .repartition(cfg.numSegments, $"segment_id").as[DocRow]
+    // Sourced from the committed docs parquet WITHOUT a shuffle: pass B's
+    // range partitioning already wrote segment-aligned files (equal `seg`
+    // values land in one range partition, so every file holds only whole
+    // segments, rows doc_id-ascending). The per-partition posting build
+    // keys buffers by (segment, term), so a task holding several whole
+    // segments is fine — but a task holding a FRAGMENT of a segment is not
+    // (it would emit duplicate (segment, term) rows and a torn norms
+    // sidecar). Guard: cap parquet split size at the largest docs file so
+    // Spark can never split one file across tasks; one task ≈ one file
+    // keeps parallelism = numSegments. (The r1 build re-shuffled the whole
+    // corpus here — the dominant non-compute cost in the scaling bench.)
+    // NOTE: reusing the in-memory pre-write pass-B plan instead is a
+    // measured 5x pessimization — every downstream task closure then drags
+    // the cached upstream lineage (with per-relation serialized Hadoop
+    // Configurations) through (de)serialization.
+    def source: Dataset[DocRow] = spark.read.parquet(s"$dir/docs").as[DocRow]
 
+    val docsPath = new org.apache.hadoop.fs.Path(s"$dir/docs")
+    val docsFs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxDocsFile = docsFs.listStatus(docsPath)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen)
+      .foldLeft(1L)(math.max)
+    val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (maxDocsFile + 1).toString)
     val perBatch = math.max(1, math.ceil(cfg.numSegments.toDouble / cfg.batches).toInt)
     val analyzer = new Analyzer(cfg.stopwords)
-    for (b <- 0 until cfg.batches) {
-      val lo = b * perBatch
-      val hi = math.min(cfg.numSegments, lo + perBatch)
-      if (lo < hi) {
-        if (done(s"batch-$b")) skipped += 1
-        else {
-          val t0 = System.nanoTime()
-          buildSegments(spark, source, dir, lo, hi, cfg.batches > 1, analyzer)
-          appendLineage(spark, dir, LineageRow(s"batch-$b", lo, hi, 0L, 0L,
-            (System.nanoTime() - t0) / 1000000, now()))
+    try {
+      for (b <- 0 until cfg.batches) {
+        val lo = b * perBatch
+        val hi = math.min(cfg.numSegments, lo + perBatch)
+        if (lo < hi) {
+          if (done(s"batch-$b")) skipped += 1
+          else {
+            val t0 = System.nanoTime()
+            buildSegments(spark, source, dir, lo, hi, cfg.batches > 1, analyzer)
+            appendLineage(spark, dir, LineageRow(s"batch-$b", lo, hi, 0L, 0L,
+              (System.nanoTime() - t0) / 1000000, now()))
+          }
         }
       }
-    }
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
 
     // ---- step 3: exact global stats --------------------------------------
     if (done("stats")) skipped += 1
@@ -182,10 +213,13 @@ object IndexBuilder {
         .sortWithinPartitions($"term") // tight row-group stats for point reads
         .write.mode("overwrite").parquet(s"$dir/terms")
       val c = postings.where($"term" === "")
-        .agg(sum($"doc_count").cast("long"), sum($"ttf").cast("long"), count(lit(1)).cast("int"))
-        .as[(Long, Long, Int)].head()
+        .agg(sum($"doc_count").cast("long"), sum($"ttf").cast("long"))
+        .as[(Long, Long)].head()
       postings.unpersist()
-      Seq(CorpusStats(c._1, c._2, c._3)).toDS()
+      // num_segments records the segment ID SPACE (cfg.numSegments), not the
+      // count of non-empty segments — streaming appends allocate the next
+      // segment id as corpus.num_segments, which must never collide
+      Seq(CorpusStats(c._1, c._2, cfg.numSegments)).toDS()
         .write.mode("overwrite").parquet(s"$dir/corpus")
       appendLineage(spark, dir, LineageRow("stats", 0, cfg.numSegments, c._1, 0L,
         (System.nanoTime() - t0) / 1000000, now()))

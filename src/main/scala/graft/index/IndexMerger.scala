@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
 object IndexMerger {
 
   /** Merge an index's segments down to `targetSegments`, writing a new
-    * index directory (docs/ and terms/ and corpus/ are shared semantics:
-    * docs are copied by reference — same parquet — only postings rewrite).
+    * index directory. Postings AND docs are rewritten under the same
+    * segment remap (docIds are untouched); terms carry over unchanged.
     *
     * Mapping: old segment s -> merged segment s * targetSegments / numOld
     * (adjacent ranges stay adjacent, so docId contiguity is preserved).
@@ -46,10 +46,20 @@ object IndexMerger {
       .sortWithinPartitions($"term", $"segment_id")
       .write.mode("overwrite").parquet(s"$outDir/postings")
 
-    // docs / terms / corpus carry over unchanged (docIds are untouched)
-    for (t <- Seq("docs", "terms", "corpus")) {
-      spark.read.parquet(s"$indexDir/$t").write.mode("overwrite").parquet(s"$outDir/$t")
-    }
+    // docs must carry the SAME segment remap as postings: the searcher's fq
+    // DocSet path groups docs by segment_id and joins it against the merged
+    // norms sidecar's segment_id — stale ids silently drop filtered matches
+    // (and streaming appends would collide baseSeg with old doc segments).
+    spark.read.parquet(s"$indexDir/docs").as[DocRow]
+      .map(d => d.copy(segment_id = (d.segment_id.toLong * target / numOld).toInt))
+      .write.mode("overwrite").parquet(s"$outDir/docs")
+
+    // terms carry over unchanged (global stats are segment-invariant);
+    // corpus records the new segment count
+    spark.read.parquet(s"$indexDir/terms").write.mode("overwrite").parquet(s"$outDir/terms")
+    val c = spark.read.parquet(s"$indexDir/corpus").as[CorpusStats].head()
+    Seq(c.copy(num_segments = target)).toDS()
+      .write.mode("overwrite").parquet(s"$outDir/corpus")
     Seq(LineageRow("merge", 0, target, 0L, 0L, 0L,
       new java.sql.Timestamp(System.currentTimeMillis())))
       .toDS().write.mode("overwrite").parquet(s"$outDir/lineage")

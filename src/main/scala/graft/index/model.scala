@@ -83,6 +83,12 @@ case class TokenRow(
     tf: Int,
     norm: Byte)
 
+/** One sampled sort key of the sketch pass: murmur3 hash + the key. */
+case class SketchKey(h: Int, conv_id: String, turn_idx: Int)
+
+/** Per-partition result of the fused count+sample sketch pass. */
+case class PartitionSketch(n: Long, keys: Array[SketchKey])
+
 /** Pass-B row of the docId assignment: a turn plus its cut-range segment. */
 case class SegTurn(
     conv_id: String,

@@ -68,8 +68,22 @@ object FtsOps {
     idxDir
   }
 
-  private def searcher(s: SparkSession, dir: String, corpus: String): Searcher =
-    new Searcher(s, index(s, dir, corpus))
+  // one Searcher per index dir per session epoch — repeated op invocations
+  // reuse its persisted postings/terms and fq DocSet caches instead of
+  // leaking a fresh set of persisted DataFrames each call
+  private val searchers = scala.collection.mutable.Map.empty[String, Searcher]
+
+  private def searcher(s: SparkSession, dir: String, corpus: String): Searcher = synchronized {
+    val idx = index(s, dir, corpus)
+    searchers.get(idx) match {
+      case Some(sr) if sr.spark eq s => sr
+      case old =>
+        old.foreach(_.close())
+        val sr = new Searcher(s, idx)
+        searchers(idx) = sr
+        sr
+    }
+  }
 
   def ops: Seq[Op] = Seq(
 

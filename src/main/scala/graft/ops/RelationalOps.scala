@@ -70,10 +70,11 @@ object RelationalOps {
     Op("facet_query",
       "query facet: count per arbitrary predicate bucket " +
         "(facet/FacetQuery.java)",
+      // CAST: DuckDB sum(int) is HUGEINT; Spark emits BIGINT (r1 hash-fail)
       Some("""SELECT
-             |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-             |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low,
-             |  sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS big,
+             |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+             |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low,
+             |  CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS big,
              |  count(*) AS total
              |FROM orders""".stripMargin),
       (s, dir) => t(s, dir, "orders").agg(

@@ -20,7 +20,7 @@ import graft.index.{CorpusStats, PostingRow}
   * (Solr's PURPOSE_GET_FIELDS round-trip).
   */
 final class Searcher(
-    spark: SparkSession,
+    val spark: SparkSession,
     indexDir: String,
     bm25: Bm25 = Bm25(),
     analyzer: Analyzer = Analyzer.default,
@@ -121,11 +121,21 @@ final class Searcher(
       .as[PostingRow]
     val ctx =
       if (!cacheEnabled) segmentCtx(parsed.filters)
-      else fqCache.computeIfAbsent(parsed.filters, fs => {
-        val df = segmentCtx(fs)
-        df.persist()
-        df
-      })
+      else {
+        // canonical key: clause order is irrelevant to the DocSet
+        val key = parsed.filters.sorted
+        fqCache.computeIfAbsent(key, _ => {
+          // bounded like the reference's CaffeineCache filterCache: evict an
+          // arbitrary entry (plus its persisted DocSet) beyond capacity
+          if (fqCache.size >= Searcher.FqCacheMax) {
+            val it = fqCache.entrySet().iterator()
+            if (it.hasNext) { it.next().getValue.unpersist(); it.remove() }
+          }
+          val df = segmentCtx(parsed.filters)
+          df.persist()
+          df
+        })
+      }
     val hasFilter = parsed.filters.nonEmpty
 
     val hits = rows.groupByKey(_.segment_id).cogroup(ctx.groupByKey(_.segment_id)) {
@@ -220,6 +230,10 @@ final class Searcher(
 }
 
 object Searcher {
+  /** fq DocSet cache capacity per searcher epoch (reference: bounded
+    * CaffeineCache filterCache, solrconfig.xml filterCache size). */
+  val FqCacheMax = 64
+
   /** Segment scoring context: norms sidecar + optional filter bitmap. */
   case class SegmentCtx(
       segment_id: Int, first_doc: Long, num_docs: Int,

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -11,47 +12,74 @@ import graft.index._
 /** Incremental index maintenance over a transcript stream — the engine's
   * rendering of the reference's update path (SURVEY.md §2.8):
   *
-  *   - each micro-batch becomes one (or more) NEW immutable segments
-  *     appended to the index — Lucene's RAM-buffer flush / soft-commit
-  *     model (`solr/server/solr/configsets/_default/conf/solrconfig.xml:240-252`:
-  *     commit visibility = here, the parquet append of a batch);
+  *   - each micro-batch becomes one NEW immutable segment appended to the
+  *     index — Lucene's RAM-buffer flush / soft-commit model
+  *     (`solr/server/solr/configsets/_default/conf/solrconfig.xml:240-252`:
+  *     commit visibility = here, the promote of a batch's staged files);
   *   - docIds continue densely from the current corpus count in arrival
-  *     order — matching Lucene/Solr append semantics (arrival order, not
-  *     key order; the offline build's (conv_id, turn_idx) sort is a
-  *     stricter determinism choice available only offline);
+  *     order — matching Lucene/Solr append semantics;
   *   - exact global term stats are refreshed per batch by merging the
-  *     delta aggregation into the terms table (ExactStatsCache semantics);
+  *     batch's DELTA df/ttf into the terms table (ExactStatsCache
+  *     semantics) — an O(vocabulary) job, independent of index size;
   *   - resume/recovery is Structured Streaming's checkpointLocation — the
   *     tlog-replay analogue (`solr/core/src/java/org/apache/solr/update/UpdateLog.java:1401-1443`).
+  *
+  * Exactly-once under replay (crash at ANY point):
+  *   1. batch output is computed in `staging/<batchId>/` and promoted into
+  *      docs/ and postings/ under deterministic `b<batchId>-` file names;
+  *   2. before merging stats, the pre-batch terms/ and corpus/ dirs are
+  *      renamed to `*.base.<batchId>` snapshots; the merged tables are
+  *      written fresh, then the lineage row commits the batch;
+  *   3. a replay of an incomplete batch first RESTORES the snapshots and
+  *      deletes any `b<batchId>-` files — returning the index to its exact
+  *      pre-batch state — then redoes the batch from scratch.
   */
 object StreamingIndexer {
 
-  /** Index one micro-batch as a new segment (idempotent per batchId via
-    * lineage: replayed batches are skipped — exactly-once append). */
+  /** Index one micro-batch as a new segment (idempotent per batchId). */
   def appendBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
       batchId: Long, analyzer: Analyzer = Analyzer.default): Unit = {
     import spark.implicits._
     val step = s"stream-batch-$batchId"
-    if (IndexBuilder.completedSteps(spark, indexDir).contains(step)) return
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val termsBase = new Path(s"$indexDir/terms.base.$batchId")
+    val corpusBase = new Path(s"$indexDir/corpus.base.$batchId")
+    val staging = new Path(s"$indexDir/staging/$batchId")
+    if (IndexBuilder.completedSteps(spark, indexDir).contains(step)) {
+      // completed batch replay: only garbage-collect leftover snapshots
+      fs.delete(termsBase, true); fs.delete(corpusBase, true); fs.delete(staging, true)
+      return
+    }
     val t0 = System.nanoTime()
 
-    val hasIndex = {
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/corpus")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    // ---- replay cleanup: restore exact pre-batch state ------------------
+    if (fs.exists(termsBase)) {
+      fs.delete(new Path(s"$indexDir/terms"), true)
+      fs.rename(termsBase, new Path(s"$indexDir/terms"))
     }
+    if (fs.exists(corpusBase)) {
+      fs.delete(new Path(s"$indexDir/corpus"), true)
+      fs.rename(corpusBase, new Path(s"$indexDir/corpus"))
+    }
+    deletePrefixed(fs, new Path(s"$indexDir/docs"), s"b$batchId-")
+    deletePrefixed(fs, new Path(s"$indexDir/postings"), s"b$batchId-")
+    fs.delete(staging, true)
+
+    val hasIndex = fs.exists(new Path(s"$indexDir/corpus"))
     val (baseDoc, baseSeg) =
       if (!hasIndex) (0L, 0)
       else {
+        // segments are dense 0..n-1 by construction (offline build, merge,
+        // and this append all maintain it), so num_segments IS the next id —
+        // no O(postings) max() scan per batch
         val c = spark.read.parquet(s"$indexDir/corpus").as[CorpusStats].head()
-        val maxSeg = spark.read.parquet(s"$indexDir/postings")
-          .agg(max($"segment_id")).as[Int].head()
-        (c.doc_count, maxSeg + 1)
+        (c.doc_count, c.num_segments)
       }
 
-    // one segment per micro-batch (coalesce: a batch is small by
-    // construction; a large backfill batch arrives pre-partitioned and
-    // could map partitions->segments instead)
-    val rows = batch.select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
+    // ---- stage docs: one segment per micro-batch ------------------------
+    // (coalesce(1): a micro-batch is small by construction; a large backfill
+    // arrives pre-partitioned and would map partitions->segments instead)
+    batch.select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
       .coalesce(1).as[Turn]
       .mapPartitions { it =>
         var next = baseDoc
@@ -61,12 +89,12 @@ object StreamingIndexer {
           d
         }
       }
-    rows.write.mode("append").parquet(s"$indexDir/docs")
+      .write.mode("overwrite").parquet(s"$staging/docs")
 
-    val docs = spark.read.parquet(s"$indexDir/docs")
-      .where($"segment_id" === baseSeg)
-      .select($"doc_id", $"segment_id", $"text").as[(Long, Int, String)]
-    val newPostings = docs.mapPartitions { it =>
+    // ---- stage postings from the staged docs (batch-sized read) ---------
+    val stagedDocs = spark.read.parquet(s"$staging/docs")
+      .select($"doc_id", $"text").as[(Long, String)]
+    stagedDocs.mapPartitions { it =>
       val bufs = new java.util.HashMap[String, PostingsBuf]()
       def buf(term: String): PostingsBuf = {
         var b = bufs.get(term)
@@ -74,7 +102,7 @@ object StreamingIndexer {
         b
       }
       val tf = new java.util.HashMap[String, Integer]()
-      it.foreach { case (docId, _, text) =>
+      it.foreach { case (docId, text) =>
         val terms = analyzer.analyze(text)
         val dl = terms.length
         val norm = SmallFloat.intToByte4(dl)
@@ -103,37 +131,70 @@ object StreamingIndexer {
           PostingsAggregator.finish(e.getValue).withKey(baseSeg, e.getKey)
         }
       }
-    }
-    newPostings.write.mode("append").parquet(s"$indexDir/postings")
+    }.write.mode("overwrite").parquet(s"$staging/postings")
 
-    // refresh exact global stats from all postings (terms table is small —
-    // proportional to vocabulary, not corpus)
-    val postings = spark.read.parquet(s"$indexDir/postings")
-    postings.where($"term" =!= "")
-      .groupBy($"term")
-      .agg(sum($"doc_count").cast("long").as("df"), sum($"ttf").as("ttf"))
+    // ---- batch delta stats (O(batch); materialized BEFORE promote moves
+    // the staged files away) -----------------------------------------------
+    val stagedPostings = spark.read.parquet(s"$staging/postings")
+    stagedPostings.where($"term" =!= "")
+      .select($"term", $"doc_count".cast("long").as("df"), $"ttf")
+      .write.mode("overwrite").parquet(s"$staging/delta")
+    val (batchDocs, batchDl) = stagedPostings.where($"term" === "")
+      .agg(coalesce(sum($"doc_count"), lit(0L)).cast("long"),
+        coalesce(sum($"ttf"), lit(0L)).cast("long"))
+      .as[(Long, Long)].head()
+
+    // ---- promote staged files under deterministic names -----------------
+    promote(fs, new Path(s"$staging/docs"), new Path(s"$indexDir/docs"), s"b$batchId-")
+    promote(fs, new Path(s"$staging/postings"), new Path(s"$indexDir/postings"), s"b$batchId-")
+
+    // ---- incremental stats merge: old terms + delta (O(vocab), not
+    // O(index) — the r1 version re-aggregated ALL postings per batch) -----
+    val delta = spark.read.parquet(s"$staging/delta")
+    if (hasIndex) fs.rename(new Path(s"$indexDir/terms"), termsBase)
+    val merged =
+      if (hasIndex) spark.read.parquet(termsBase.toString).unionByName(delta)
+      else delta
+    merged.groupBy($"term")
+      .agg(sum($"df").as("df"), sum($"ttf").as("ttf"))
       .as[TermStats]
-      .write.mode("overwrite").parquet(s"$indexDir/terms.tmp")
-    swap(spark, s"$indexDir/terms.tmp", s"$indexDir/terms")
-    val c = postings.where($"term" === "")
-      .agg(sum($"doc_count").cast("long"), sum($"ttf").cast("long"), count(lit(1)).cast("int"))
-      .as[(Long, Long, Int)].head()
-    Seq(CorpusStats(c._1, c._2, c._3)).toDS()
-      .write.mode("overwrite").parquet(s"$indexDir/corpus.tmp")
-    swap(spark, s"$indexDir/corpus.tmp", s"$indexDir/corpus")
+      .sortWithinPartitions($"term")
+      .write.mode("overwrite").parquet(s"$indexDir/terms")
 
-    Seq(LineageRow(step, baseSeg, baseSeg + 1, c._1, 0L,
+    if (hasIndex) fs.rename(new Path(s"$indexDir/corpus"), corpusBase)
+    val prior =
+      if (hasIndex) spark.read.parquet(corpusBase.toString).as[CorpusStats].head()
+      else CorpusStats(0L, 0L, 0)
+    Seq(CorpusStats(prior.doc_count + batchDocs, prior.sum_dl + batchDl, baseSeg + 1))
+      .toDS().write.mode("overwrite").parquet(s"$indexDir/corpus")
+
+    // ---- commit ----------------------------------------------------------
+    Seq(LineageRow(step, baseSeg, baseSeg + 1, prior.doc_count + batchDocs, 0L,
       (System.nanoTime() - t0) / 1000000,
       new java.sql.Timestamp(System.currentTimeMillis())))
       .toDS().write.mode("append").parquet(s"$indexDir/lineage")
+    fs.delete(termsBase, true)
+    fs.delete(corpusBase, true)
+    fs.delete(staging, true)
   }
 
-  private def swap(spark: SparkSession, tmp: String, dst: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dst)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dst))
+  /** Move a staged parquet dir's data files into `dst` under
+    * `<prefix><original-name>` — deterministic names so an interrupted
+    * promote is fully reversible by prefix. */
+  private def promote(fs: FileSystem, src: Path, dst: Path, prefix: String): Unit = {
+    fs.mkdirs(dst)
+    fs.listStatus(src).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".parquet"))
+        fs.rename(st.getPath, new Path(dst, prefix + n))
+    }
   }
+
+  private def deletePrefixed(fs: FileSystem, dir: Path, prefix: String): Unit =
+    if (fs.exists(dir))
+      fs.listStatus(dir).foreach { st =>
+        if (st.getPath.getName.startsWith(prefix)) fs.delete(st.getPath, false)
+      }
 
   /** Continuous indexing query: transcript stream -> index appends with
     * checkpointed exactly-once batches (TopicStream/DaemonStream analogue,

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.sum
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
@@ -39,11 +40,51 @@ class MergeStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     IndexMerger.mergeSegments(spark, d8, d2, targetSegments = 2)
     val s8 = new Searcher(spark, d8)
     val s2 = new Searcher(spark, d2)
-    assert(s2.corpus == s8.corpus)
+    assert(s2.corpus.doc_count == s8.corpus.doc_count)
+    assert(s2.corpus.sum_dl == s8.corpus.sum_dl)
+    assert(s2.corpus.num_segments == 2) // merged id space
     queries.foreach { q =>
       assert(topK(s2, q) == topK(s8, q), s"query '$q' diverged after merge")
     }
+    // docs segment ids must follow the same remap as postings — fq-filtered
+    // queries join docs-derived bitmaps against the merged norms sidecar
+    // by segment_id (r1 bug: stale doc segments silently dropped matches)
+    import spark.implicits._
+    val docSegs = spark.read.parquet(s"$d2/docs")
+      .select($"segment_id").distinct().as[Int].collect().toSet
+    assert(docSegs.subsetOf(Set(0, 1)), s"docs segments not remapped: $docSegs")
+    val filtered = Seq("role:user the data", "role:assistant error retry")
+    filtered.foreach { q =>
+      assert(topK(s2, q) == topK(s8, q), s"filtered query '$q' diverged after merge")
+    }
     s8.close(); s2.close()
+  }
+
+  test("append after merge: new segment ids don't collide, queries cover all docs") {
+    import spark.implicits._
+    val all = TranscriptGen.generate(spark, 60).collect().toSeq
+    val (offline, streamed) = all.splitAt(all.length * 2 / 3)
+    val d8 = tmp()
+    IndexBuilder.build(spark, offline.toDF(), d8, IndexBuilder.Config(numSegments = 8))
+    val d2 = tmp()
+    IndexMerger.mergeSegments(spark, d8, d2, targetSegments = 2)
+    StreamingIndexer.appendBatch(spark, streamed.toDF(), d2, batchId = 0)
+    val s = new Searcher(spark, d2)
+    assert(s.corpus.doc_count == all.length)
+    assert(s.corpus.num_segments == 3)
+    // appended segment must be disjoint from merged ones in docs AND postings
+    val segDocs = spark.read.parquet(s"$d2/docs")
+      .groupBy($"segment_id").count().as[(Int, Long)].collect().toMap
+    assert(segDocs.keySet == Set(0, 1, 2), s"unexpected segments: ${segDocs.keySet}")
+    assert(segDocs(2) == streamed.length.toLong)
+    // queries (incl. fq-filtered) match the batch oracle over ALL docs
+    (queries ++ Seq("role:user the data")).foreach { q =>
+      val parsed = QueryParser.parse(q)
+      val engine = s.topKHits(parsed, 10).collect().toSeq
+      val oracle = Oracle.topK(spark, s.docs, parsed, 10).collect().toSeq
+      assert(engine == oracle, s"query '$q' diverged after append-after-merge")
+    }
+    s.close()
   }
 
   test("merge to 1 segment: decoded postings equal full concatenation") {
@@ -95,6 +136,86 @@ class MergeStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(engine == oracle, s"query '$q' diverged on streamed index")
     }
     s.close()
+  }
+
+  test("replay of a crashed batch restores pre-batch state exactly") {
+    import spark.implicits._
+    val all = TranscriptGen.generate(spark, 30).collect().toSeq
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val dir = tmp()
+    StreamingIndexer.appendBatch(spark, b1.toDF(), dir, batchId = 0)
+
+    // simulate a crash mid-batch-1: after file promote and the terms
+    // snapshot, before the lineage commit
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    // a promoted-but-uncommitted docs file (content irrelevant: cleanup
+    // deletes by prefix before anything reads it)
+    val someDoc = fs.listStatus(p("docs")).filter(_.getPath.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, someDoc.getPath, fs,
+      new org.apache.hadoop.fs.Path(p("docs"), "b1-part-zzz.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    // terms snapshot taken, live terms corrupted (half-merged state)
+    fs.mkdirs(p("terms.base.1"))
+    fs.listStatus(p("terms")).foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(p("terms.base.1"), st.getPath.getName),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    spark.read.parquet(s"$dir/terms")
+      .unionByName(spark.read.parquet(s"$dir/terms.base.1"))
+      .write.mode("overwrite").parquet(s"$dir/terms.tmp")
+    fs.delete(p("terms"), true)
+    fs.rename(p("terms.tmp"), p("terms"))
+
+    // replay batch 1 for real: must first restore pre-batch state
+    StreamingIndexer.appendBatch(spark, b2.toDF(), dir, batchId = 1)
+
+    val s = new Searcher(spark, dir)
+    assert(s.corpus.doc_count == all.length)
+    // terms table must equal a from-scratch aggregation of the postings
+    val got = spark.read.parquet(s"$dir/terms")
+      .as[graft.index.TermStats].collect().map(t => (t.term, t.df, t.ttf)).toSet
+    val want = spark.read.parquet(s"$dir/postings").where($"term" =!= "")
+      .groupBy($"term").agg(sum($"doc_count").cast("long").as("df"), sum($"ttf").as("ttf"))
+      .as[graft.index.TermStats].collect().map(t => (t.term, t.df, t.ttf)).toSet
+    assert(got == want, "terms table diverged from postings after crash replay")
+    queries.foreach { q =>
+      val parsed = QueryParser.parse(q)
+      assert(s.topKHits(parsed, 10).collect().toSeq ==
+        Oracle.topK(spark, s.docs, parsed, 10).collect().toSeq, s"'$q' diverged")
+    }
+    s.close()
+  }
+
+  test("appendBatch reads O(batch + vocab), not O(index)") {
+    import spark.implicits._
+    val dir = tmp()
+    IndexBuilder.build(spark, TranscriptGen.generate(spark, 400).toDF(), dir,
+      IndexBuilder.Config(numSegments = 8))
+    val postingRows = spark.read.parquet(s"$dir/postings").count()
+    val batch = TranscriptGen.generate(spark, 2).collect().toSeq
+
+    val recs = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      StreamingIndexer.appendBatch(spark, batch.toDF(), dir, batchId = 0)
+      // let the listener bus drain
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline && recs.get() != last) {
+        last = recs.get(); Thread.sleep(300)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the r1 implementation re-aggregated ALL posting rows per batch; the
+    // incremental merge reads the batch + the vocab-sized terms table only
+    assert(recs.get() < postingRows / 2,
+      s"appendBatch read ${recs.get()} records; full postings = $postingRows (not incremental?)")
   }
 
   test("foreachBatch streaming query indexes a MemoryStream") {
