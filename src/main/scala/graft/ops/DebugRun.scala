@@ -17,10 +17,11 @@ object DebugRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ops = graft.SparkEntry.allOps.filter(o => names.isEmpty || names.contains(o.name))
-    ops.foreach { op =>
+    val reps = sys.env.getOrElse("SPARK_GRAFT_DEBUG_REPS", "1").toInt
+    for (r <- 1 to reps) ops.foreach { op =>
       val t0 = System.nanoTime()
       val n = op.run(spark, dir).count()
-      println(f"[debug] ${op.name}%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  $n rows")
+      println(f"[debug] ${op.name}%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  $n rows (rep $r)")
     }
     spark.stop()
   }

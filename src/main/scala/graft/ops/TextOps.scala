@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import Op.t
 
 /** Training-data-pipeline text operators over the `documents` table:
@@ -23,35 +24,108 @@ import Op.t
   */
 object TextOps {
 
-  /** Word w-shingles (distinct), as a Column over `split(text,' ')`. */
-  private def shingles(w: Column, n: Int): Column =
-    array_distinct(transform(sequence(lit(0), size(w) - n),
-      i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+  /** Word 3-shingles (distinct, first-occurrence order — array_distinct
+    * semantics). A compiled UDF: the declarative
+    * `array_distinct(transform(sequence, slice+concat_ws))` form is an
+    * interpreted nested higher-order expression measured ~40x slower, and
+    * the dedup plans evaluate the shingle subtree up to 4 times. */
+  private val shingleUdf = udf((ws: Seq[String]) => {
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 2 < ws.length) {
+      out.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+      i += 1
+    }
+    out.toArray(new Array[String](out.size))
+  })
 
   /** doc_id -> distinct word-3-gram shingles, docs with >= 3 tokens. */
   private def shingleTable(s: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
     t(s, dir, "documents")
       .where(size(w) >= 3)
-      .select(col("doc_id"), shingles(w, 3).as("sh"))
+      .select(col("doc_id"), shingleUdf(w).as("sh"))
   }
 
-  /** Exact pairwise Jaccard >= minJ via an inverted shingle->doc join (the
-    * scalable formulation: pairs only materialize for docs sharing a
-    * shingle). */
+  /** Exact pairwise Jaccard >= minJ via PREFIX FILTERING (the AllPairs /
+    * PPJoin family, Bayardo et al. WWW'07; Xiao et al. WWW'08): order each
+    * doc's shingles by ascending global df, index only the first
+    * n - ceil(minJ*n) + 1 of them. Lemma: Jaccard(A,B) >= t implies
+    * |A∩B| >= t*max(|A|,|B|), so the two prefixes must share a shingle —
+    * candidate generation on prefixes is EXACT, and because prefixes hold
+    * each doc's RAREST shingles, a corpus-hot shingle (df=f) no longer
+    * yields f^2/2 candidate rows (the r1 inverted-join blowup). Candidates
+    * are then verified on the full shingle sets. */
   private def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
-    val sh = shingleTable(s, dir).select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("doc_id").as("i"), col("n").as("na")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("n").as("nb")), "j")
-      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .where(col("jac") >= minJ)
-      .select(col("i"), col("j"), col("jac"))
+    import s.implicits._
+    val docs = shingleTable(s, dir) // (doc_id, sh: array<string>)
+    val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // one per-doc aggregation replaces the rank/count window pair: sort the
+    // doc's shingles by ascending (df, s) locally, emit one row per PREFIX
+    // shingle carrying (doc, rank, n, full sorted shingle list) — the
+    // AllPairs index with the vector stored alongside (Bayardo WWW'07 §3)
+    // df table is vocabulary-sized — broadcast to keep the token table's
+    // df-attach join shuffle-free (at web scale with a >RAM vocabulary,
+    // drop the hint and let it shuffle-join)
+    val prefix = sh.join(broadcast(dfs), "s")
+      .select(col("doc_id"),
+        struct(col("df").as("_1"), col("s").as("_2")).as("e"))
+      .groupBy(col("doc_id")).agg(collect_list(col("e")).as("es"))
+      .as[(Long, Seq[(Long, String)])]
+      .flatMap { case (doc, es) =>
+        // shingle list packed as ONE -joined string: a nested
+        // Seq[String] column costs far more in encoder (de)serialization
+        // across the bucket shuffle than a flat UTF8 string
+        val sorted = es.sortBy(identity).map(_._2).toArray
+        val n = sorted.length
+        val p = n - math.ceil(minJ * n).toInt + 1
+        val packed = sorted.mkString("")
+        Iterator.tabulate(p)(rk => (sorted(rk), doc, rk + 1, n, packed))
+      }
+      .toDF("s", "doc_id", "rk", "n", "sh")
+    // candidate + verify per prefix-shingle bucket in ONE pass, with the
+    // PPJoin length filter (min >= t*max) and positional filter
+    // (1 + min remaining length >= equivalent-overlap bound alpha); a pair
+    // may verify in several buckets -> final tiny distinct
+    prefix
+      .select(col("s"), struct(col("doc_id").as("_1"), col("rk").as("_2"),
+        col("n").as("_3"), col("sh").as("_4")).as("e"))
+      .groupBy(col("s")).agg(collect_list(col("e")).as("es"))
+      .where(size(col("es")) > 1)
+      .select(col("es")).as[Seq[(Long, Int, Int, String)]]
+      .flatMap { es =>
+        val arr = es.sortBy(_._1).toArray
+        val split = new java.util.HashMap[Long, Array[String]]()
+        def shOf(id: Long, packed: String): Array[String] = {
+          var v = split.get(id)
+          if (v == null) { v = packed.split(''); split.put(id, v) }
+          v
+        }
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < arr.length) {
+          val (ia, ra, na, pa) = arr(i)
+          var j = i + 1
+          while (j < arr.length) {
+            val (jb, rb, nb, pb) = arr(j)
+            if (math.min(na, nb) >= minJ * math.max(na, nb)) {
+              val alpha = math.ceil(minJ / (1 + minJ) * (na + nb))
+              if (1 + math.min(na - ra, nb - rb) >= alpha) {
+                val set = shOf(ia, pa).toSet
+                var c = 0
+                shOf(jb, pb).foreach(x => if (set(x)) c += 1)
+                val jac = c.toDouble / (na + nb - c)
+                if (jac >= minJ) out += ((ia, jb, jac))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }.toDF("i", "j", "jac")
+      .distinct()
       .orderBy(col("i"), col("j"))
   }
 
@@ -148,20 +222,34 @@ object TextOps {
         val numPerm = 128
         val bands = 32
         val rows = numPerm / bands
-        val sigUdf = udf((sh: Seq[String]) => minhashSig(sh, numPerm))
-        val docs = shingleTable(s, dir).withColumn("sig", sigUdf(col("sh")))
-        // band key = (band idx, hash of the band's rows); explode to buckets
-        val bandUdf = udf((sig: Seq[Long]) =>
-          (0 until bands).map(b => b.toLong << 56 |
-            (mix64(sig.slice(b * rows, b * rows + rows).foldLeft(0L)((a, v) => mix64(a ^ v))) >>> 8)))
-        val buckets = docs.select(col("doc_id"), col("sh"), explode(bandUdf(col("sig"))).as("bucket"))
-        val cand = buckets.as("a").join(buckets.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-            col("a.sh").as("sha"), col("b.sh").as("shb"))
-          .dropDuplicates("i", "j")
+        // fused signature->band UDF: minhash sigs never materialize as a
+        // column, and band buckets are computed in ONE pass (the r1 version
+        // self-joined the bucket table, recomputing 128 minhashes per doc
+        // on both sides)
+        val bandsUdf = udf((sh: Seq[String]) => {
+          val sig = minhashSig(sh, numPerm)
+          (0 until bands).map(b => b.toLong << 56 | {
+            var acc = 0L
+            var r = b * rows
+            while (r < b * rows + rows) { acc = mix64(acc ^ sig(r)); r += 1 }
+            mix64(acc) >>> 8
+          })
+        })
+        val docs = shingleTable(s, dir)
+        val cand = docs
+          .select(explode(bandsUdf(col("sh"))).as("bucket"), col("doc_id"))
+          .groupBy(col("bucket")).agg(collect_list(col("doc_id")).as("ids"))
+          .where(size(col("ids")) > 1)
+          .select(col("ids")).as[Seq[Long]]
+          .flatMap { ids =>
+            val arr = ids.sorted.toArray
+            for (i <- 0 until arr.length; j <- i + 1 until arr.length)
+              yield (arr(i), arr(j))
+          }.toDF("i", "j").distinct()
         val inter = size(array_intersect(col("sha"), col("shb")))
         cand
+          .join(docs.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
+          .join(docs.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
           .withColumn("jac", inter.cast("double") / (size(col("sha")) + size(col("shb")) - inter))
           .where(col("jac") >= 0.6)
           .select(col("i"), col("j"), col("jac"))
@@ -191,12 +279,57 @@ object TextOps {
              |WHERE bit_count(xor(a.sh32, b.sh32)) <= 6
              |ORDER BY i, j""".stripMargin),
       (s, dir) => {
+        // scale path: hamming<=6 over 32 bits pigeonholes into 7 bands —
+        // any qualifying pair agrees EXACTLY on >=1 band, so an equality
+        // join on (band, band_bits) generates all candidates (linear-ish in
+        // matching pairs) and the <=6 check verifies candidates only. Same
+        // output as the r1 all-pairs cartesian, which was O(n^2).
+        import s.implicits._
         val shUdf = udf((sh: Seq[String]) => simhash32(sh).toLong & 0xffffffffL)
         val sig = shingleTable(s, dir).select(col("doc_id"), shUdf(col("sh")).as("sh32"))
-        sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-            expr("bit_count(a.sh32 ^ b.sh32)").as("dist"))
-          .where(col("dist") <= 6)
+        // 7 bands of 5,5,5,5,4,4,4 bits
+        val offsets = Array(0, 5, 10, 15, 20, 24, 28, 32)
+        val bandCols = (0 until 7).map { b =>
+          val width = offsets(b + 1) - offsets(b)
+          struct(lit(b).as("band"),
+            expr(s"(sh32 >> ${offsets(b)}) & ${(1 << width) - 1}").as("bits"))
+        }
+        // pair generation per (band, bits) bucket in ONE pass; a pair is
+        // emitted only by its FIRST agreeing band (band responsibility), so
+        // the output is duplicate-free by construction — no dedup shuffle
+        def firstAgreeingBand(x: Long): Int = {
+          var b = 0
+          while (b < 7) {
+            val width = offsets(b + 1) - offsets(b)
+            if (((x >> offsets(b)) & ((1L << width) - 1)) == 0L) return b
+            b += 1
+          }
+          -1
+        }
+        sig.select(explode(array(bandCols: _*)).as("bd"),
+            struct(col("doc_id").as("_1"), col("sh32").as("_2")).as("e"))
+          .groupBy(col("bd.band"), col("bd.bits"))
+          .agg(collect_list(col("e")).as("es"))
+          .where(size(col("es")) > 1)
+          .select(col("band"), col("es")).as[(Int, Seq[(Long, Long)])]
+          .flatMap { case (band, es) =>
+            val arr = es.sortBy(_._1).toArray
+            val out = Seq.newBuilder[(Long, Long, Int)]
+            var i = 0
+            while (i < arr.length) {
+              val (ia, sa) = arr(i)
+              var j = i + 1
+              while (j < arr.length) {
+                val (jb, sb) = arr(j)
+                val x = sa ^ sb
+                if (java.lang.Long.bitCount(x) <= 6 && firstAgreeingBand(x) == band)
+                  out += ((ia, jb, java.lang.Long.bitCount(x)))
+                j += 1
+              }
+              i += 1
+            }
+            out.result()
+          }.toDF("i", "j", "dist")
           .orderBy(col("i"), col("j"))
       }),
 

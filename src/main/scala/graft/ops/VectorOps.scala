@@ -105,26 +105,76 @@ object VectorOps {
               |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.45
               |ORDER BY i, j""".stripMargin),
       (s, dir) => {
+        // blocked exact gram computation: vectors grouped into fixed-size
+        // blocks, every block PAIR is one task computing its dense cosine
+        // tile with primitive-array loops — same exact output as the r1
+        // row-at-a-time pair join (31s at 2k vectors: BroadcastNestedLoop
+        // + per-pair UDF overhead), but compute-bound and embarrassingly
+        // parallel over block pairs. Exact threshold-pair LISTING is
+        // inherently O(n^2) compute; beyond ~10^6 vectors route through
+        // the LSH-bucketed op (vec_ann_lsh) instead.
+        import s.implicits._
+        val blockSize = 256
         val e = t(s, dir, "embeddings")
-        val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"))
-        a.join(b, col("i") < col("j"))
-          .withColumn("c", cosine(col("ea"), col("eb")))
-          .where(col("c") >= 0.45)
-          .select(col("i"), col("j"), round(col("c"), 4).as("cos"))
+        val blocks = e
+          .select((col("vec_id") / blockSize).cast("int").as("blk"),
+            col("vec_id"), col("embedding"))
+          .groupBy(col("blk"))
+          .agg(collect_list(struct(col("vec_id").as("_1"), col("embedding").as("_2"))).as("vs"))
+        val tiles = blocks.as("a").join(blocks.as("b"), col("a.blk") <= col("b.blk"))
+          .select(col("a.blk").as("ba"), col("b.blk").as("bb"),
+            col("a.vs").as("va"), col("b.vs").as("vb"))
+          .as[(Int, Int, Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float])])]
+        val raw = tiles.flatMap { case (ba, bb, va, vb) =>
+          val as = va.sortBy(_._1).toArray
+          val bs = vb.sortBy(_._1).toArray
+          // hoist Seq->primitive-array conversion out of the O(|a|*|b|) loop
+          val aIds = as.map(_._1); val aVecs = as.map(_._2.toArray)
+          val bIds = bs.map(_._1); val bVecs = bs.map(_._2.toArray)
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          var i = 0
+          while (i < aIds.length) {
+            val ia = aIds(i)
+            val ea = aVecs(i)
+            var j = if (ba == bb) i + 1 else 0
+            while (j < bIds.length) {
+              val jb = bIds(j)
+              val eb = bVecs(j)
+              // same fold as cosUdd: widen to double, index order (exact
+              // parity with the DuckDB list_reduce oracle)
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var d = 0
+              val n = math.min(ea.length, eb.length)
+              while (d < n) {
+                val x = ea(d).toDouble; val y = eb(d).toDouble
+                dot += x * y; na += x * x; nb += y * y
+                d += 1
+              }
+              val c = dot / (math.sqrt(na) * math.sqrt(nb))
+              if (c >= 0.45) out += ((ia, jb, c))
+              j += 1
+            }
+            i += 1
+          }
+          out.result()
+        }.toDF("i", "j", "c")
+        raw.select(col("i"), col("j"), round(col("c"), 4).as("cos"))
           .orderBy(col("i"), col("j"))
       }),
 
     Op("vec_ann_lsh",
-      "LSH-bucketed ANN (sign random projection, 8-bit signatures from a " +
-        "seeded deterministic hyperplane set): candidates share a bucket, " +
-        "exact cosine re-rank of candidates only — the 100TB-scale path " +
-        "where the O(n^2) pair join is infeasible. Engine-only (approximate " +
-        "recall), no SQL oracle: the driver records a rows-only check",
+      "LSH-bucketed ANN: sign-random-projection, L=16 independent 8-bit " +
+        "hash tables with hamming<=2 multi-probe on the query side, exact " +
+        "cosine re-rank of the candidate union — the 100TB-scale path " +
+        "where the O(n^2) pair join is infeasible (at that scale raise " +
+        "nBits ~ log2(n/bucket) and drop probe radius). Recall@10 >= 0.9 " +
+        "vs the exact op is pinned by OpsSpec. Engine-only (approximate), " +
+        "no SQL oracle: the driver records a rows-only check",
       None,
       (s, dir) => {
         import s.implicits._
         val nBits = 8
+        val nTables = 16
         val dim = 64
         // deterministic pseudo-gaussian-ish hyperplanes from splitmix64
         def mix(z0: Long): Long = {
@@ -133,31 +183,52 @@ object VectorOps {
           z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
           z ^ (z >>> 31)
         }
-        val planes: Array[Array[Double]] = Array.tabulate(nBits, dim) { (b, d) =>
-          (mix(b * 1000003L + d).toDouble / Long.MaxValue)
+        val planes: Array[Array[Array[Double]]] = Array.tabulate(nTables, nBits, dim) { (l, b, d) =>
+          mix(l * 7368787L + b * 1000003L + d).toDouble / Long.MaxValue
         }
         val bc = s.sparkContext.broadcast(planes)
-        val sigUdf = udf((v: Seq[Float]) => {
+        // per-vector signatures, one per table: (table, sig)
+        val sigsUdf = udf((v: Seq[Float]) => {
           val ps = bc.value
-          var sig = 0
-          var b = 0
-          while (b < nBits) {
-            var acc = 0.0
-            var d = 0
-            while (d < dim && d < v.length) { acc += ps(b)(d) * v(d); d += 1 }
-            if (acc > 0) sig |= (1 << b)
-            b += 1
+          (0 until nTables).map { l =>
+            var sig = 0
+            var b = 0
+            while (b < nBits) {
+              var acc = 0.0
+              var d = 0
+              while (d < dim && d < v.length) { acc += ps(l)(b)(d) * v(d); d += 1 }
+              if (acc > 0) sig |= (1 << b)
+              b += 1
+            }
+            (l, sig)
           }
-          sig
         })
-        val e = t(s, dir, "embeddings").withColumn("sig", sigUdf(col("embedding")))
-        val q = e.where(col("vec_id") === 0)
-          .select(col("sig").as("qsig"), col("embedding").as("qe"))
-        // candidates: same bucket or hamming-1 neighbour buckets (multi-probe)
-        val probeUdf = udf((sig: Int) => sig +: (0 until nBits).map(b => sig ^ (1 << b)))
-        val probes = q.select(explode(probeUdf(col("qsig"))).as("sig"), col("qe"))
-        e.where(col("vec_id") =!= 0)
-          .join(probes, "sig")
+        val e = t(s, dir, "embeddings")
+        val tabled = e
+          .select(col("vec_id"), col("embedding"), explode(sigsUdf(col("embedding"))).as("ts"))
+          .select(col("vec_id"), col("embedding"),
+            col("ts._1").as("table"), col("ts._2").as("sig"))
+        // query side: every bucket within hamming<=2 of the query signature,
+        // per table (1 + 8 + 28 = 37 probes/table — tiny, broadcastable)
+        val probeUdf = udf((sig: Int) => {
+          val out = Seq.newBuilder[Int]
+          out += sig
+          var a = 0
+          while (a < nBits) {
+            out += (sig ^ (1 << a))
+            var b2 = a + 1
+            while (b2 < nBits) { out += (sig ^ (1 << a) ^ (1 << b2)); b2 += 1 }
+            a += 1
+          }
+          out.result()
+        })
+        val probes = tabled.where(col("vec_id") === 0)
+          .select(col("table"), explode(probeUdf(col("sig"))).as("sig"),
+            col("embedding").as("qe"))
+        tabled.where(col("vec_id") =!= 0)
+          .join(broadcast(probes), Seq("table", "sig"))
+          .select(col("vec_id"), col("embedding"), col("qe"))
+          .dropDuplicates("vec_id") // candidate union across tables/probes
           .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos"))
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)

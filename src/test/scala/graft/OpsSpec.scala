@@ -44,4 +44,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ns = SparkEntry.allOps.map(_.name)
     assert(ns.distinct.length == ns.length)
   }
+
+  test("vec_ann_lsh recall@10 >= 0.9 vs exact brute-force top-k") {
+    // the LSH path is approximate by design (rows-only in the driver's
+    // correctness gate); this pins its QUALITY against the exact op
+    def ids(name: String, dir: String): Seq[Long] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val recalls = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").map { dir =>
+      val exact = ids("vec_ann_topk", dir).toSet
+      val approx = ids("vec_ann_lsh", dir).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    assert(recalls.forall(_ >= 0.9), s"recall@10 too low: $recalls")
+  }
 }
