@@ -71,10 +71,19 @@ object Bench {
 
   private def sec(ns: Long): Double = ns / 1e9
 
-  /** One fresh-JVM build measurement via graft.ops.ScalingProbe. */
+  /** One fresh-JVM build measurement via graft.ops.ScalingProbe.
+    *
+    * The child is PINNED to `cores` CPUs (taskset): an honest rendering of
+    * an N-core executor. Without pinning, a local[4] JVM on a 32-core host
+    * silently runs its GC/JIT/IO threads on the other 28 cores, inflating
+    * the small-N throughput and deflating measured scaling efficiency. */
   private def childBuild(turnsPath: String, cores: Int): Option[Double] = {
-    val java = s"${System.getProperty("java.home")}/bin/java"
-    val cmd = (Seq(java, "-Xmx24g") ++ addOpens ++ Seq(
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val pin =
+      if (new java.io.File("/usr/bin/taskset").exists())
+        Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
+      else Seq.empty
+    val cmd = (pin ++ Seq(javaBin, "-Xmx24g") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.ops.ScalingProbe", turnsPath, cores.toString)).toArray
@@ -96,7 +105,10 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
     val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "4,16")
       .split(",").map(_.trim.toInt).toSeq
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    // min over 3 fresh JVMs per level: this host shows episodic multi-minute
+    // noise storms (±40% single-core wall; sporadic >90% system time), so
+    // two reps can both land inside one episode
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val t00 = System.nanoTime()
 

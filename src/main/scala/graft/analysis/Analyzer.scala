@@ -26,11 +26,20 @@ final class Analyzer(stopwords: Set[String] = Set.empty) extends Serializable {
   private val stopLower: Set[String] = stopwords.map(_.toLowerCase(Locale.ROOT))
 
   /** Full chain: tokenize → stop (case-insensitive) → lowercase. */
-  def analyze(text: String): Array[String] = {
-    if (text == null || text.isEmpty) return Array.empty
+  def analyze(text: String): Array[String] = analyzeWithPositions(text)._1
+
+  /** Like [[analyze]] but also returns each emitted token's POSITION in the
+    * pre-stop token stream: a removed stopword still consumes a position
+    * (Lucene StopFilter's enablePositionIncrements semantics —
+    * `"the quick fox"` with stopword `the` yields quick@1 fox@2, so the
+    * phrase `"quick fox"` still requires adjacency). */
+  def analyzeWithPositions(text: String): (Array[String], Array[Int]) = {
+    if (text == null || text.isEmpty) return (Array.empty, Array.empty)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val poss = scala.collection.mutable.ArrayBuffer.empty[Int]
     val bi = Analyzer.iter()
     bi.setText(text)
+    var pos = 0
     var start = bi.first()
     var end = bi.next()
     while (end != BreakIterator.DONE) {
@@ -40,12 +49,14 @@ final class Analyzer(stopwords: Set[String] = Set.empty) extends Serializable {
         val tok = text.substring(start, end)
         if (stopLower.isEmpty || !stopLower.contains(tok.toLowerCase(Locale.ROOT))) {
           out += tok.toLowerCase(Locale.ROOT)
+          poss += pos
         }
+        pos += 1
       }
       start = end
       end = bi.next()
     }
-    out.toArray
+    (out.toArray, poss.toArray)
   }
 }
 

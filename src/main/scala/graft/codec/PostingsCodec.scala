@@ -20,6 +20,10 @@ import scala.collection.mutable.ArrayBuffer
   * @param max_tf    max term frequency in the block (impact upper bound)
   * @param min_norm  quantized norm byte of the shortest document in the block
   *                  (SmallFloat-monotone, so unsigned-min byte = min length)
+  * @param poss      varint-encoded token positions: entry i contributes
+  *                  tf_i deltas (first absolute, then gaps) — Lucene's .prx
+  *                  role, consumed by the exact-phrase path. Empty when the
+  *                  index was built without positions.
   */
 case class Block(
     first_doc: Long,
@@ -28,7 +32,8 @@ case class Block(
     gaps: Array[Byte],
     tfs: Array[Byte],
     max_tf: Int,
-    min_norm: Byte)
+    min_norm: Byte,
+    poss: Array[Byte] = Array.empty)
 
 /** Decoded postings for one term within one segment. */
 final case class DecodedPostings(docs: Array[Long], tfs: Array[Int], norms: Array[Byte]) {
@@ -89,8 +94,11 @@ object PostingsCodec {
 
   // ---- block encode/decode ---------------------------------------------
 
-  /** Encode one term's postings (docIds strictly ascending) into blocks. */
-  def encode(docs: Array[Long], tfs: Array[Int], norms: Array[Byte]): Array[Block] = {
+  /** Encode one term's postings (docIds strictly ascending) into blocks.
+    * `poss(i)` holds entry i's strictly-ascending token positions (length
+    * tf_i); pass null for an index without positions (norms sidecar). */
+  def encode(docs: Array[Long], tfs: Array[Int], norms: Array[Byte],
+      poss: Array[Array[Int]] = null): Array[Block] = {
     val n = docs.length
     require(tfs.length == n && norms.length == n)
     if (n == 0) return Array.empty
@@ -100,6 +108,7 @@ object PostingsCodec {
       val end = math.min(start + BlockSize, n)
       val gapBuf = new ArrayBuffer[Byte]((end - start) * 2)
       val tfBuf = new ArrayBuffer[Byte](end - start)
+      val posBuf = new ArrayBuffer[Byte](if (poss == null) 0 else (end - start) * 2)
       var maxTf = 0
       var minNorm = 0xff
       var i = start
@@ -110,16 +119,52 @@ object PostingsCodec {
           writeVLong(gap, gapBuf)
         }
         writeVLong(tfs(i).toLong, tfBuf)
+        if (poss != null) {
+          val ps = poss(i)
+          require(ps.length == tfs(i), s"positions/tf mismatch at $i")
+          var j = 0
+          while (j < ps.length) {
+            writeVLong(if (j == 0) ps(0).toLong else (ps(j) - ps(j - 1)).toLong, posBuf)
+            j += 1
+          }
+        }
         if (tfs(i) > maxTf) maxTf = tfs(i)
         val u = java.lang.Byte.toUnsignedInt(norms(i))
         if (u < minNorm) minNorm = u
         i += 1
       }
       blocks += Block(docs(start), docs(end - 1), end - start,
-        gapBuf.toArray, tfBuf.toArray, maxTf, minNorm.toByte)
+        gapBuf.toArray, tfBuf.toArray, maxTf, minNorm.toByte, posBuf.toArray)
       start = end
     }
     blocks.toArray
+  }
+
+  /** Decode a block's per-entry token positions (empty outer array if the
+    * block carries none). Requires the block's tfs. */
+  def decodePositions(b: Block): Array[Array[Int]] = {
+    if (b.poss == null || b.poss.isEmpty) return Array.empty
+    val tl = new Array[Long](b.count)
+    readVLongs(b.tfs, b.count, tl)
+    val out = new Array[Array[Int]](b.count)
+    var p = 0
+    var i = 0
+    while (i < b.count) {
+      val tf = tl(i).toInt
+      val ps = new Array[Int](tf)
+      var prev = 0
+      var j = 0
+      while (j < tf) {
+        val (v, np) = readVLong(b.poss, p)
+        p = np
+        prev = if (j == 0) v.toInt else prev + v.toInt
+        ps(j) = prev
+        j += 1
+      }
+      out(i) = ps
+      i += 1
+    }
+    out
   }
 
   /** Decode a single block into preallocated arrays at offset `off`.
@@ -164,20 +209,28 @@ object PostingsCodec {
   def merge(a: Array[Block], b: Array[Block], normOf: Long => Byte): Array[Block] = {
     val (da, ta) = decode(a)
     val (db, tb) = decode(b)
+    val hasPos = a.exists(x => x.poss != null && x.poss.nonEmpty) ||
+      b.exists(x => x.poss != null && x.poss.nonEmpty)
+    val pa = if (hasPos) a.flatMap(decodePositions) else null
+    val pb = if (hasPos) b.flatMap(decodePositions) else null
     val n = da.length + db.length
     val docs = new Array[Long](n)
     val tfs = new Array[Int](n)
+    val poss = if (hasPos) new Array[Array[Int]](n) else null
     var i = 0; var j = 0; var k = 0
     while (i < da.length && j < db.length) {
-      if (da(i) < db(j)) { docs(k) = da(i); tfs(k) = ta(i); i += 1 }
-      else { docs(k) = db(j); tfs(k) = tb(j); j += 1 }
+      if (da(i) < db(j)) {
+        docs(k) = da(i); tfs(k) = ta(i); if (hasPos) poss(k) = pa(i); i += 1
+      } else {
+        docs(k) = db(j); tfs(k) = tb(j); if (hasPos) poss(k) = pb(j); j += 1
+      }
       k += 1
     }
-    while (i < da.length) { docs(k) = da(i); tfs(k) = ta(i); i += 1; k += 1 }
-    while (j < db.length) { docs(k) = db(j); tfs(k) = tb(j); j += 1; k += 1 }
+    while (i < da.length) { docs(k) = da(i); tfs(k) = ta(i); if (hasPos) poss(k) = pa(i); i += 1; k += 1 }
+    while (j < db.length) { docs(k) = db(j); tfs(k) = tb(j); if (hasPos) poss(k) = pb(j); j += 1; k += 1 }
     val norms = new Array[Byte](n)
     var m = 0
     while (m < n) { norms(m) = normOf(docs(m)); m += 1 }
-    encode(docs, tfs, norms)
+    encode(docs, tfs, norms, poss)
   }
 }

@@ -76,9 +76,17 @@ object IndexBuilder {
     // (the sequence is the global (conv_id, turn_idx) rank for ANY
     // contiguous cut set), so builds are reproducible at any parallelism —
     // asserted by EngineSpec's control-vs-distributed suite.
+    def mark(t0: Long, what: String): Long = {
+      val t = System.nanoTime()
+      if (sys.env.contains("GRAFT_BUILD_TIMING"))
+        println(f"[graft-build] $what%-14s ${(t - t0) / 1e9}%7.2fs")
+      t
+    }
+
     if (done("docs")) skipped += 1
     else {
       val t0 = System.nanoTime()
+      var tm = t0
       val src = turns.select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
       val sketchK = cfg.numSegments * 200
       val sketches: Array[PartitionSketch] =
@@ -96,6 +104,7 @@ object IndexBuilder {
             }
             Iterator.single(PartitionSketch(n, pq.toArray(new Array[SketchKey](0))))
           }.collect()
+      tm = mark(tm, "sketch")
       val sample: Array[(String, Int)] = sketches.iterator.flatMap(_.keys).toArray
         .sortBy(_.h).take(sketchK).map(x => (x.conv_id, x.turn_idx)).sorted
       val cuts: Array[(String, Int)] =
@@ -130,6 +139,7 @@ object IndexBuilder {
         }
         .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
         .collect().toMap
+      tm = mark(tm, "passA-counts")
       val offsets = new Array[Long](cfg.numSegments)
       var acc = 0L
       for (p <- 0 until cfg.numSegments) {
@@ -137,10 +147,18 @@ object IndexBuilder {
         acc += counts.getOrElse(p, 0L)
       }
       val bcOffsets = spark.sparkContext.broadcast(offsets)
-      // pass B: one corpus shuffle, sort within partitions, assign ids
+      // pass B: one corpus shuffle, sort within partitions, assign ids.
+      // HASH-repartition on the precomputed segment index, NOT
+      // repartitionByRange: a RangePartitioner would run one more full
+      // sampling scan of the corpus to learn boundaries we already know.
+      // 4x partitions keeps hash collisions (two segments in one partition)
+      // rare; a multi-segment partition is still correct everywhere — seg
+      // is monotone in (conv_id, turn_idx), so the sort keeps segments
+      // contiguous, per-seg rank counters are keyed by seg, and each
+      // written file still holds only whole segments.
       val segUdf = udf((c: String, t: Int) => segOf(c, t, bcCuts.value))
       src.withColumn("seg", segUdf($"conv_id", $"turn_idx"))
-        .repartitionByRange(cfg.numSegments, $"seg")
+        .repartition(4 * cfg.numSegments, $"seg")
         .sortWithinPartitions($"conv_id", $"turn_idx")
         .as[SegTurn]
         .mapPartitions { it =>
@@ -153,6 +171,7 @@ object IndexBuilder {
           }
         }
         .write.mode("overwrite").parquet(s"$dir/docs")
+      tm = mark(tm, "passB-docs")
       appendLineage(spark, dir, LineageRow("docs", 0, cfg.numSegments, acc, 0L,
         (System.nanoTime() - t0) / 1000000, now()))
     }
@@ -249,26 +268,27 @@ object IndexBuilder {
           if (b == null) { b = new PostingsBuf(); bufs.put(k, b) }
           b
         }
-        val tf = new java.util.HashMap[String, Integer]()
+        val tp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
         it.foreach { case (docId, seg, text) =>
-          val terms = analyzer.analyze(text)
+          val (terms, tposs) = analyzer.analyzeWithPositions(text)
           val dl = terms.length
           val norm = SmallFloat.intToByte4(dl)
           val lenBuf = buf(seg, "")
           lenBuf.isLenRow = true
           lenBuf.add(docId, dl, norm)
-          tf.clear()
+          tp.clear()
           var i = 0
           while (i < terms.length) {
             val t = terms(i)
-            val prev = tf.get(t)
-            tf.put(t, if (prev == null) Integer.valueOf(1) else Integer.valueOf(prev.intValue + 1))
+            var l = tp.get(t)
+            if (l == null) { l = scala.collection.mutable.ArrayBuffer.empty[Int]; tp.put(t, l) }
+            l += tposs(i)
             i += 1
           }
-          val ts = tf.entrySet().iterator()
+          val ts = tp.entrySet().iterator()
           while (ts.hasNext) {
             val e = ts.next()
-            buf(seg, e.getKey).add(docId, e.getValue.intValue, norm)
+            buf(seg, e.getKey).add(docId, e.getValue.length, norm, e.getValue.toArray)
           }
         }
         val out = bufs.entrySet().iterator()

@@ -10,16 +10,18 @@ final class PostingsBuf(
     var docs: Array[Long],
     var tfs: Array[Int],
     var norms: Array[Byte],
+    var poss: Array[Array[Int]], // per-entry token positions (null entries ok)
     var size: Int,
     var sorted: Boolean,
     var isLenRow: Boolean) extends Serializable {
 
-  def this() = this(new Array[Long](8), new Array[Int](8), new Array[Byte](8), 0, true, false)
+  def this() = this(new Array[Long](8), new Array[Int](8), new Array[Byte](8),
+    new Array[Array[Int]](8), 0, true, false)
 
-  def add(doc: Long, tf: Int, norm: Byte): Unit = {
+  def add(doc: Long, tf: Int, norm: Byte, positions: Array[Int] = null): Unit = {
     if (size == docs.length) grow(size * 2)
     if (sorted && size > 0 && docs(size - 1) > doc) sorted = false
-    docs(size) = doc; tfs(size) = tf; norms(size) = norm
+    docs(size) = doc; tfs(size) = tf; norms(size) = norm; poss(size) = positions
     size += 1
   }
 
@@ -27,6 +29,7 @@ final class PostingsBuf(
     docs = java.util.Arrays.copyOf(docs, cap)
     tfs = java.util.Arrays.copyOf(tfs, cap)
     norms = java.util.Arrays.copyOf(norms, cap)
+    poss = java.util.Arrays.copyOf(poss, cap)
   }
 
   def absorb(o: PostingsBuf): PostingsBuf = {
@@ -35,6 +38,7 @@ final class PostingsBuf(
       System.arraycopy(o.docs, 0, docs, size, o.size)
       System.arraycopy(o.tfs, 0, tfs, size, o.size)
       System.arraycopy(o.norms, 0, norms, size, o.size)
+      System.arraycopy(o.poss, 0, poss, size, o.size)
       if (size > 0 && (!o.sorted || docs(size) < docs(size - 1))) sorted = false
       else if (!o.sorted) sorted = false
       size += o.size
@@ -46,11 +50,24 @@ final class PostingsBuf(
   def ensureSorted(): Unit = {
     if (!sorted) {
       val idx = Array.range(0, size).sortBy(docs(_))
-      val d = new Array[Long](size); val t = new Array[Int](size); val n = new Array[Byte](size)
+      val d = new Array[Long](size); val t = new Array[Int](size)
+      val n = new Array[Byte](size); val p = new Array[Array[Int]](size)
       var i = 0
-      while (i < size) { val j = idx(i); d(i) = docs(j); t(i) = tfs(j); n(i) = norms(j); i += 1 }
-      docs = d; tfs = t; norms = n; sorted = true
+      while (i < size) {
+        val j = idx(i); d(i) = docs(j); t(i) = tfs(j); n(i) = norms(j); p(i) = poss(j)
+        i += 1
+      }
+      docs = d; tfs = t; norms = n; poss = p; sorted = true
     }
+  }
+
+  /** Per-entry positions trimmed to size; null if NO entry carries any. */
+  def positionsOrNull: Array[Array[Int]] = {
+    var any = false
+    var i = 0
+    while (i < size && !any) { if (poss(i) != null) any = true; i += 1 }
+    if (!any) null
+    else Array.tabulate(size)(k => if (poss(k) != null) poss(k) else Array.empty[Int])
   }
 }
 
@@ -93,7 +110,8 @@ object PostingsAggregator
     if (b.isLenRow)
       PostingRow("", -1, b.size, ttf, firstDoc, Array.empty, norms)
     else
-      PostingRow("", -1, b.size, ttf, firstDoc, PostingsCodec.encode(docs, tfs, norms), null)
+      PostingRow("", -1, b.size, ttf, firstDoc,
+        PostingsCodec.encode(docs, tfs, norms, b.positionsOrNull), null)
   }
 
   override def bufferEncoder: Encoder[PostingsBuf] = Encoders.kryo[PostingsBuf]

@@ -44,6 +44,61 @@ object FtsOps {
       |  ELSE 24 + (((b - 24) % 8) + 8) * (CAST(1 AS BIGINT) << (((b - 24) // 8) - 1)) END AS v
       |FROM (SELECT unnest(generate_series(0, 255)) AS b)""".stripMargin
 
+  /** Per-(doc, term) DOUBLE-precision BM25 partial scores recomputed from
+    * index artifacts: decoded posting blocks (tf), norms sidecar (quantized
+    * dl), supplied global stats. Expression shape mirrors the DuckDB oracle
+    * exactly: idf * (tf / (tf + 1.2*(1 - 0.75 + 0.75*dlq/avgdl))). Returns
+    * (ext externalDocId, term, p). */
+  private def textBm25Partials(s: SparkSession, idx: String, qterms: Seq[String],
+      n: Long, avgdl: Double, dfMap: Map[String, Long]): DataFrame = {
+    import s.implicits._
+    val idfMap = dfMap.map { case (t, df) =>
+      t -> math.log(1 + (n - df + 0.5) / (df + 0.5))
+    }
+    val bc = s.sparkContext.broadcast(idfMap)
+    val posts = s.read.parquet(s"$idx/postings")
+      .where(col("term").isin(qterms: _*))
+      .as[graft.index.PostingRow]
+      .flatMap { pr =>
+        val (docs, tfs) = graft.codec.PostingsCodec.decode(pr.blocks)
+        docs.iterator.zip(tfs.iterator).map { case (d, tf) => (pr.term, d, tf) }
+      }.toDF("term", "did", "tf")
+    val dls = s.read.parquet(s"$idx/postings")
+      .where(col("term") === "")
+      .select($"first_doc", $"norms").as[(Long, Array[Byte])]
+      .flatMap { case (first, ns) =>
+        ns.iterator.zipWithIndex.map { case (b, i) =>
+          (first + i, graft.codec.SmallFloat.byte4ToInt(b))
+        }
+      }.toDF("did", "dlq")
+    // internal -> external doc id via stored fields
+    val idmap = s.read.parquet(s"$idx/docs")
+      .select($"doc_id".as("did"),
+        regexp_extract($"conv_id", "(\\d+)", 1).cast("long").as("ext"))
+    posts.join(dls, "did").join(idmap, "did")
+      .as[(Long, String, Int, Int, Long)] // did, term, tf, dlq, ext
+      .map { case (_, term, tf, dlq, ext) =>
+        val p = bc.value(term) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dlq / avgdl)))
+        (ext, term, p)
+      }.toDF("ext", "term", "p")
+  }
+
+  /** Map a term column to its query position via a when-chain. */
+  private def qposCol(qpos: Map[String, Int]): org.apache.spark.sql.Column =
+    qpos.foldLeft(lit(-1)) { case (acc, (t, i)) =>
+      when(col("term") === t, i).otherwise(acc)
+    }
+
+  /** Sum doubles in ascending qp order (matches DuckDB
+    * `list_reduce(list(p ORDER BY qp), (a,v) -> a+v)` bit-for-bit: the 0.0
+    * fold init is exact for positive partials). */
+  private val orderedSumUdf = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+    val ps = xs.map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    var acc = 0.0
+    ps.foreach(acc += _._2)
+    acc
+  })
+
   private def docsAsTurns(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       format_string("doc-%06d", col("doc_id")).as("conv_id"),
@@ -160,6 +215,172 @@ object FtsOps {
           .select(col("doc_id"), col("dl_quantized"))
           .orderBy(col("doc_id"))
           .limit(100)
+      }),
+
+    Op("fts_bm25_oracle",
+      "driver-checkable BM25: per-doc scores recomputed from the INDEX " +
+        "artifacts (decoded posting blocks for tf, norms sidecar for " +
+        "quantized dl, terms table for df) in DOUBLE precision with " +
+        "term-query-order accumulation, so DuckDB reproduces the value " +
+        "bit-for-bit from the raw table (round 6dp absorbs the 1-ulp ln() " +
+        "difference between libm and the JVM). Exercises the whole " +
+        "index-build path: quantization, postings content, global stats " +
+        "(BM25SimilarityFactory.java:47-50 semantics, k1=1.2 b=0.75)",
+      Some(s"""WITH lut AS ($byte4LookupSql),
+              |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1), ('fast', 2), ('window', 3)) t(w, qp)),
+              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |  FROM documents WHERE length(text) > 0),
+              |stats AS (SELECT count(DISTINCT doc_id) AS n,
+              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
+              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+              |partials AS (SELECT tf.doc_id, qpos.qp,
+              |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
+              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
+              |scores AS (SELECT doc_id, list_reduce(list(p ORDER BY qp), (a, v) -> a + v) AS sc
+              |  FROM partials GROUP BY doc_id)
+              |SELECT doc_id, round(sc, 6) AS score FROM scores
+              |ORDER BY round(sc, 6) DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val idx = index(s, dir, "documents")
+        val qterms = Seq("data", "query", "fast", "window")
+        val qpos = qterms.zipWithIndex.toMap
+        val c = s.read.parquet(s"$idx/corpus").as[graft.index.CorpusStats].head()
+        // avgdl over tokens == sum_dl/doc_count (all docs non-empty in this
+        // corpus; the oracle derives both from the same token table)
+        val avgdl = c.sum_dl.toDouble / c.doc_count
+        val n = c.doc_count
+        val dfMap = s.read.parquet(s"$idx/terms")
+          .where(col("term").isin(qterms: _*))
+          .select($"term", $"df").as[(String, Long)].collect().toMap
+        val idfMap = dfMap.map { case (t, df) =>
+          t -> math.log(1 + (n - df + 0.5) / (df + 0.5))
+        }
+        val partials = textBm25Partials(s, idx, qterms, n, avgdl, dfMap)
+          .select(col("ext").as("doc_id"), col("term"), col("p"))
+          .withColumn("qp", qposCol(qpos))
+        partials.groupBy($"doc_id")
+          .agg(orderedSumUdf(collect_list(struct($"qp", $"p"))).as("sc"))
+          .select($"doc_id", round($"sc", 6).as("score"))
+          .orderBy(col("score").desc, $"doc_id")
+          .limit(20)
+      }),
+
+    Op("fts_edismax",
+      "real edismax: analyzed multi-field BM25 with qf boosts (text^1.0, " +
+        "source^2.0), tie=0.1 disjunction-max combining, and mm=2 " +
+        "minimum-should-match — the ExtendedDismaxQParser semantics " +
+        "(ExtendedDismaxQParser.java:392-445,994-1036: per-term dismax " +
+        "over qf fields, tie * sum of non-max fields, mm clause gate), " +
+        "replacing the integer-containment toy dismax as flagship. " +
+        "Text-field scores come from the INDEX; driver-checkable because " +
+        "all math is double with fixed accumulation order",
+      Some(s"""WITH lut AS ($byte4LookupSql),
+              |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1), ('src7', 2), ('fast', 3)) t(w, qp)),
+              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |  FROM documents WHERE length(text) > 0),
+              |stats AS (SELECT count(DISTINCT doc_id) AS n,
+              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
+              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+              |tpart AS (SELECT tf.doc_id, tf.w,
+              |    1.0 * (ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl)))) AS ws
+              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id), stats),
+              |sdf AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
+              |spart AS (SELECT d.doc_id, d.source AS w,
+              |    2.0 * (ln(1 + (stats.n - sdf.df + 0.5) / (sdf.df + 0.5))
+              |      * (1 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1 / 1)))) AS ws
+              |  FROM documents d JOIN sdf USING (source), stats
+              |  WHERE d.source IN (SELECT w FROM qpos)),
+              |allp AS (SELECT * FROM tpart UNION ALL SELECT * FROM spart),
+              |dmx AS (SELECT doc_id, w, max(ws) + 0.1 * (sum(ws) - max(ws)) AS dm
+              |  FROM allp GROUP BY doc_id, w),
+              |scored AS (SELECT doc_id,
+              |    list_reduce(list(dm ORDER BY qp), (a, v) -> a + v) AS sc,
+              |    count(DISTINCT w) AS nm
+              |  FROM dmx JOIN qpos USING (w) GROUP BY doc_id)
+              |SELECT doc_id, round(sc, 6) AS score FROM scored WHERE nm >= 2
+              |ORDER BY round(sc, 6) DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val idx = index(s, dir, "documents")
+        val qterms = Seq("data", "query", "src7", "fast")
+        val qpos = qterms.zipWithIndex.toMap
+        val c = s.read.parquet(s"$idx/corpus").as[graft.index.CorpusStats].head()
+        val avgdl = c.sum_dl.toDouble / c.doc_count
+        val n = c.doc_count
+        val dfMap = s.read.parquet(s"$idx/terms")
+          .where(col("term").isin(qterms: _*))
+          .select($"term", $"df").as[(String, Long)].collect().toMap
+        // text field partials (qf weight 1.0) from the index
+        val tpart = textBm25Partials(s, idx, qterms, n, avgdl, dfMap)
+          .select(col("ext").as("doc_id"), col("term"), (lit(1.0) * col("p")).as("ws"))
+        // source field partials (qf weight 2.0): one-token field, tf=1,
+        // dl=1 (quantized exactly), avgdl=1 — stored as `role` by
+        // docsAsTurns; df from a tiny collect
+        val sdfMap = s.read.parquet(s"$idx/docs")
+          .groupBy($"role").count().as[(String, Long)].collect().toMap
+        val srcIdf = qterms.flatMap(t => sdfMap.get(t).map(df =>
+          t -> math.log(1 + (n - df + 0.5) / (df + 0.5)))).toMap
+        val bcSrc = s.sparkContext.broadcast(srcIdf)
+        val spart = s.read.parquet(s"$idx/docs")
+          .where($"role".isin(qterms: _*))
+          .select(regexp_extract($"conv_id", "(\\d+)", 1).cast("long").as("doc_id"),
+            $"role".as("term"))
+          .as[(Long, String)]
+          .map { case (doc, t) =>
+            val ws = 2.0 * (bcSrc.value(t) * (1 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1 / 1))))
+            (doc, t, ws)
+          }.toDF("doc_id", "term", "ws")
+        val dm = tpart.unionByName(spart)
+          .groupBy($"doc_id", $"term")
+          .agg((max($"ws") + lit(0.1) * (sum($"ws") - max($"ws"))).as("dm"))
+          .withColumn("qp", qposCol(qpos))
+        dm.groupBy($"doc_id")
+          .agg(orderedSumUdf(collect_list(struct($"qp", col("dm").as("p")))).as("sc"),
+            countDistinct($"term").as("nm"))
+          .where($"nm" >= 2)
+          .select($"doc_id", round($"sc", 6).as("score"))
+          .orderBy(col("score").desc, $"doc_id")
+          .limit(20)
+      }),
+
+    Op("fts_phrase",
+      "exact phrase matching from positional postings: per-doc phrase " +
+        "frequency of \"merge group\" — positions are delta+varint encoded " +
+        "inside the posting blocks (Lucene .prx role), matched by leapfrog " +
+        "conjunction + adjacency verification (SolrQueryParserBase.java:" +
+        "140,355-362 phrase semantics, slop 0). Integer artifact -> " +
+        "SQL-exact oracle; phrase SCORES are float and gated by EngineSpec",
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |f AS (SELECT doc_id,
+             |    len(list_filter(generate_series(1, len(w) - 1),
+             |        i -> w[i] = 'merge' AND w[i+1] = 'group')) AS freq
+             |  FROM toks WHERE len(w) >= 2)
+             |SELECT doc_id, freq FROM f WHERE freq > 0
+             |ORDER BY freq DESC, doc_id LIMIT 50""".stripMargin),
+      (s, dir) => {
+        val idx = index(s, dir, "documents")
+        val sr = searcher(s, dir, "documents")
+        val idmap = s.read.parquet(s"$idx/docs")
+          .select(col("doc_id").as("did"),
+            regexp_extract(col("conv_id"), "(\\d+)", 1).cast("long").as("doc_id"))
+        sr.phraseFreqs(Seq("merge", "group"))
+          .join(idmap, "did")
+          .select(col("doc_id"), col("freq"))
+          .orderBy(col("freq").desc, col("doc_id"))
+          .limit(50)
       }),
 
     Op("fts_doc_count",

@@ -10,7 +10,8 @@ import graft.codec.SmallFloat
   * fixtures; implements the *same* quantized math as the engine by calling
   * the shared [[Bm25]] functions, so engine-vs-oracle equality is exact,
   * not approximate). No postings, no WAND, no compressed blocks — it
-  * re-derives everything from the raw docs table each call.
+  * re-derives everything from the raw docs table each call, including
+  * phrase frequencies from token positions.
   */
 object Oracle {
 
@@ -43,34 +44,84 @@ object Oracle {
       .as[(String, Long)].collect().toMap
     if (parsed.must.exists(t => dfMap.getOrElse(t, 0L) == 0L))
       return spark.emptyDataset[Hit]
+    val phrasesAlive = parsed.phrases
+      .filter(_.terms.forall(t => dfMap.getOrElse(t, 0L) > 0))
+    if (parsed.phrases.exists(p => p.occur == 0 && !phrasesAlive.contains(p)))
+      return spark.emptyDataset[Hit]
     val scoringLive = scoring.filter(t => dfMap.getOrElse(t, 0L) > 0)
-    if (scoringLive.isEmpty) return spark.emptyDataset[Hit]
+    if (scoringLive.isEmpty && phrasesAlive.forall(_.occur == 2))
+      return spark.emptyDataset[Hit]
     val qpos = scoringLive.zipWithIndex.toMap
     val idfs = scoringLive.map(t => t -> bm25.idf(n, dfMap(t))).toMap
     val mustSet = parsed.must.toSet
-    val nMust = parsed.must.length
+    val nMustTotal = parsed.must.length + phrasesAlive.count(_.occur == 0)
 
     val partial = udf((term: String, tf: Int, dl: Int) =>
       bm25.score(tf, SmallFloat.intToByte4(dl), idfs(term), avgdl))
+
+    // term partials: (doc_id, qpos, partial, is_must)
+    val termPartials = tf.where($"term".isin(scoringLive: _*))
+      .join(dl, "doc_id")
+      .withColumn("qpos", udf((t: String) => qpos(t)).apply($"term"))
+      .withColumn("partial", partial($"term", $"tf", $"dl"))
+      .withColumn("is_must",
+        when($"term".isin(mustSet.toSeq: _*), 1).otherwise(0))
+      .select($"doc_id", $"qpos", $"partial", $"is_must")
+
+    // exact-phrase frequency per doc from token positions (same position
+    // semantics as the index: stopwords consume a position)
+    def phraseFreqUdf(terms: Vector[String]) = udf((text: String) => {
+      val (ts, ps) = analyzer.analyzeWithPositions(text)
+      val posOf = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+      var i = 0
+      while (i < ts.length) {
+        posOf.getOrElseUpdate(ts(i), scala.collection.mutable.ArrayBuffer.empty) += ps(i)
+        i += 1
+      }
+      val sets = terms.map(t => posOf.getOrElse(t, scala.collection.mutable.ArrayBuffer.empty).toSet)
+      if (sets.exists(_.isEmpty)) 0
+      else sets.head.count(p => (1 until terms.length).forall(j => sets(j).contains(p + j)))
+    })
+
+    def phraseDocs(p: Phrase): DataFrame =
+      docs.select($"doc_id", phraseFreqUdf(p.terms)($"text").as("freq"))
+        .where($"freq" > 0)
+
+    val phrasePartials = phrasesAlive.zipWithIndex
+      .filter(_._1.occur != 2)
+      .map { case (p, i) =>
+        var idfSum = 0f
+        p.terms.foreach(t => idfSum += bm25.idf(n, dfMap(t)))
+        val pPartial = udf((freq: Int, dl: Int) =>
+          bm25.score(freq, SmallFloat.intToByte4(dl), idfSum, avgdl))
+        phraseDocs(p)
+          .join(dl, "doc_id")
+          .select($"doc_id", lit(scoringLive.length + i).as("qpos"),
+            pPartial($"freq", $"dl").as("partial"),
+            lit(if (p.occur == 0) 1 else 0).as("is_must"))
+      }
+
+    val allPartials = phrasePartials.foldLeft(termPartials)(_ unionByName _)
+
     val orderedSum = udf((xs: Seq[org.apache.spark.sql.Row]) => {
       val arr = xs.map(r => (r.getInt(0), r.getFloat(1))).sortBy(_._1).map(_._2).toArray
       bm25.sum(arr)
     })
 
-    var scored = tf.where($"term".isin(scoringLive: _*))
-      .join(dl, "doc_id")
-      .withColumn("qpos", udf((t: String) => qpos(t)).apply($"term"))
-      .withColumn("partial", partial($"term", $"tf", $"dl"))
+    var scored = allPartials
       .groupBy($"doc_id")
       .agg(
         orderedSum(collect_list(struct($"qpos", $"partial"))).as("score"),
-        sum(when($"term".isin(mustSet.toSeq: _*), 1).otherwise(0)).as("n_must"))
-      .where($"n_must" === nMust)
+        sum($"is_must").as("n_must"))
+      .where($"n_must" === nMustTotal)
       .select($"doc_id", $"score")
 
     if (parsed.mustNot.nonEmpty) {
       val banned = tf.where($"term".isin(parsed.mustNot: _*)).select($"doc_id").distinct()
       scored = scored.join(banned, Seq("doc_id"), "left_anti")
+    }
+    phrasesAlive.filter(_.occur == 2).foreach { p =>
+      scored = scored.join(phraseDocs(p).select($"doc_id"), Seq("doc_id"), "left_anti")
     }
     if (parsed.filters.nonEmpty) {
       val cond = parsed.filters.map { case (f, v) => col(f) === lit(v) }.reduce(_ && _)

@@ -13,13 +13,21 @@ import graft.analysis.Analyzer
   *
   * Term lists preserve query order — scoring accumulates in this order.
   */
+/** An exact (slop-0) phrase clause: terms must appear at consecutive
+  * positions. occur: 0 = MUST, 1 = SHOULD, 2 = MUST_NOT. */
+final case class Phrase(terms: Vector[String], occur: Int)
+
 final case class ParsedQuery(
     should: Vector[String],
     must: Vector[String],
     mustNot: Vector[String],
-    filters: Vector[(String, String)]) { // (field, value) exact-match filters
-  def allTerms: Vector[String] = (must ++ should ++ mustNot).distinct
-  def isEmpty: Boolean = should.isEmpty && must.isEmpty
+    filters: Vector[(String, String)], // (field, value) exact-match filters
+    phrases: Vector[Phrase] = Vector.empty) {
+  def allTerms: Vector[String] =
+    (must ++ should ++ mustNot ++ phrases.flatMap(_.terms)).distinct
+  def positiveClauses: Int =
+    should.length + must.length + phrases.count(_.occur != 2)
+  def isEmpty: Boolean = positiveClauses == 0
 }
 
 object QueryParser {
@@ -36,9 +44,8 @@ object QueryParser {
   /** Parse a flat boolean query string. Supported: bare terms (SHOULD),
     * `+t` (MUST), `-t` (MUST_NOT), infix `AND`/`OR`/`NOT` (flat, no parens —
     * AND promotes both neighbours to MUST, NOT negates the next clause),
-    * `field:value` filters for non-text fields, and quoted "a b" treated as
-    * a conjunction of its terms (positions/slop are out of core scope —
-    * documented divergence). */
+    * `field:value` filters for non-text fields, and quoted "a b" as an
+    * exact phrase (consecutive positions, slop 0). */
   def parse(q: String, analyzer: Analyzer = Analyzer.default): ParsedQuery = {
     val toks = lex(q)
     // pass 1: clause list with unary operators resolved
@@ -70,16 +77,24 @@ object QueryParser {
         nextNegated = false
         promoteNext = false
     }
-    // pass 2: analyze each clause, emit terms in query order
+    // pass 2: analyze each clause, emit terms in query order; a quoted
+    // multi-term clause becomes an exact PHRASE (slop 0 — the reference's
+    // default phrase semantics, SolrQueryParserBase.java:140,355-362)
     val should = Vector.newBuilder[String]
     val must = Vector.newBuilder[String]
     val mustNot = Vector.newBuilder[String]
+    val phrases = Vector.newBuilder[Phrase]
     clauses.foreach { c =>
       val terms = analyzer.analyze(c.body).toVector
       if (terms.nonEmpty) {
-        val occur =
-          if (c.phrase && terms.length > 1 && c.occur == Should) Must else c.occur
-        occur match {
+        if (c.phrase && terms.length > 1) {
+          val occ = c.occur match {
+            case Must => 0
+            case Should => 1
+            case MustNot => 2
+          }
+          phrases += Phrase(terms, occ)
+        } else c.occur match {
           case Should  => terms.foreach(should += _)
           case Must    => terms.foreach(must += _)
           case MustNot => terms.foreach(mustNot += _)
@@ -87,7 +102,7 @@ object QueryParser {
       }
     }
     ParsedQuery(should.result().distinct, must.result().distinct,
-      mustNot.result().distinct, filters.result())
+      mustNot.result().distinct, filters.result(), phrases.result())
   }
 
   private def lex(q: String): Vector[String] = {

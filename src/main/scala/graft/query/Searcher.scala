@@ -100,22 +100,32 @@ final class Searcher(
     if (must.length != parsed.must.length) return empty // a MUST term is absent from the corpus
     val should = parsed.should.filter(t => dfs.getOrElse(t, 0L) > 0)
     val mustNot = parsed.mustNot.filter(t => dfs.getOrElse(t, 0L) > 0)
-    if (must.isEmpty && should.isEmpty) return empty
+    // a MUST phrase with a corpus-absent member can never match; SHOULD /
+    // MUST_NOT phrases with dead members drop out
+    val phrasesAlive = parsed.phrases
+      .filter(_.terms.forall(t => dfs.getOrElse(t, 0L) > 0))
+    if (parsed.phrases.exists(p => p.occur == 0 && !phrasesAlive.contains(p))) return empty
+    if (must.isEmpty && should.isEmpty && phrasesAlive.forall(_.occur == 2)) return empty
 
-    // scoring order = MUST terms then SHOULD terms, each in query order
-    // (fixed accumulation order for bit-exact float32 sums)
+    // scoring order = MUST terms, SHOULD terms, then phrases, each in query
+    // order (fixed accumulation order for bit-exact float32 sums)
     val scoring = must ++ should
     val meta: Map[String, (Int, Int)] = // term -> (queryPos, occur 0=must 1=should 2=not)
       (must.zipWithIndex.map { case (t, i) => t -> (i, 0) } ++
         should.zipWithIndex.map { case (t, i) => t -> (must.length + i, 1) } ++
-        mustNot.zipWithIndex.map { case (t, i) => t -> (scoring.length + i, 2) }).toMap
+        mustNot.zipWithIndex.map { case (t, i) =>
+          t -> (scoring.length + phrasesAlive.length + i, 2) }).toMap
+    // (phrase terms, occur, queryPos) — idf resolved executor-side
+    val phraseMeta: Vector[(Vector[String], Int, Int)] =
+      phrasesAlive.zipWithIndex.map { case (p, i) =>
+        (p.terms, p.occur, scoring.length + i)
+      }
     val idfs: Map[String, Float] =
       dfs.map { case (t, df) => t -> bm25.idf(corpus.doc_count, df) }
     val cache = bm25.normCache(avgdl)
-    val nMust = must.length
-    val bcMeta = spark.sparkContext.broadcast((meta, idfs, cache))
+    val bcMeta = spark.sparkContext.broadcast((meta, phraseMeta, idfs, cache))
 
-    val queried = meta.keys.toSeq
+    val queried = (meta.keys ++ phraseMeta.flatMap(_._1)).toSeq.distinct
     val rows = postings
       .where($"term".isin(queried: _*))
       .as[PostingRow]
@@ -143,20 +153,41 @@ final class Searcher(
         if (!ss.hasNext) Iterator.empty
         else {
           val sc = ss.next()
-          val (m, idfm, nc) = bcMeta.value
-          val mustCur = scala.collection.mutable.ArrayBuffer.empty[PostingCursor]
-          val shouldCur = scala.collection.mutable.ArrayBuffer.empty[PostingCursor]
-          val notCur = scala.collection.mutable.ArrayBuffer.empty[PostingCursor]
-          ps.foreach { pr =>
-            val (qpos, occ) = m(pr.term)
-            val cur = new PostingCursor(pr.blocks, idfm(pr.term), nc, qpos)
-            occ match {
-              case 0 => mustCur += cur
-              case 1 => shouldCur += cur
-              case _ => notCur += cur
+          val (m, pm, idfm, nc) = bcMeta.value
+          val byTerm = ps.map(pr => pr.term -> pr).toMap
+          val mustCur = scala.collection.mutable.ArrayBuffer.empty[Cursor]
+          val shouldCur = scala.collection.mutable.ArrayBuffer.empty[Cursor]
+          val notCur = scala.collection.mutable.ArrayBuffer.empty[Cursor]
+          var missingMust = false
+          m.foreach { case (term, (qpos, occ)) =>
+            byTerm.get(term) match {
+              case Some(pr) =>
+                val cur = new PostingCursor(pr.blocks, idfm(term), nc, qpos)
+                occ match {
+                  case 0 => mustCur += cur
+                  case 1 => shouldCur += cur
+                  case _ => notCur += cur
+                }
+              case None => if (occ == 0) missingMust = true
             }
           }
-          if (mustCur.length < nMust) Iterator.empty // a MUST term missing in this segment
+          pm.foreach { case (terms, occ, qpos) =>
+            if (terms.forall(byTerm.contains)) {
+              // fresh member cursors (cursors are stateful; a term used both
+              // standalone and inside a phrase needs independent iterators)
+              val members = terms.map(t =>
+                new PostingCursor(byTerm(t).blocks, idfm(t), nc, 0)).toArray
+              var idfSum = 0f
+              terms.foreach(t => idfSum += idfm(t))
+              val pc = new PhraseCursor(members, idfSum, nc, qpos)
+              occ match {
+                case 0 => mustCur += pc
+                case 1 => shouldCur += pc
+                case _ => notCur += pc
+              }
+            } else if (occ == 0) missingMust = true
+          }
+          if (missingMust) Iterator.empty // a MUST clause can't match here
           else {
             val filter: Option[RoaringBitmap] =
               if (!hasFilter) None
@@ -171,6 +202,36 @@ final class Searcher(
         }
     }
     hits.orderBy($"score".desc, $"doc_id".asc).limit(k)
+  }
+
+  /** Exact-phrase match enumeration: every (internal docId, phraseFreq)
+    * with freq >= 1, from the positional postings — the driver-checkable
+    * integer artifact of the phrase path (scores are float and gated by
+    * EngineSpec instead). */
+  def phraseFreqs(terms: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dfs = termStats(terms)
+    if (terms.isEmpty || terms.exists(t => dfs.getOrElse(t, 0L) == 0L))
+      return spark.emptyDataset[(Long, Long)].toDF("did", "freq")
+    val termsV = terms.toVector
+    val rows = postings.where(col("term").isin(terms: _*)).as[PostingRow]
+    rows.groupByKey(_.segment_id).flatMapGroups { (_, ps) =>
+      val byTerm = ps.map(pr => pr.term -> pr).toMap
+      if (!termsV.forall(byTerm.contains)) Iterator.empty
+      else {
+        val dummy = Array.fill(256)(1f)
+        val members = termsV.map(t => new PostingCursor(byTerm(t).blocks, 0f, dummy, 0)).toArray
+        val pc = new PhraseCursor(members, 0f, dummy, 0)
+        new Iterator[(Long, Long)] {
+          def hasNext: Boolean = pc.doc != Long.MaxValue
+          def next(): (Long, Long) = {
+            val r = (pc.doc, pc.freq.toLong)
+            pc.next()
+            r
+          }
+        }
+      }
+    }.toDF("did", "freq")
   }
 
   /** Full search: top-k hits joined back to stored fields, ranked. */

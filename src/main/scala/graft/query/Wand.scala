@@ -4,6 +4,20 @@ import graft.codec.{Block, PostingsCodec}
 import graft.index.PostingRow
 import org.roaringbitmap.RoaringBitmap
 
+/** Doc-at-a-time scorer interface consumed by [[Wand]]: a single term's
+  * postings ([[PostingCursor]]) or a positional phrase ([[PhraseCursor]]). */
+trait Cursor {
+  def doc: Long
+  def advanceTo(target: Long): Long
+  def next(): Long
+  def score(norm: Byte): Float
+  def maxScore: Float
+  def shallowTo(target: Long): Unit
+  def blockMaxScore: Float
+  def blockLastDoc: Long
+  def queryPos: Int
+}
+
 /** A doc-at-a-time cursor over one term's block-compressed postings in one
   * segment, with block-granular skipping (last_doc skip data) and lazy block
   * decode — the role of Lucene's ImpactsEnum in the reference's WAND path
@@ -16,7 +30,7 @@ final class PostingCursor(
     blocks: Array[Block],
     val idf: Float,
     cache: Array[Float],
-    val queryPos: Int) {
+    val queryPos: Int) extends Cursor {
 
   /** Global upper bound of this term's score anywhere in the segment. */
   val maxScore: Float = {
@@ -31,11 +45,20 @@ final class PostingCursor(
     m
   }
 
+  /** Max term frequency anywhere in the segment (phrase freq upper bound). */
+  val maxTf: Int = {
+    var m = 0
+    var i = 0
+    while (i < blocks.length) { if (blocks(i).max_tf > m) m = blocks(i).max_tf; i += 1 }
+    m
+  }
+
   private var bi = 0            // current block index
   private var decoded = false   // is block `bi` decoded?
   private var pos = 0           // position within decoded block
   private val docsBuf = new Array[Long](PostingsCodec.BlockSize)
   private val tfsBuf = new Array[Int](PostingsCodec.BlockSize)
+  private var posBuf: Array[Array[Int]] = null // lazily decoded positions
 
   /** Current docId; Long.MaxValue once exhausted. */
   var doc: Long = if (blocks.isEmpty) Long.MaxValue else {
@@ -45,10 +68,19 @@ final class PostingCursor(
   private def decodeCurrent(): Unit = {
     PostingsCodec.decodeBlock(blocks(bi), docsBuf, tfsBuf, 0)
     decoded = true
+    posBuf = null
     pos = 0
   }
 
   def tf: Int = tfsBuf(pos)
+
+  def blockMaxTf: Int = blocks(bi).max_tf
+
+  /** Token positions of the CURRENT posting (requires a positional index). */
+  def positions(): Array[Int] = {
+    if (posBuf == null) posBuf = PostingsCodec.decodePositions(blocks(bi))
+    if (posBuf.isEmpty) Array.empty else posBuf(pos)
+  }
 
   def score(normByte: Byte): Float =
     idf * (tfsBuf(pos) / (tfsBuf(pos) + cache(java.lang.Byte.toUnsignedInt(normByte))))
@@ -109,6 +141,111 @@ final class PostingCursor(
   }
 }
 
+/** Exact-phrase (slop 0) scorer: leapfrog conjunction of the member terms'
+  * cursors plus adjacency verification on token positions; BM25-scored with
+  * freq = number of phrase occurrences and idf = sum of member idfs — the
+  * reference's PhraseQuery-under-BM25 semantics
+  * (`solr/core/src/java/org/apache/solr/parser/SolrQueryParserBase.java:140,355-362`
+  * builds the PhraseQuery; Lucene scores it like a term with phraseFreq).
+  *
+  * @param ts  member term cursors in PHRASE order (position i must carry
+  *            the term at offset i)
+  * @param idf sum of member idfs (float, accumulated in phrase order)
+  */
+final class PhraseCursor(
+    ts: Array[PostingCursor],
+    val idf: Float,
+    cache: Array[Float],
+    val queryPos: Int) extends Cursor {
+
+  private val cmin: Float = {
+    var m = Float.MaxValue
+    var i = 0
+    while (i < cache.length) { if (cache(i) < m) m = cache(i); i += 1 }
+    m
+  }
+  private def bound(tfUB: Int): Float = idf * (tfUB / (tfUB + cmin))
+
+  /** Safe global bound: phrase freq <= min member tf. */
+  val maxScore: Float = {
+    var m = Int.MaxValue
+    ts.foreach(t => if (t.maxTf < m) m = t.maxTf)
+    bound(m)
+  }
+
+  var doc: Long = -1L
+  var freq: Int = 0
+
+  advanceTo(0L) // position on the first match (or exhaust)
+
+  def score(norm: Byte): Float =
+    idf * (freq / (freq + cache(java.lang.Byte.toUnsignedInt(norm))))
+
+  def shallowTo(target: Long): Unit = ts.foreach(_.shallowTo(target))
+
+  def blockMaxScore: Float = {
+    var m = Int.MaxValue
+    ts.foreach(t => if (t.blockMaxTf < m) m = t.blockMaxTf)
+    bound(m)
+  }
+
+  def blockLastDoc: Long = {
+    var m = Long.MaxValue
+    ts.foreach(t => if (t.blockLastDoc < m) m = t.blockLastDoc)
+    m
+  }
+
+  /** Count of positions p in t0 with every member i at p+i (exact phrase). */
+  private def phraseFreq(): Int = {
+    val p0 = ts(0).positions()
+    var f = 0
+    var k = 0
+    while (k < p0.length) {
+      val p = p0(k)
+      var i = 1
+      var ok = true
+      while (ok && i < ts.length) {
+        if (java.util.Arrays.binarySearch(ts(i).positions(), p + i) < 0) ok = false
+        i += 1
+      }
+      if (ok) f += 1
+      k += 1
+    }
+    f
+  }
+
+  def advanceTo(target: Long): Long = {
+    if (doc >= target) return doc
+    var cand = target
+    while (true) {
+      // leapfrog the member cursors to a common doc >= cand
+      var maxd = cand
+      var agreed = true
+      var i = 0
+      while (i < ts.length) {
+        val d = if (ts(i).doc < maxd) ts(i).advanceTo(maxd) else ts(i).doc
+        if (d == Long.MaxValue) { doc = Long.MaxValue; return doc }
+        if (d > maxd) { maxd = d; agreed = false }
+        i += 1
+      }
+      if (!agreed) cand = maxd
+      else {
+        val f = phraseFreq()
+        if (f > 0) { doc = cand; freq = f; return doc }
+        cand += 1
+      }
+    }
+    Long.MaxValue // unreachable
+  }
+
+  def next(): Long = {
+    if (doc == Long.MaxValue) return doc
+    val t = doc + 1
+    doc = -1L // invalidate so advanceTo really advances
+    advanceTo(t)
+  }
+}
+
 final case class Hit(doc_id: Long, score: Float)
 
 /** Bounded top-k heap ordered worst-first by (score asc, docId desc) so the
@@ -159,9 +296,9 @@ object Wand {
     * @param filter  optional allowed-docs bitmap over (doc - firstDoc)
     */
   def scoreSegment(
-      should: Array[PostingCursor],
-      must: Array[PostingCursor],
-      mustNot: Array[PostingCursor],
+      should: Array[Cursor],
+      must: Array[Cursor],
+      mustNot: Array[Cursor],
       norms: Array[Byte],
       firstDoc: Long,
       filter: Option[RoaringBitmap],
@@ -173,7 +310,7 @@ object Wand {
   }
 
   private def allowed(doc: Long, firstDoc: Long, filter: Option[RoaringBitmap],
-      mustNot: Array[PostingCursor]): Boolean = {
+      mustNot: Array[Cursor]): Boolean = {
     if (filter.exists(f => !f.contains((doc - firstDoc).toInt))) return false
     var i = 0
     while (i < mustNot.length) {
@@ -185,7 +322,7 @@ object Wand {
   }
 
   /** Float32 sum of matching cursors' scores in QUERY order (bit-exact). */
-  private def scoreDoc(doc: Long, norm: Byte, cursors: Array[PostingCursor]): Float = {
+  private def scoreDoc(doc: Long, norm: Byte, cursors: Array[Cursor]): Float = {
     // cursors arrive sorted by queryPos; sum in that order
     var acc = 0f
     var i = 0
@@ -202,8 +339,8 @@ object Wand {
     * Pruning uses `sumUB < threshold` (not <=) so score-ties that could win
     * the docId tie-break are never pruned — safe for rank-identity. */
   private def bmw(
-      should: Array[PostingCursor],
-      mustNot: Array[PostingCursor],
+      should: Array[Cursor],
+      mustNot: Array[Cursor],
       norms: Array[Byte],
       firstDoc: Long,
       filter: Option[RoaringBitmap],
@@ -211,7 +348,7 @@ object Wand {
     val byQueryPos = should.sortBy(_.queryPos)
     val cursors = should.clone() // sorted by current doc below
     while (true) {
-      java.util.Arrays.sort(cursors, (a: PostingCursor, b: PostingCursor) =>
+      java.util.Arrays.sort(cursors, (a: Cursor, b: Cursor) =>
         java.lang.Long.compare(a.doc, b.doc))
       if (cursors(0).doc == Long.MaxValue) return
       val theta = top.threshold
@@ -283,9 +420,9 @@ object Wand {
   /** Leapfrog intersection over MUST terms; SHOULD terms contribute score
     * when present on a matching doc (Lucene BooleanQuery semantics). */
   private def conjunction(
-      must: Array[PostingCursor],
-      should: Array[PostingCursor],
-      mustNot: Array[PostingCursor],
+      must: Array[Cursor],
+      should: Array[Cursor],
+      mustNot: Array[Cursor],
       norms: Array[Byte],
       firstDoc: Long,
       filter: Option[RoaringBitmap],

@@ -101,26 +101,27 @@ object StreamingIndexer {
         if (b == null) { b = new PostingsBuf(); bufs.put(term, b) }
         b
       }
-      val tf = new java.util.HashMap[String, Integer]()
+      val tp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
       it.foreach { case (docId, text) =>
-        val terms = analyzer.analyze(text)
+        val (terms, tposs) = analyzer.analyzeWithPositions(text)
         val dl = terms.length
         val norm = SmallFloat.intToByte4(dl)
         val lenBuf = buf("")
         lenBuf.isLenRow = true
         lenBuf.add(docId, dl, norm)
-        tf.clear()
+        tp.clear()
         var i = 0
         while (i < terms.length) {
           val t = terms(i)
-          val prev = tf.get(t)
-          tf.put(t, if (prev == null) Integer.valueOf(1) else Integer.valueOf(prev.intValue + 1))
+          var l = tp.get(t)
+          if (l == null) { l = scala.collection.mutable.ArrayBuffer.empty[Int]; tp.put(t, l) }
+          l += tposs(i)
           i += 1
         }
-        val ts = tf.entrySet().iterator()
+        val ts = tp.entrySet().iterator()
         while (ts.hasNext) {
           val e = ts.next()
-          buf(e.getKey).add(docId, e.getValue.intValue, norm)
+          buf(e.getKey).add(docId, e.getValue.length, norm, e.getValue.toArray)
         }
       }
       val out = bufs.entrySet().iterator()

@@ -74,10 +74,13 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p.should == Vector("spark"))
   }
 
-  test("quoted multi-term clause becomes a conjunction") {
+  test("quoted multi-term clause becomes an exact phrase") {
     val p = QueryParser.parse("\"merge segments\" fast")
-    assert(p.must == Vector("merge", "segments"))
+    assert(p.phrases == Vector(graft.query.Phrase(Vector("merge", "segments"), 1)))
     assert(p.should == Vector("fast"))
+    // prefix operators carry onto the phrase clause
+    val pm = QueryParser.parse("+\"a b\" -\"c d\"")
+    assert(pm.phrases.map(_.occur) == Vector(0, 2))
   }
 
   test("stopword-only query is empty after analysis") {

@@ -41,7 +41,12 @@ class EngineSpec extends AnyFunSuite {
     "role:user spark index",   // q10 filtered
     "error -timeout",          // NOT
     "+query merge index",      // mixed MUST/SHOULD
-    "\"test build\" run",      // quoted conjunction
+    "\"test build\" run",      // SHOULD phrase + term
+    "\"the data\"",            // pure phrase (hot bigram)
+    "+\"error retry\" timeout", // MUST phrase + SHOULD term
+    "data -\"merge shuffle\"", // MUST_NOT phrase
+    "\"the a to\"",            // 3-term phrase
+    "\"qzxqzx data\"",         // phrase with an absent member
     "東京 café",               // unicode
     "error failed retry timeout commit" // wider OR
   )
@@ -140,6 +145,24 @@ class EngineSpec extends AnyFunSuite {
       val b = searcher.topKHits(q, 10).collect().map(h => (h.doc_id, h.score)).toSeq
       assert(a == b)
     }
+  }
+
+  test("phraseFreqs equals a brute-force positional count") {
+    val anal = graft.analysis.Analyzer.default
+    val freqUdf = udf((text: String) => {
+      val (ts, ps) = anal.analyzeWithPositions(text)
+      val posOf = ts.zip(ps).groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+      val a = posOf.getOrElse("the", Set.empty[Int])
+      val b = posOf.getOrElse("data", Set.empty[Int])
+      a.count(p => b.contains(p + 1))
+    })
+    val want = searcher.docs.select($"doc_id", freqUdf($"text").as("freq"))
+      .where($"freq" > 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    val got = searcher.phraseFreqs(Seq("the", "data"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "phrase frequency enumeration diverged from brute force")
+    assert(want.nonEmpty, "test corpus unexpectedly lacks the phrase")
   }
 
   test("randomized queries: engine == oracle on 40 seeded random term sets") {
