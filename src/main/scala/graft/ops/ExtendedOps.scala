@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Op.{t, dec2}
+
+/** Round-2 operator additions closing SURVEY §2 gaps: the CSV loader
+  * family, relatedness aggregation, PriorityStream, and iterative
+  * (fixpoint) graph traversal. Reference citations per op; paths relative
+  * to /root/reference/.
+  */
+object ExtendedOps {
+
+  def ops: Seq[Op] = Seq(
+
+    Op("csv_ingest",
+      "CSV loader: round-trip the region table through CSV text and parse " +
+        "it back with an explicit schema via Spark's csv datasource " +
+        "(handler/loader/CSVLoader.java, CSVLoaderBase.java) — header, " +
+        "quoting, and type coercion exercised; output equals the source " +
+        "table, which is the oracle",
+      Some("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+      (s, dir) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-csv/region-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+        t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))
+          .write.mode("overwrite").option("header", "true").option("quoteAll", "true")
+          .csv(out)
+        val schema = StructType(Seq(
+          StructField("r_regionkey", LongType),
+          StructField("r_name", StringType)))
+        s.read.option("header", "true").schema(schema).csv(out)
+          .orderBy(col("r_regionkey"))
+      }),
+
+    Op("csv_stream_parse",
+      "Csv/TsvStream: rows arriving as raw delimited TEXT parsed into " +
+        "typed columns with from_csv + explicit schema " +
+        "(solrj-streaming .../io/stream/CsvStream.java, TsvStream.java:71-91)",
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin),
+      (s, dir) => {
+        // build the raw TSV line column, then parse it back (the stream path)
+        val lines = t(s, dir, "nation")
+          .select(concat_ws("\t", col("n_nationkey"), col("n_name"), col("n_regionkey")).as("line"))
+        lines
+          .select(from_csv(col("line"),
+            StructType(Seq(
+              StructField("n_nationkey", LongType),
+              StructField("n_name", StringType),
+              StructField("n_regionkey", LongType))),
+            Map("sep" -> "\t")).as("r"))
+          .select(col("r.n_nationkey"), col("r.n_name"), col("r.n_regionkey"))
+          .orderBy(col("n_nationkey"))
+      }),
+
+    Op("agg_relatedness",
+      "relatedness aggregation: z-score of a bucket's foreground count vs " +
+        "its background rate — the semantic-knowledge-graph relatedness of " +
+        "search/facet/RelatednessAgg.java (fg = urgent orders, buckets = " +
+        "order month); computed in double with the identical expression " +
+        "shape in the DuckDB oracle, rounded 6dp",
+      Some("""WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |    CAST(count(*) AS DOUBLE) AS bg,
+             |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE) AS fg
+             |  FROM orders GROUP BY month),
+             |s AS (SELECT CAST(sum(bg) AS DOUBLE) AS bg_size, CAST(sum(fg) AS DOUBLE) AS fg_size FROM b)
+             |SELECT month, CAST(fg AS BIGINT) AS fg_count, CAST(bg AS BIGINT) AS bg_count,
+             |  round((fg - bg * (fg_size / bg_size))
+             |    / sqrt(bg * (fg_size / bg_size) * (1 - fg_size / bg_size)), 6) AS relatedness
+             |FROM b, s WHERE bg > 0 ORDER BY month""".stripMargin),
+      (s, dir) => {
+        val b = t(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(count(lit(1)).cast("double").as("bg"),
+            sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).cast("double").as("fg"))
+        val totals = b.agg(sum(col("bg")).cast("double").as("bg_size"),
+          sum(col("fg")).cast("double").as("fg_size"))
+        val p = col("fg_size") / col("bg_size")
+        b.crossJoin(broadcast(totals))
+          .where(col("bg") > 0)
+          .select(col("month"),
+            col("fg").cast("bigint").as("fg_count"),
+            col("bg").cast("bigint").as("bg_count"),
+            round((col("fg") - col("bg") * p)
+              / sqrt(col("bg") * p * (lit(1) - p)), 6).as("relatedness"))
+          .orderBy(col("month"))
+      }),
+
+    Op("priority_stream",
+      "PriorityStream: the high-priority stream's rows are emitted before " +
+        "the low-priority stream's (solrj-streaming .../io/stream/" +
+        "PriorityStream.java:37-52) — rendered as a tagged union with " +
+        "priority-major ordering",
+      Some("""SELECT * FROM (
+             |  SELECT 1 AS priority, o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+             |  UNION ALL
+             |  SELECT 2 AS priority, o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '5-LOW')
+             |ORDER BY priority, o_orderkey LIMIT 100""".stripMargin),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val hi = o.where(col("o_orderpriority") === "1-URGENT")
+          .select(lit(1).as("priority"), col("o_orderkey"), col("o_totalprice"))
+        val lo = o.where(col("o_orderpriority") === "5-LOW")
+          .select(lit(2).as("priority"), col("o_orderkey"), col("o_totalprice"))
+        hi.unionByName(lo).orderBy(col("priority"), col("o_orderkey")).limit(100)
+      }),
+
+    Op("graph_bfs_fixpoint",
+      "iterative BFS to fixpoint: min-distance frontier expansion over the " +
+        "part<->supplier bipartite graph from lineitem, depth <= 3 — the " +
+        "ShortestPathStream / GatherNodes-iterated semantics " +
+        "(solrj-streaming .../io/graph/ShortestPathStream.java:61-64); " +
+        "driver loop of whole-frontier joins (each iteration one " +
+        "distributed join, not per-node lookups); oracle is a DuckDB " +
+        "recursive CTE",
+      Some("""WITH RECURSIVE e AS (SELECT DISTINCT 'p' || l_partkey AS a, 's' || l_suppkey AS b FROM lineitem),
+             |bi AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+             |walk(node, dist) AS (
+             |  SELECT 'p0', 0
+             |  UNION ALL
+             |  SELECT bi.b, walk.dist + 1 FROM walk JOIN bi ON bi.a = walk.node WHERE walk.dist < 3),
+             |d AS (SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node)
+             |SELECT dist, count(*) AS nodes FROM d GROUP BY dist ORDER BY dist""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "lineitem")
+          .select(concat(lit("p"), col("l_partkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+          .distinct()
+        val bi = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+        var visited = Seq(("p0", 0)).toDF("node", "dist")
+        var frontier = visited
+        var depth = 0
+        while (depth < 3 && !frontier.isEmpty) {
+          depth += 1
+          val next = frontier.join(bi, col("node") === col("a"))
+            .select(col("b").as("node"), lit(depth).as("dist"))
+            .distinct()
+            .join(visited.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
+          // materialize the frontier: keeps the loop's lineage flat (each
+          // iteration is one join, not a recursive plan) — the iterate-to-
+          // fixpoint pattern; at scale use checkpoint() every few rounds
+          frontier = next.persist()
+          frontier.count()
+          visited = visited.unionByName(frontier)
+        }
+        val out = visited.groupBy(col("dist").cast("int").as("dist"))
+          .agg(count(lit(1)).as("nodes"))
+          .orderBy(col("dist"))
+        bi.unpersist()
+        out
+      })
+  )
+}

@@ -383,6 +383,20 @@ object FtsOps {
           .limit(50)
       }),
 
+    Op("fts_early_termination",
+      "query limits / early termination: per-segment scored-doc budget " +
+        "returns best-so-far (QueryLimits.java, EarlyTerminatingCollector" +
+        ".java — the doc budget is the deterministic rendering of " +
+        "timeAllowed). Deterministic but approximate by design -> " +
+        "rows-only driver check; budget=unlimited equivalence is gated in " +
+        "EngineSpec",
+      None,
+      (s, dir) => {
+        val sr = searcher(s, dir, "documents")
+        sr.topKHits(graft.query.QueryParser.parse("data query fast window"),
+          k = 10, segmentDocBudget = 40).toDF()
+      }),
+
     Op("fts_doc_count",
       "index-build artifact check: corpus doc count and summed doc length " +
         "(BM25's N and the avgdl numerator) vs a direct SQL count",

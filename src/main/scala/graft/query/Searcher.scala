@@ -92,7 +92,12 @@ final class Searcher(
   /** Top-k (doc_id, score) for a raw query string. */
   def topKHits(q: String, k: Int): Dataset[Hit] = topKHits(QueryParser.parse(q, analyzer), k)
 
-  def topKHits(parsed: ParsedQuery, k: Int): Dataset[Hit] = {
+  /** @param segmentDocBudget max docs scored per segment before early
+    *                         termination with best-so-far (the reference's
+    *                         query-limit surface, QueryLimits.java /
+    *                         EarlyTerminatingCollector.java — a doc budget
+    *                         is the deterministic rendering of timeAllowed) */
+  def topKHits(parsed: ParsedQuery, k: Int, segmentDocBudget: Int = Int.MaxValue): Dataset[Hit] = {
     val empty = spark.emptyDataset[Hit]
     if (parsed.isEmpty || k <= 0) return empty
     val dfs = termStats(parsed.allTerms)
@@ -197,7 +202,7 @@ final class Searcher(
               shouldCur.sortBy(_.queryPos).toArray,
               mustCur.sortBy(_.queryPos).toArray,
               notCur.toArray,
-              sc.norms, sc.first_doc, filter, k).iterator
+              sc.norms, sc.first_doc, filter, k, segmentDocBudget).iterator
           }
         }
     }

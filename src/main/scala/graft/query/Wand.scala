@@ -295,6 +295,12 @@ object Wand {
     * @param norms   segment norms blob, indexed by (doc - firstDoc)
     * @param filter  optional allowed-docs bitmap over (doc - firstDoc)
     */
+  /** @param docBudget max docs SCORED in this segment before terminating
+    *                   early with the best-so-far — the deterministic
+    *                   rendering of the reference's query limits
+    *                   (EarlyTerminatingCollector.java's collected-doc
+    *                   budget; QueryLimits.java / timeAllowed is the
+    *                   wall-clock variant, non-deterministic by nature) */
   def scoreSegment(
       should: Array[Cursor],
       must: Array[Cursor],
@@ -302,11 +308,17 @@ object Wand {
       norms: Array[Byte],
       firstDoc: Long,
       filter: Option[RoaringBitmap],
-      k: Int): Array[Hit] = {
+      k: Int,
+      docBudget: Int = Int.MaxValue): Array[Hit] = {
     val top = new TopK(k)
-    if (must.nonEmpty) conjunction(must, should, mustNot, norms, firstDoc, filter, top)
-    else if (should.nonEmpty) bmw(should, mustNot, norms, firstDoc, filter, top)
+    val budget = new Budget(docBudget)
+    if (must.nonEmpty) conjunction(must, should, mustNot, norms, firstDoc, filter, top, budget)
+    else if (should.nonEmpty) bmw(should, mustNot, norms, firstDoc, filter, top, budget)
     top.results
+  }
+
+  private final class Budget(var left: Int) {
+    def spend(): Boolean = { left -= 1; left >= 0 }
   }
 
   private def allowed(doc: Long, firstDoc: Long, filter: Option[RoaringBitmap],
@@ -344,7 +356,8 @@ object Wand {
       norms: Array[Byte],
       firstDoc: Long,
       filter: Option[RoaringBitmap],
-      top: TopK): Unit = {
+      top: TopK,
+      budget: Budget): Unit = {
     val byQueryPos = should.sortBy(_.queryPos)
     val cursors = should.clone() // sorted by current doc below
     while (true) {
@@ -400,6 +413,7 @@ object Wand {
         i = 0
         while (i <= p) { if (cursors(i).doc < pivot) cursors(i).advanceTo(pivot); i += 1 }
         if (allowed(pivot, firstDoc, filter, mustNot)) {
+          if (!budget.spend()) return // early termination: budget exhausted
           val norm = norms((pivot - firstDoc).toInt)
           val s = scoreDoc(pivot, norm, byQueryPos)
           top.insert(pivot, s)
@@ -426,7 +440,8 @@ object Wand {
       norms: Array[Byte],
       firstDoc: Long,
       filter: Option[RoaringBitmap],
-      top: TopK): Unit = {
+      top: TopK,
+      budget: Budget): Unit = {
     val all = (must ++ should).sortBy(_.queryPos)
     var target = must.map(_.doc).max
     while (target != Long.MaxValue) {
@@ -439,6 +454,7 @@ object Wand {
       }
       if (agreed) {
         if (allowed(target, firstDoc, filter, mustNot)) {
+          if (!budget.spend()) return // early termination: budget exhausted
           var j = 0
           while (j < should.length) {
             if (should(j).doc < target) should(j).advanceTo(target)

@@ -165,6 +165,28 @@ class EngineSpec extends AnyFunSuite {
     assert(want.nonEmpty, "test corpus unexpectedly lacks the phrase")
   }
 
+  test("early termination: unlimited budget == exact; small budget is a valid partial") {
+    for (q <- Seq("the data", "spark shuffle partition", "+query merge")) {
+      val parsed = QueryParser.parse(q)
+      val exact = searcher.topKHits(parsed, 10).collect().map(h => (h.doc_id, h.score)).toSeq
+      val unl = searcher.topKHits(parsed, 10, segmentDocBudget = Int.MaxValue)
+        .collect().map(h => (h.doc_id, h.score)).toSeq
+      assert(unl == exact, s"[$q] unlimited budget must be exact")
+      val part = searcher.topKHits(parsed, 10, segmentDocBudget = 5).collect()
+      assert(part.length <= 10)
+      // partial results are real scored docs: every hit appears in the
+      // exact full ranking of ALL matching docs with the same score
+      val full = searcher.topKHits(parsed, 100000).collect()
+        .map(h => h.doc_id -> h.score).toMap
+      part.foreach(h => assert(full.get(h.doc_id).contains(h.score),
+        s"[$q] partial hit ${h.doc_id} not a genuine scored doc"))
+      // deterministic: same budget twice -> same result
+      val part2 = searcher.topKHits(parsed, 10, segmentDocBudget = 5).collect()
+      assert(part.map(h => (h.doc_id, h.score)).toSeq ==
+        part2.map(h => (h.doc_id, h.score)).toSeq)
+    }
+  }
+
   test("randomized queries: engine == oracle on 40 seeded random term sets") {
     val rnd = new scala.util.Random(4242)
     val terms = spark.read.parquet(s"$indexDir/terms")
