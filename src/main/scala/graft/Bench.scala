@@ -71,6 +71,29 @@ object Bench {
 
   private def sec(ns: Long): Double = ns / 1e9
 
+  /** Host-health calibration: aggregate iterations of an 8-thread busy
+    * float loop over ~800ms. Only RELATIVE values within one bench run are
+    * used (storm detection). */
+  private def calibrate(threads: Int = 8, ms: Long = 800): Double = {
+    val total = new java.util.concurrent.atomic.LongAdder
+    val ts = (1 to threads).map { _ =>
+      new Thread(() => {
+        val deadline = System.nanoTime + ms * 1000000L
+        var x = 1.0
+        var n = 0L
+        while (System.nanoTime < deadline) {
+          var i = 0
+          while (i < 100000) { x = x * 1.0000001 + 1e-12; i += 1 }
+          n += 100000
+        }
+        total.add(n + (if (x == 42.0) 1 else 0)) // keep x live
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    total.sum.toDouble
+  }
+
   /** One fresh-JVM build measurement via graft.ops.ScalingProbe.
     *
     * The child is PINNED to `cores` CPUs (taskset): an honest rendering of
@@ -125,9 +148,30 @@ object Bench {
     }
 
     // ---- indexing throughput at two parallelism levels (fresh JVMs) -----
+    //
+    // Noise-aware methodology: this host shows sustained multi-minute
+    // degradation episodes (3x wall inflation, independent of our code).
+    // Each ROUND first measures a busy-loop calibration; rounds whose
+    // calibration falls >25% below the session best are skipped (cool-off).
+    // Levels run INTERLEAVED inside one quiet window, so a storm cannot
+    // poison one level's whole block. Reported value = min per level.
     if (doScaling) {
+      val good = levels.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+      val cals = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var round = 0
+      val maxRounds = reps * 4
+      while (round < maxRounds && levels.exists(l => good(l).length < reps)) {
+        round += 1
+        val cal = calibrate()
+        cals += cal
+        if (cal < 0.75 * cals.max) Thread.sleep(20000) // storm: cool off
+        else levels.foreach { lvl =>
+          if (good(lvl).length < reps)
+            childBuild(turnsPath, lvl).foreach(t => good(lvl) += t)
+        }
+      }
       val mins = levels.map { lvl =>
-        val ts = (1 to reps).flatMap(_ => childBuild(turnsPath, lvl))
+        val ts = good(lvl)
         val m = if (ts.nonEmpty) ts.min else Double.NaN
         results(s"index_build_${lvl}c_sec") = m
         results(s"index_turns_per_sec_${lvl}c") = nTurns / m
@@ -139,6 +183,8 @@ object Bench {
         results("scaling_efficiency") = (tN / t4N) / (n4.toDouble / n)
       }
       results("index_turns") = nTurns.toDouble
+      results("host_cal_best") = cals.max
+      results("host_cal_last") = cals.last
     }
 
     // ---- query latency over a dedicated index ---------------------------
@@ -159,8 +205,9 @@ object Bench {
         "w0042 w1234",                    // rare terms
         "query index score rank")
       queries.foreach(q => searcher.topKHits(q, 10).collect()) // warmup
+      queries.foreach(q => searcher.topKHits(q, 10).collect()) // warmup x2 (codegen)
       val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
-      for (_ <- 1 to 5; q <- queries) {
+      for (_ <- 1 to 10; q <- queries) {
         val t0 = System.nanoTime()
         searcher.topKHits(q, 10).collect()
         lat += sec(System.nanoTime() - t0) * 1000

@@ -36,7 +36,8 @@ final class Analyzer(stopwords: Set[String] = Set.empty) extends Serializable {
   def analyzeWithPositions(text: String): (Array[String], Array[Int]) = {
     if (text == null || text.isEmpty) return (Array.empty, Array.empty)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val poss = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var poss = new Array[Int](16) // primitive-growable: hot indexing path
+    var np = 0
     val bi = Analyzer.iter()
     bi.setText(text)
     var pos = 0
@@ -49,14 +50,16 @@ final class Analyzer(stopwords: Set[String] = Set.empty) extends Serializable {
         val tok = text.substring(start, end)
         if (stopLower.isEmpty || !stopLower.contains(tok.toLowerCase(Locale.ROOT))) {
           out += tok.toLowerCase(Locale.ROOT)
-          poss += pos
+          if (np == poss.length) poss = java.util.Arrays.copyOf(poss, np * 2)
+          poss(np) = pos
+          np += 1
         }
         pos += 1
       }
       start = end
       end = bi.next()
     }
-    (out.toArray, poss.toArray)
+    (out.toArray, java.util.Arrays.copyOf(poss, np))
   }
 }
 

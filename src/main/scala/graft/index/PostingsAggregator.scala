@@ -4,6 +4,18 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import graft.codec.PostingsCodec
 
+/** Growable primitive int buffer (no boxing — the per-token position
+  * accumulation sits on the indexing hot path). */
+final class IntBuf(var a: Array[Int] = new Array[Int](4), var n: Int = 0) {
+  def add(v: Int): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+    a(n) = v
+    n += 1
+  }
+  def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+  def clear(): Unit = n = 0
+}
+
 /** Mutable accumulation buffer for one (segment, term) posting list.
   * Kryo-encoded (opaque) — it only ever lives inside the aggregation. */
 final class PostingsBuf(

@@ -83,6 +83,30 @@ object FtsOps {
       }.toDF("ext", "term", "p")
   }
 
+  /** Double-precision BM25 top-20 over the documents index for a concrete
+    * term list (qpos = caller's term order): the driver-checkable scoring
+    * surface shared by fts_bm25_oracle / fts_wildcard / fts_fuzzy. */
+  private def bm25DoubleTopK(s: SparkSession, idx: String, qterms: Seq[String]): DataFrame = {
+    import s.implicits._
+    val qpos = qterms.zipWithIndex.toMap
+    val c = s.read.parquet(s"$idx/corpus").as[graft.index.CorpusStats].head()
+    // avgdl over tokens == sum_dl/doc_count (all docs non-empty in this
+    // corpus; the oracle derives both from the same token table)
+    val avgdl = c.sum_dl.toDouble / c.doc_count
+    val n = c.doc_count
+    val dfMap = s.read.parquet(s"$idx/terms")
+      .where(col("term").isin(qterms: _*))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val partials = textBm25Partials(s, idx, qterms, n, avgdl, dfMap)
+      .select(col("ext").as("doc_id"), col("term"), col("p"))
+      .withColumn("qp", qposCol(qpos))
+    partials.groupBy($"doc_id")
+      .agg(orderedSumUdf(collect_list(struct($"qp", $"p"))).as("sc"))
+      .select($"doc_id", round($"sc", 6).as("score"))
+      .orderBy(col("score").desc, $"doc_id")
+      .limit(20)
+  }
+
   /** Map a term column to its query position via a when-chain. */
   private def qposCol(qpos: Map[String, Int]): org.apache.spark.sql.Column =
     qpos.foldLeft(lit(-1)) { case (acc, (t, i)) =>
@@ -246,31 +270,9 @@ object FtsOps {
               |  FROM partials GROUP BY doc_id)
               |SELECT doc_id, round(sc, 6) AS score FROM scores
               |ORDER BY round(sc, 6) DESC, doc_id LIMIT 20""".stripMargin),
-      (s, dir) => {
-        import s.implicits._
-        val idx = index(s, dir, "documents")
-        val qterms = Seq("data", "query", "fast", "window")
-        val qpos = qterms.zipWithIndex.toMap
-        val c = s.read.parquet(s"$idx/corpus").as[graft.index.CorpusStats].head()
-        // avgdl over tokens == sum_dl/doc_count (all docs non-empty in this
-        // corpus; the oracle derives both from the same token table)
-        val avgdl = c.sum_dl.toDouble / c.doc_count
-        val n = c.doc_count
-        val dfMap = s.read.parquet(s"$idx/terms")
-          .where(col("term").isin(qterms: _*))
-          .select($"term", $"df").as[(String, Long)].collect().toMap
-        val idfMap = dfMap.map { case (t, df) =>
-          t -> math.log(1 + (n - df + 0.5) / (df + 0.5))
-        }
-        val partials = textBm25Partials(s, idx, qterms, n, avgdl, dfMap)
-          .select(col("ext").as("doc_id"), col("term"), col("p"))
-          .withColumn("qp", qposCol(qpos))
-        partials.groupBy($"doc_id")
-          .agg(orderedSumUdf(collect_list(struct($"qp", $"p"))).as("sc"))
-          .select($"doc_id", round($"sc", 6).as("score"))
-          .orderBy(col("score").desc, $"doc_id")
-          .limit(20)
-      }),
+      (s, dir) =>
+        bm25DoubleTopK(s, index(s, dir, "documents"),
+          Seq("data", "query", "fast", "window"))),
 
     Op("fts_edismax",
       "real edismax: analyzed multi-field BM25 with qf boosts (text^1.0, " +
@@ -395,6 +397,79 @@ object FtsOps {
         val sr = searcher(s, dir, "documents")
         sr.topKHits(graft.query.QueryParser.parse("data query fast window"),
           k = 10, segmentDocBudget = 40).toDF()
+      }),
+
+    Op("fts_wildcard",
+      "prefix wildcard f* expanded against the terms table (MultiTermQuery " +
+        "SCORING_BOOLEAN_REWRITE: every concrete term scores normally — " +
+        "SolrQueryParserBase.java wildcard path, getPrefixQuery) then " +
+        "BM25-scored in double precision; the DuckDB oracle derives the " +
+        "same expansion with LIKE and reproduces scores bit-for-bit",
+      Some(s"""WITH lut AS ($byte4LookupSql),
+              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |  FROM documents WHERE length(text) > 0),
+              |qpos AS (SELECT w, row_number() OVER (ORDER BY w) - 1 AS qp
+              |  FROM (SELECT DISTINCT w FROM toks WHERE w LIKE 'f%')),
+              |stats AS (SELECT count(DISTINCT doc_id) AS n,
+              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
+              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+              |partials AS (SELECT tf.doc_id, qpos.qp,
+              |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
+              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
+              |scores AS (SELECT doc_id, list_reduce(list(p ORDER BY qp), (a, v) -> a + v) AS sc
+              |  FROM partials GROUP BY doc_id)
+              |SELECT doc_id, round(sc, 6) AS score FROM scores
+              |ORDER BY round(sc, 6) DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val idx = index(s, dir, "documents")
+        // engine-side expansion from the terms table (index range read)
+        val qterms = s.read.parquet(s"$idx/terms")
+          .where(col("term").startsWith("f"))
+          .orderBy($"term").select($"term").as[String].collect().toSeq
+        bm25DoubleTopK(s, idx, qterms)
+      }),
+
+    Op("fts_fuzzy",
+      "fuzzy quary~1 expanded by edit distance over the vocabulary " +
+        "(Lucene FuzzyQuery semantics, SCORING_BOOLEAN_REWRITE) then " +
+        "BM25-scored in double precision; the oracle expands with DuckDB's " +
+        "levenshtein() — the identical unit-cost metric",
+      Some(s"""WITH lut AS ($byte4LookupSql),
+              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |  FROM documents WHERE length(text) > 0),
+              |qpos AS (SELECT w, row_number() OVER (ORDER BY w) - 1 AS qp
+              |  FROM (SELECT DISTINCT w FROM toks WHERE levenshtein(w, 'quary') <= 1)),
+              |stats AS (SELECT count(DISTINCT doc_id) AS n,
+              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
+              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+              |partials AS (SELECT tf.doc_id, qpos.qp,
+              |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
+              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
+              |scores AS (SELECT doc_id, list_reduce(list(p ORDER BY qp), (a, v) -> a + v) AS sc
+              |  FROM partials GROUP BY doc_id)
+              |SELECT doc_id, round(sc, 6) AS score FROM scores
+              |ORDER BY round(sc, 6) DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val idx = index(s, dir, "documents")
+        val qterms = s.read.parquet(s"$idx/terms")
+          .select($"term").as[String]
+          .filter(t => graft.query.Searcher.editDistanceAtMost(t, "quary", 1))
+          .collect().sorted.toSeq
+        bm25DoubleTopK(s, idx, qterms)
       }),
 
     Op("fts_doc_count",

@@ -48,16 +48,21 @@ object Oracle {
       .filter(_.terms.forall(t => dfMap.getOrElse(t, 0L) > 0))
     if (parsed.phrases.exists(p => p.occur == 0 && !phrasesAlive.contains(p)))
       return spark.emptyDataset[Hit]
+    val groupsAlive = parsed.groups
+      .map(g => Group(g.terms.filter(t => dfMap.getOrElse(t, 0L) > 0)))
+    if (groupsAlive.exists(_.terms.isEmpty)) return spark.emptyDataset[Hit]
     val scoringLive = scoring.filter(t => dfMap.getOrElse(t, 0L) > 0)
-    if (scoringLive.isEmpty && phrasesAlive.forall(_.occur == 2))
+    if (scoringLive.isEmpty && groupsAlive.isEmpty && phrasesAlive.forall(_.occur == 2))
       return spark.emptyDataset[Hit]
     val qpos = scoringLive.zipWithIndex.toMap
     val idfs = scoringLive.map(t => t -> bm25.idf(n, dfMap(t))).toMap
     val mustSet = parsed.must.toSet
-    val nMustTotal = parsed.must.length + phrasesAlive.count(_.occur == 0)
+    val nMustTotal = parsed.must.length + phrasesAlive.count(_.occur == 0) + groupsAlive.length
 
+    // clause boost multiplies the term's idf before scoring, like the
+    // engine's cursor construction (float multiply, same op order)
     val partial = udf((term: String, tf: Int, dl: Int) =>
-      bm25.score(tf, SmallFloat.intToByte4(dl), idfs(term), avgdl))
+      bm25.score(tf, SmallFloat.intToByte4(dl), parsed.boostOf(term) * idfs(term), avgdl))
 
     // term partials: (doc_id, qpos, partial, is_must)
     val termPartials = tf.where($"term".isin(scoringLive: _*))
@@ -101,7 +106,28 @@ object Oracle {
             lit(if (p.occur == 0) 1 else 0).as("is_must"))
       }
 
-    val allPartials = phrasePartials.foldLeft(termPartials)(_ unionByName _)
+    // MUST-group (grouped disjunction) partials: a doc matches if any live
+    // member matches; matching members' scores sum in member order
+    val groupPartials = groupsAlive.zipWithIndex.map { case (g, gi) =>
+      val gq = scoringLive.length + phrasesAlive.length + gi
+      val mIdx = g.terms.zipWithIndex.toMap
+      val mIdf = g.terms.map(t => t -> (parsed.boostOf(t) * bm25.idf(n, dfMap(t)))).toMap
+      val mPartial = udf((term: String, tf: Int, dl: Int) =>
+        bm25.score(tf, SmallFloat.intToByte4(dl), mIdf(term), avgdl))
+      val memberSum = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+        val arr = xs.map(r => (r.getInt(0), r.getFloat(1))).sortBy(_._1).map(_._2).toArray
+        bm25.sum(arr)
+      })
+      tf.where($"term".isin(g.terms: _*))
+        .join(dl, "doc_id")
+        .withColumn("mi", udf((t: String) => mIdx(t)).apply($"term"))
+        .withColumn("mp", mPartial($"term", $"tf", $"dl"))
+        .groupBy($"doc_id")
+        .agg(memberSum(collect_list(struct($"mi", $"mp"))).as("partial"))
+        .select($"doc_id", lit(gq).as("qpos"), $"partial", lit(1).as("is_must"))
+    }
+
+    val allPartials = (phrasePartials ++ groupPartials).foldLeft(termPartials)(_ unionByName _)
 
     val orderedSum = udf((xs: Seq[org.apache.spark.sql.Row]) => {
       val arr = xs.map(r => (r.getInt(0), r.getFloat(1))).sortBy(_._1).map(_._2).toArray
@@ -123,9 +149,13 @@ object Oracle {
     phrasesAlive.filter(_.occur == 2).foreach { p =>
       scored = scored.join(phraseDocs(p).select($"doc_id"), Seq("doc_id"), "left_anti")
     }
-    if (parsed.filters.nonEmpty) {
-      val cond = parsed.filters.map { case (f, v) => col(f) === lit(v) }.reduce(_ && _)
-      scored = scored.join(docs.where(cond).select($"doc_id"), Seq("doc_id"), "left_semi")
+    if (parsed.filters.nonEmpty || parsed.rangeFilters.nonEmpty) {
+      val conds = parsed.filters.map { case (f, v) => col(f) === lit(v) } ++
+        parsed.rangeFilters.map { r =>
+          if (r.inclusive) col(r.field) >= lit(r.lo) && col(r.field) <= lit(r.hi)
+          else col(r.field) > lit(r.lo) && col(r.field) < lit(r.hi)
+        }
+      scored = scored.join(docs.where(conds.reduce(_ && _)).select($"doc_id"), Seq("doc_id"), "left_semi")
     }
     scored.orderBy($"score".desc, $"doc_id".asc).limit(k).as[Hit]
   }

@@ -8,26 +8,51 @@ import graft.analysis.Analyzer
   * `solr/core/src/java/org/apache/solr/search/SolrQueryParserBase.java`):
   * bare terms are SHOULD, `+term` / `a AND b` are MUST, `-term` / `NOT term`
   * are MUST_NOT, `field:value` on non-text fields becomes a structured
-  * filter (the fq path). Terms pass through the query-time analyzer; a term
-  * the analyzer drops (stopword) vanishes from the query, like the reference.
+  * filter (the fq path), `field:[a TO b]` a structured range filter,
+  * quoted "a b" an exact phrase, `(a b)` a grouped disjunction, `term^2` a
+  * boost, `term*` a prefix multi-term, `term~1` a fuzzy multi-term. Terms
+  * pass through the query-time analyzer; a term the analyzer drops
+  * (stopword) vanishes from the query, like the reference.
   *
   * Term lists preserve query order — scoring accumulates in this order.
   */
+
 /** An exact (slop-0) phrase clause: terms must appear at consecutive
   * positions. occur: 0 = MUST, 1 = SHOULD, 2 = MUST_NOT. */
 final case class Phrase(terms: Vector[String], occur: Int)
+
+/** A MUST-grouped disjunction `+(a b ...)`: the doc must match at least one
+  * member; matching members all contribute score (BooleanQuery nesting —
+  * bare and negated groups flatten into should/mustNot instead). */
+final case class Group(terms: Vector[String])
+
+/** A multi-term clause awaiting index-time expansion: kind 0 = prefix
+  * (`body*`), kind 1 = fuzzy (`body~maxEdits`). Expanded by
+  * Searcher.expand against the terms table with Lucene's
+  * SCORING_BOOLEAN_REWRITE semantics (each concrete term scores normally). */
+final case class MultiTerm(kind: Int, body: String, maxEdits: Int, occur: Int, boost: Float)
+
+/** A structured range filter `field:[lo TO hi]` (inclusive) or `{lo TO hi}`
+  * (exclusive) on a non-text field. */
+final case class RangeFilter(field: String, lo: String, hi: String, inclusive: Boolean)
 
 final case class ParsedQuery(
     should: Vector[String],
     must: Vector[String],
     mustNot: Vector[String],
     filters: Vector[(String, String)], // (field, value) exact-match filters
-    phrases: Vector[Phrase] = Vector.empty) {
+    phrases: Vector[Phrase] = Vector.empty,
+    groups: Vector[Group] = Vector.empty,
+    boosts: Map[String, Float] = Map.empty,
+    multiTerms: Vector[MultiTerm] = Vector.empty,
+    rangeFilters: Vector[RangeFilter] = Vector.empty) {
   def allTerms: Vector[String] =
-    (must ++ should ++ mustNot ++ phrases.flatMap(_.terms)).distinct
+    (must ++ should ++ mustNot ++ phrases.flatMap(_.terms) ++ groups.flatMap(_.terms)).distinct
   def positiveClauses: Int =
-    should.length + must.length + phrases.count(_.occur != 2)
+    should.length + must.length + groups.length +
+      phrases.count(_.occur != 2) + multiTerms.count(_.occur != 2)
   def isEmpty: Boolean = positiveClauses == 0
+  def boostOf(t: String): Float = boosts.getOrElse(t, 1f)
 }
 
 object QueryParser {
@@ -38,48 +63,135 @@ object QueryParser {
   private case object Should extends Occur
   private case object Must extends Occur
   private case object MustNot extends Occur
+  private def occInt(o: Occur): Int = o match {
+    case Must => 0
+    case Should => 1
+    case MustNot => 2
+  }
 
-  private final case class Clause(occur: Occur, body: String, phrase: Boolean)
+  private final case class Clause(occur: Occur, body: String, phrase: Boolean, boost: Float)
 
-  /** Parse a flat boolean query string. Supported: bare terms (SHOULD),
-    * `+t` (MUST), `-t` (MUST_NOT), infix `AND`/`OR`/`NOT` (flat, no parens —
-    * AND promotes both neighbours to MUST, NOT negates the next clause),
-    * `field:value` filters for non-text fields, and quoted "a b" as an
-    * exact phrase (consecutive positions, slop 0). */
   def parse(q: String, analyzer: Analyzer = Analyzer.default): ParsedQuery = {
     val toks = lex(q)
-    // pass 1: clause list with unary operators resolved
     val clauses = scala.collection.mutable.ArrayBuffer.empty[Clause]
     val filters = Vector.newBuilder[(String, String)]
+    val rangeFilters = Vector.newBuilder[RangeFilter]
+    val groups = Vector.newBuilder[Group]
+    val multiTerms = Vector.newBuilder[MultiTerm]
+    val boosts = scala.collection.mutable.Map.empty[String, Float]
     var nextNegated = false
     var promoteNext = false // previous token was AND
-    toks.foreach {
-      case "AND" | "&&" =>
-        if (clauses.nonEmpty && clauses.last.occur == Should)
-          clauses(clauses.length - 1) = clauses.last.copy(occur = Must)
-        promoteNext = true
-      case "OR" | "||" => // default
-      case "NOT" | "!" => nextNegated = true
-      case tok =>
-        var occur: Occur = if (promoteNext) Must else Should
-        var body = tok
-        if (body.startsWith("+")) { occur = Must; body = body.substring(1) }
-        else if (body.startsWith("-")) { occur = MustNot; body = body.substring(1) }
-        if (nextNegated) occur = MustNot
-        val colon = body.indexOf(':')
-        if (colon > 0 && FilterFields.contains(body.substring(0, colon))) {
-          filters += ((body.substring(0, colon), body.substring(colon + 1)))
-        } else {
-          val phrase = body.startsWith("\"")
-          val text = if (phrase) body.stripPrefix("\"").stripSuffix("\"") else body
-          clauses += Clause(occur, text, phrase)
-        }
-        nextNegated = false
-        promoteNext = false
+    var i = 0
+
+    /** Strip a trailing `^boost`; returns (body, boost). */
+    def stripBoost(tok: String): (String, Float) = {
+      val caret = tok.lastIndexOf('^')
+      if (caret > 0) {
+        try { (tok.substring(0, caret), tok.substring(caret + 1).toFloat) }
+        catch { case _: NumberFormatException => (tok, 1f) }
+      } else (tok, 1f)
     }
-    // pass 2: analyze each clause, emit terms in query order; a quoted
-    // multi-term clause becomes an exact PHRASE (slop 0 — the reference's
-    // default phrase semantics, SolrQueryParserBase.java:140,355-362)
+
+    def clauseOccur(): Occur = {
+      val o = if (nextNegated) MustNot else if (promoteNext) Must else Should
+      nextNegated = false
+      promoteNext = false
+      o
+    }
+
+    def emitTerm(body0: String, occur0: Occur): Unit = {
+      var occur = occur0
+      var body = body0
+      if (body.startsWith("+")) { occur = Must; body = body.substring(1) }
+      else if (body.startsWith("-")) { occur = MustNot; body = body.substring(1) }
+      val (core0, boost) = stripBoost(body)
+      var core = core0
+      val colon = core.indexOf(':')
+      if (colon > 0 && FilterFields.contains(core.substring(0, colon))) {
+        val field = core.substring(0, colon)
+        val v = core.substring(colon + 1)
+        // range filter: field:[lo TO hi] or field:{lo TO hi}
+        if ((v.startsWith("[") && v.endsWith("]")) || (v.startsWith("{") && v.endsWith("}"))) {
+          val inclusive = v.startsWith("[")
+          val parts = v.substring(1, v.length - 1).split("\\s+TO\\s+")
+          if (parts.length == 2) rangeFilters += RangeFilter(field, parts(0), parts(1), inclusive)
+        } else filters += ((field, v))
+        return
+      }
+      val phrase = core.startsWith("\"")
+      if (phrase) {
+        clauses += Clause(occur, core.stripPrefix("\"").stripSuffix("\""), phrase = true, boost)
+        return
+      }
+      // fuzzy: term~ or term~N (N in 1..2, Lucene's max)
+      val tilde = core.lastIndexOf('~')
+      if (tilde > 0) {
+        val suffix = core.substring(tilde + 1)
+        val edits = if (suffix.isEmpty) 2 else suffix.toIntOption.getOrElse(-1)
+        if (edits >= 1 && edits <= 2) {
+          val base = analyzer.analyze(core.substring(0, tilde))
+          if (base.length == 1)
+            multiTerms += MultiTerm(1, base(0), edits, occInt(occur), boost)
+          return
+        }
+      }
+      // trailing-star prefix wildcard
+      if (core.endsWith("*") && core.length > 1 && !core.dropRight(1).contains("*")) {
+        val base = analyzer.analyze(core.dropRight(1))
+        if (base.length == 1)
+          multiTerms += MultiTerm(0, base(0), 0, occInt(occur), boost)
+        return
+      }
+      clauses += Clause(occur, core, phrase = false, boost)
+    }
+
+    while (i < toks.length) {
+      toks(i) match {
+        case "AND" | "&&" =>
+          if (clauses.nonEmpty && clauses.last.occur == Should)
+            clauses(clauses.length - 1) = clauses.last.copy(occur = Must)
+          promoteNext = true
+        case "OR" | "||" => // default
+        case "NOT" | "!" => nextNegated = true
+        case t if t == "(" || ((t.startsWith("+") || t.startsWith("-")) && t.drop(1) == "(") =>
+          // grouped disjunction: collect tokens until the matching ')'
+          val occur: Occur =
+            if (t.startsWith("+")) Must
+            else if (t.startsWith("-")) MustNot
+            else clauseOccur()
+          var j = i + 1
+          val member = Vector.newBuilder[String]
+          var hasAnd = false
+          while (j < toks.length && toks(j) != ")") {
+            toks(j) match {
+              case "AND" | "&&" => hasAnd = true
+              case "OR" | "||" => // default
+              case tok => analyzer.analyze(stripBoost(tok)._1).foreach(member += _)
+            }
+            j += 1
+          }
+          i = j
+          val ms = member.result().distinct
+          if (ms.nonEmpty) {
+            if (hasAnd) {
+              // conjunction group: distributes — each member a MUST clause
+              // (`+(a AND b)` == `+a +b`; SHOULD-level conjunction groups
+              // are promoted the same way — the supported subset)
+              ms.foreach(m => clauses += Clause(Must, m, phrase = false, 1f))
+            } else occur match {
+              case Must => groups += Group(ms) // true nested disjunction
+              case Should => ms.foreach(m => clauses += Clause(Should, m, phrase = false, 1f))
+              case MustNot => ms.foreach(m => clauses += Clause(MustNot, m, phrase = false, 1f))
+            }
+          }
+        case tok =>
+          emitTerm(tok, clauseOccur())
+      }
+      i += 1
+    }
+
+    // analyze each clause, emit terms in query order; quoted multi-term
+    // clauses become exact phrases (slop 0)
     val should = Vector.newBuilder[String]
     val must = Vector.newBuilder[String]
     val mustNot = Vector.newBuilder[String]
@@ -88,34 +200,44 @@ object QueryParser {
       val terms = analyzer.analyze(c.body).toVector
       if (terms.nonEmpty) {
         if (c.phrase && terms.length > 1) {
-          val occ = c.occur match {
-            case Must => 0
-            case Should => 1
-            case MustNot => 2
+          phrases += Phrase(terms, occInt(c.occur))
+        } else {
+          if (c.boost != 1f) terms.foreach(t => boosts(t) = c.boost)
+          c.occur match {
+            case Should  => terms.foreach(should += _)
+            case Must    => terms.foreach(must += _)
+            case MustNot => terms.foreach(mustNot += _)
           }
-          phrases += Phrase(terms, occ)
-        } else c.occur match {
-          case Should  => terms.foreach(should += _)
-          case Must    => terms.foreach(must += _)
-          case MustNot => terms.foreach(mustNot += _)
         }
       }
     }
     ParsedQuery(should.result().distinct, must.result().distinct,
-      mustNot.result().distinct, filters.result(), phrases.result())
+      mustNot.result().distinct, filters.result(), phrases.result(),
+      groups.result(), boosts.toMap, multiTerms.result(), rangeFilters.result())
   }
 
+  /** Tokenize: whitespace-split with three cohesive spans — double-quoted
+    * phrases, `[... TO ...]` / `{... TO ...}` bracket ranges (which contain
+    * spaces), and standalone parens. */
   private def lex(q: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
     val n = q.length
     val sb = new StringBuilder
     var inQuote = false
+    var inBracket = false
     def flush(): Unit = { if (sb.nonEmpty) { out += sb.toString; sb.clear() } }
     while (i < n) {
       val c = q.charAt(i)
       if (c == '"') { sb.append(c); inQuote = !inQuote; if (!inQuote) flush() }
-      else if (c.isWhitespace && !inQuote) flush()
+      else if (!inQuote && (c == '[' || c == '{')) { sb.append(c); inBracket = true }
+      else if (!inQuote && inBracket && (c == ']' || c == '}')) { sb.append(c); inBracket = false }
+      else if (!inQuote && !inBracket && (c == '(' || c == ')')) {
+        // '(' keeps a +/- prefix already in the buffer; ')' always stands alone
+        if (c == '(' && (sb.toString == "+" || sb.toString == "-")) { sb.append(c); flush() }
+        else { flush(); out += c.toString }
+      }
+      else if (c.isWhitespace && !inQuote && !inBracket) flush()
       else sb.append(c)
       i += 1
     }

@@ -55,7 +55,7 @@ final class Searcher(
   // CaffeineCache). Entries live for the searcher epoch; close() drops them.
   private val cacheEnabled = cache
   private val fqCache =
-    new java.util.concurrent.ConcurrentHashMap[Vector[(String, String)], Dataset[Searcher.SegmentCtx]]()
+    new java.util.concurrent.ConcurrentHashMap[Vector[String], Dataset[Searcher.SegmentCtx]]()
 
   /** Drop this searcher's cached tables (end of searcher epoch). */
   def close(): Unit = if (cache) {
@@ -92,13 +92,47 @@ final class Searcher(
   /** Top-k (doc_id, score) for a raw query string. */
   def topKHits(q: String, k: Int): Dataset[Hit] = topKHits(QueryParser.parse(q, analyzer), k)
 
+  /** Resolve multi-term clauses (prefix wildcard, fuzzy) against the terms
+    * table — Lucene's MultiTermQuery rewrite, using the documented
+    * SCORING_BOOLEAN_REWRITE (each concrete term scores normally), capped
+    * at MaxExpansions like the reference's BooleanQuery limit. Prefix
+    * expansion is an index-range read (term-sorted parquet + pushdown);
+    * fuzzy runs a distributed edit-distance filter over the vocabulary. */
+  def expand(parsed: ParsedQuery): ParsedQuery = {
+    if (parsed.multiTerms.isEmpty) return parsed
+    var p = parsed
+    p.multiTerms.foreach { mt =>
+      val expanded: Vector[String] = (mt.kind match {
+        case 0 =>
+          termsDF.where($"term".startsWith(mt.body))
+            .orderBy($"term").limit(Searcher.MaxExpansions)
+            .select($"term").as[String].collect()
+        case _ =>
+          val (body, maxE) = (mt.body, mt.maxEdits)
+          termsDF.select($"term").as[String]
+            .filter(t => Searcher.editDistanceAtMost(t, body, maxE))
+            .collect().sorted.take(Searcher.MaxExpansions)
+      }).toVector
+      val withBoost =
+        if (mt.boost != 1f) p.boosts ++ expanded.map(_ -> mt.boost)
+        else p.boosts
+      p = mt.occur match {
+        case 0 => p.copy(groups = p.groups :+ Group(expanded), boosts = withBoost)
+        case 1 => p.copy(should = (p.should ++ expanded).distinct, boosts = withBoost)
+        case _ => p.copy(mustNot = (p.mustNot ++ expanded).distinct, boosts = withBoost)
+      }
+    }
+    p.copy(multiTerms = Vector.empty)
+  }
+
   /** @param segmentDocBudget max docs scored per segment before early
     *                         termination with best-so-far (the reference's
     *                         query-limit surface, QueryLimits.java /
     *                         EarlyTerminatingCollector.java — a doc budget
     *                         is the deterministic rendering of timeAllowed) */
-  def topKHits(parsed: ParsedQuery, k: Int, segmentDocBudget: Int = Int.MaxValue): Dataset[Hit] = {
+  def topKHits(parsed0: ParsedQuery, k: Int, segmentDocBudget: Int = Int.MaxValue): Dataset[Hit] = {
     val empty = spark.emptyDataset[Hit]
+    val parsed = expand(parsed0)
     if (parsed.isEmpty || k <= 0) return empty
     val dfs = termStats(parsed.allTerms)
     val must = parsed.must.filter(t => dfs.getOrElse(t, 0L) > 0)
@@ -110,35 +144,46 @@ final class Searcher(
     val phrasesAlive = parsed.phrases
       .filter(_.terms.forall(t => dfs.getOrElse(t, 0L) > 0))
     if (parsed.phrases.exists(p => p.occur == 0 && !phrasesAlive.contains(p))) return empty
-    if (must.isEmpty && should.isEmpty && phrasesAlive.forall(_.occur == 2)) return empty
+    // a MUST group (grouped disjunction) needs at least one live member
+    val groupsAlive = parsed.groups
+      .map(g => Group(g.terms.filter(t => dfs.getOrElse(t, 0L) > 0)))
+    if (groupsAlive.exists(_.terms.isEmpty)) return empty
+    if (must.isEmpty && should.isEmpty && groupsAlive.isEmpty &&
+      phrasesAlive.forall(_.occur == 2)) return empty
 
-    // scoring order = MUST terms, SHOULD terms, then phrases, each in query
-    // order (fixed accumulation order for bit-exact float32 sums)
+    // scoring order = MUST terms, SHOULD terms, then phrases, then groups,
+    // each in query order (fixed accumulation order for bit-exact sums)
     val scoring = must ++ should
     val meta: Map[String, (Int, Int)] = // term -> (queryPos, occur 0=must 1=should 2=not)
       (must.zipWithIndex.map { case (t, i) => t -> (i, 0) } ++
         should.zipWithIndex.map { case (t, i) => t -> (must.length + i, 1) } ++
         mustNot.zipWithIndex.map { case (t, i) =>
-          t -> (scoring.length + phrasesAlive.length + i, 2) }).toMap
+          t -> (scoring.length + phrasesAlive.length + groupsAlive.length + i, 2) }).toMap
     // (phrase terms, occur, queryPos) — idf resolved executor-side
     val phraseMeta: Vector[(Vector[String], Int, Int)] =
       phrasesAlive.zipWithIndex.map { case (p, i) =>
         (p.terms, p.occur, scoring.length + i)
       }
+    val groupMeta: Vector[(Vector[String], Int)] =
+      groupsAlive.zipWithIndex.map { case (g, i) =>
+        (g.terms, scoring.length + phrasesAlive.length + i)
+      }
     val idfs: Map[String, Float] =
       dfs.map { case (t, df) => t -> bm25.idf(corpus.doc_count, df) }
     val cache = bm25.normCache(avgdl)
-    val bcMeta = spark.sparkContext.broadcast((meta, phraseMeta, idfs, cache))
+    val boosts = parsed.boosts
+    val bcMeta = spark.sparkContext.broadcast((meta, phraseMeta, groupMeta, idfs, boosts, cache))
 
-    val queried = (meta.keys ++ phraseMeta.flatMap(_._1)).toSeq.distinct
+    val queried = (meta.keys ++ phraseMeta.flatMap(_._1) ++ groupMeta.flatMap(_._1)).toSeq.distinct
     val rows = postings
       .where($"term".isin(queried: _*))
       .as[PostingRow]
     val ctx =
-      if (!cacheEnabled) segmentCtx(parsed.filters)
+      if (!cacheEnabled) segmentCtx(parsed.filters, parsed.rangeFilters)
       else {
         // canonical key: clause order is irrelevant to the DocSet
-        val key = parsed.filters.sorted
+        val key = (parsed.filters.map(f => s"eq:${f._1}=${f._2}") ++
+          parsed.rangeFilters.map(r => s"rg:${r.field}:${r.lo}:${r.hi}:${r.inclusive}")).sorted
         fqCache.computeIfAbsent(key, _ => {
           // bounded like the reference's CaffeineCache filterCache: evict an
           // arbitrary entry (plus its persisted DocSet) beyond capacity
@@ -146,19 +191,20 @@ final class Searcher(
             val it = fqCache.entrySet().iterator()
             if (it.hasNext) { it.next().getValue.unpersist(); it.remove() }
           }
-          val df = segmentCtx(parsed.filters)
+          val df = segmentCtx(parsed.filters, parsed.rangeFilters)
           df.persist()
           df
         })
       }
-    val hasFilter = parsed.filters.nonEmpty
+    val hasFilter = parsed.filters.nonEmpty || parsed.rangeFilters.nonEmpty
 
     val hits = rows.groupByKey(_.segment_id).cogroup(ctx.groupByKey(_.segment_id)) {
       (seg, ps, ss) =>
         if (!ss.hasNext) Iterator.empty
         else {
           val sc = ss.next()
-          val (m, pm, idfm, nc) = bcMeta.value
+          val (m, pm, gm, idfm, bst, nc) = bcMeta.value
+          def wIdf(t: String): Float = bst.getOrElse(t, 1f) * idfm(t)
           val byTerm = ps.map(pr => pr.term -> pr).toMap
           val mustCur = scala.collection.mutable.ArrayBuffer.empty[Cursor]
           val shouldCur = scala.collection.mutable.ArrayBuffer.empty[Cursor]
@@ -167,7 +213,7 @@ final class Searcher(
           m.foreach { case (term, (qpos, occ)) =>
             byTerm.get(term) match {
               case Some(pr) =>
-                val cur = new PostingCursor(pr.blocks, idfm(term), nc, qpos)
+                val cur = new PostingCursor(pr.blocks, wIdf(term), nc, qpos)
                 occ match {
                   case 0 => mustCur += cur
                   case 1 => shouldCur += cur
@@ -179,7 +225,9 @@ final class Searcher(
           pm.foreach { case (terms, occ, qpos) =>
             if (terms.forall(byTerm.contains)) {
               // fresh member cursors (cursors are stateful; a term used both
-              // standalone and inside a phrase needs independent iterators)
+              // standalone and inside a phrase needs independent iterators);
+              // phrase idf = plain sum of member idfs (boosts apply to term
+              // clauses, not phrase members)
               val members = terms.map(t =>
                 new PostingCursor(byTerm(t).blocks, idfm(t), nc, 0)).toArray
               var idfSum = 0f
@@ -191,6 +239,15 @@ final class Searcher(
                 case _ => notCur += pc
               }
             } else if (occ == 0) missingMust = true
+          }
+          gm.foreach { case (terms, qpos) =>
+            val present = terms.filter(byTerm.contains)
+            if (present.isEmpty) missingMust = true // MUST group can't match here
+            else {
+              val members = present.map(t =>
+                new PostingCursor(byTerm(t).blocks, wIdf(t), nc, 0)).toArray
+              mustCur += new DisjunctionCursor(members, qpos)
+            }
           }
           if (missingMust) Iterator.empty // a MUST clause can't match here
           else {
@@ -254,13 +311,19 @@ final class Searcher(
     * from the stored-fields table (the ProcessedFilter DocSet analogue —
     * `solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:1207,1242-1250`).
     * Filter semantics: restricts results, does NOT change corpus stats. */
-  private def segmentCtx(filters: Vector[(String, String)]): Dataset[SegmentCtx] = {
+  private def segmentCtx(filters: Vector[(String, String)],
+      ranges: Vector[RangeFilter] = Vector.empty): Dataset[SegmentCtx] = {
     val sidecar = postings.where($"term" === "")
       .select($"segment_id", $"first_doc", $"doc_count".as("num_docs"), $"norms")
-    if (filters.isEmpty)
+    if (filters.isEmpty && ranges.isEmpty)
       sidecar.withColumn("fbits", lit(null).cast("binary")).as[SegmentCtx]
     else {
-      val cond = filters.map { case (f, v) => col(f) === lit(v) }.reduce(_ && _)
+      val conds = filters.map { case (f, v) => col(f) === lit(v) } ++
+        ranges.map { r =>
+          if (r.inclusive) col(r.field) >= lit(r.lo) && col(r.field) <= lit(r.hi)
+          else col(r.field) > lit(r.lo) && col(r.field) < lit(r.hi)
+        }
+      val cond = conds.reduce(_ && _)
       // per-segment matching docIds, serialized as a bitmap relative to the
       // segment's min matching id; rebased to first_doc after the sidecar join
       val fb = docs.where(cond)
@@ -299,6 +362,35 @@ object Searcher {
   /** fq DocSet cache capacity per searcher epoch (reference: bounded
     * CaffeineCache filterCache, solrconfig.xml filterCache size). */
   val FqCacheMax = 64
+
+  /** Multi-term expansion cap (the reference's BooleanQuery clause limit
+    * role, solrconfig.xml maxBooleanClauses). */
+  val MaxExpansions = 128
+
+  /** Banded Levenshtein: true iff editDistance(a, b) <= maxEdits. Standard
+    * DP with early exit; matches DuckDB's levenshtein() definition
+    * (unit-cost insert/delete/substitute). */
+  def editDistanceAtMost(a: String, b: String, maxEdits: Int): Boolean = {
+    if (math.abs(a.length - b.length) > maxEdits) return false
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var rowMin = cur(0)
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        if (cur(j) < rowMin) rowMin = cur(j)
+        j += 1
+      }
+      if (rowMin > maxEdits) return false
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length) <= maxEdits
+  }
 
   /** Segment scoring context: norms sidecar + optional filter bitmap. */
   case class SegmentCtx(

@@ -246,6 +246,76 @@ final class PhraseCursor(
   }
 }
 
+/** Grouped disjunction `+(a b ...)` as a single MUST clause: matches when
+  * any member matches; every matching member contributes score, summed in
+  * member (query) order — Lucene's nested BooleanQuery-as-clause shape. */
+final class DisjunctionCursor(
+    members: Array[PostingCursor],
+    val queryPos: Int) extends Cursor {
+
+  val maxScore: Float = {
+    var s = 0f
+    members.foreach(s += _.maxScore)
+    s
+  }
+
+  var doc: Long = {
+    var m = Long.MaxValue
+    members.foreach(c => if (c.doc < m) m = c.doc)
+    m
+  }
+
+  def score(norm: Byte): Float = {
+    var acc = 0f
+    var i = 0
+    while (i < members.length) {
+      if (members(i).doc == doc) acc += members(i).score(norm)
+      i += 1
+    }
+    acc
+  }
+
+  def shallowTo(target: Long): Unit = members.foreach(_.shallowTo(target))
+
+  def blockMaxScore: Float = {
+    var s = 0f
+    members.foreach(s += _.blockMaxScore)
+    s
+  }
+
+  def blockLastDoc: Long = {
+    var m = Long.MaxValue
+    members.foreach(c => if (c.blockLastDoc < m) m = c.blockLastDoc)
+    m
+  }
+
+  def advanceTo(target: Long): Long = {
+    if (doc >= target) return doc
+    var m = Long.MaxValue
+    var i = 0
+    while (i < members.length) {
+      val d = if (members(i).doc < target) members(i).advanceTo(target) else members(i).doc
+      if (d < m) m = d
+      i += 1
+    }
+    doc = m
+    doc
+  }
+
+  def next(): Long = {
+    if (doc == Long.MaxValue) return doc
+    var m = Long.MaxValue
+    var i = 0
+    while (i < members.length) {
+      val d = if (members(i).doc == doc) members(i).next() else members(i).doc
+      if (d < m) m = d
+      i += 1
+    }
+    doc = m
+    doc
+  }
+}
+
 final case class Hit(doc_id: Long, score: Float)
 
 /** Bounded top-k heap ordered worst-first by (score asc, docId desc) so the

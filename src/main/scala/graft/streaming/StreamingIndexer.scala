@@ -101,7 +101,7 @@ object StreamingIndexer {
         if (b == null) { b = new PostingsBuf(); bufs.put(term, b) }
         b
       }
-      val tp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+      val tp = new java.util.HashMap[String, IntBuf]()
       it.foreach { case (docId, text) =>
         val (terms, tposs) = analyzer.analyzeWithPositions(text)
         val dl = terms.length
@@ -114,14 +114,14 @@ object StreamingIndexer {
         while (i < terms.length) {
           val t = terms(i)
           var l = tp.get(t)
-          if (l == null) { l = scala.collection.mutable.ArrayBuffer.empty[Int]; tp.put(t, l) }
-          l += tposs(i)
+          if (l == null) { l = new IntBuf(); tp.put(t, l) }
+          l.add(tposs(i))
           i += 1
         }
         val ts = tp.entrySet().iterator()
         while (ts.hasNext) {
           val e = ts.next()
-          buf(e.getKey).add(docId, e.getValue.length, norm, e.getValue.toArray)
+          buf(e.getKey).add(docId, e.getValue.n, norm, e.getValue.toArray)
         }
       }
       val out = bufs.entrySet().iterator()

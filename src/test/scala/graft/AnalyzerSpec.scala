@@ -83,6 +83,25 @@ class QueryParserSpec extends AnyFunSuite {
     assert(pm.phrases.map(_.occur) == Vector(0, 2))
   }
 
+  test("extended grammar: boosts, groups, ranges, wildcard, fuzzy") {
+    val b = QueryParser.parse("data^2 query")
+    assert(b.boosts == Map("data" -> 2f) && b.should == Vector("data", "query"))
+    val g = QueryParser.parse("+(a b) c")
+    assert(g.groups == Vector(graft.query.Group(Vector("a", "b"))) && g.should == Vector("c"))
+    val gAnd = QueryParser.parse("+(a AND b)")
+    assert(gAnd.groups.isEmpty && gAnd.must == Vector("a", "b")) // distributes
+    val bare = QueryParser.parse("(a b) c")
+    assert(bare.groups.isEmpty && bare.should == Vector("a", "b", "c"))
+    val neg = QueryParser.parse("-(a b) c")
+    assert(neg.mustNot == Vector("a", "b") && neg.should == Vector("c"))
+    val r = QueryParser.parse("role:[alpha TO beta] data")
+    assert(r.rangeFilters == Vector(graft.query.RangeFilter("role", "alpha", "beta", true)))
+    val w = QueryParser.parse("par5*")
+    assert(w.multiTerms == Vector(graft.query.MultiTerm(0, "par5", 0, 1, 1f)))
+    val f = QueryParser.parse("+term~1^2")
+    assert(f.multiTerms == Vector(graft.query.MultiTerm(1, "term", 1, 0, 2f)))
+  }
+
   test("stopword-only query is empty after analysis") {
     val stop = new Analyzer(Set("the", "a"))
     val p = QueryParser.parse("the a THE", stop)

