@@ -108,6 +108,71 @@ object ExtendedOps {
         hi.unionByName(lo).orderBy(col("priority"), col("o_orderkey")).limit(100)
       }),
 
+    Op("jdbc_ingest",
+      "JDBCStream: relational rows pulled over JDBC as a partitioned " +
+        "parallel read (solrj-streaming .../io/stream/JDBCStream.java) — " +
+        "the nation table round-trips through an embedded Derby database " +
+        "and is read back with spark.read.jdbc using partitionColumn " +
+        "splits (4 concurrent connections); oracle is the source table",
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin),
+      (s, dir) => {
+        val db = s"${System.getProperty("java.io.tmpdir")}/graft-derby/db-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+        val url = s"jdbc:derby:$db;create=true"
+        val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+        t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"),
+            col("n_regionkey").cast("long"))
+          .write.format("jdbc")
+          .option("url", url).option("driver", driver)
+          .option("dbtable", "nation")
+          .option("createTableColumnTypes", "n_name VARCHAR(128)")
+          .mode("overwrite").save()
+        s.read.format("jdbc")
+          .option("url", url).option("driver", driver)
+          .option("dbtable", "nation")
+          .option("partitionColumn", "n_nationkey")
+          .option("lowerBound", "0").option("upperBound", "25")
+          .option("numPartitions", "4")
+          .load()
+          .orderBy(col("n_nationkey"))
+      }),
+
+    Op("fts_synonym",
+      "query-time synonym expansion (SynonymGraphFilter in text_general's " +
+        "query analyzer, managed-schema.xml:312): 'big data' with thesaurus " +
+        "big => big, small expands through the parser and scores in double " +
+        "precision (sum-scored SCORING_BOOLEAN rendering of SynonymQuery); " +
+        "the oracle scores the expanded concrete term list",
+      Some(s"""WITH lut AS (${FtsOps.byte4LookupSqlPublic}),
+              |qpos AS (SELECT * FROM (VALUES ('big', 0), ('small', 1), ('data', 2)) t(w, qp)),
+              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |  FROM documents WHERE length(text) > 0),
+              |stats AS (SELECT count(DISTINCT doc_id) AS n,
+              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
+              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+              |partials AS (SELECT tf.doc_id, qpos.qp,
+              |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
+              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
+              |scores AS (SELECT doc_id, list_reduce(list(p ORDER BY qp), (a, v) -> a + v) AS sc
+              |  FROM partials GROUP BY doc_id)
+              |SELECT doc_id, round(sc, 6) AS score FROM scores
+              |ORDER BY round(sc, 6) DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        // the expanded term list comes from the PARSER's synonym rewrite so
+        // this op pins the whole query-analysis path, not just the scorer
+        val synonyms = Map("big" -> Seq("small")) // test thesaurus (config)
+        val parsed = graft.query.QueryParser.parseWithSynonyms("big data", synonyms)
+        FtsOps.bm25DoubleTopKPublic(s, FtsOps.index(s, dir, "documents"), parsed.should)
+      }),
+
     Op("graph_bfs_fixpoint",
       "iterative BFS to fixpoint: min-distance frontier expansion over the " +
         "part<->supplier bipartite graph from lineitem, depth <= 3 — the " +

@@ -83,6 +83,13 @@ object FtsOps {
       }.toDF("ext", "term", "p")
   }
 
+  /** byte4 quantization LUT SQL, shared with ops outside this object. */
+  def byte4LookupSqlPublic: String = byte4LookupSql
+
+  /** [[bm25DoubleTopK]] for ops outside this object. */
+  def bm25DoubleTopKPublic(s: SparkSession, idx: String, qterms: Seq[String]): DataFrame =
+    bm25DoubleTopK(s, idx, qterms)
+
   /** Double-precision BM25 top-20 over the documents index for a concrete
     * term list (qpos = caller's term order): the driver-checkable scoring
     * surface shared by fts_bm25_oracle / fts_wildcard / fts_fuzzy. */

@@ -59,6 +59,28 @@ object QueryParser {
 
   private val FilterFields = Set("role", "tool", "conv_id")
 
+  /** Query-time synonym expansion (the query analyzer's SynonymGraphFilter
+    * in the reference's text_general chain, managed-schema.xml:312;
+    * synonyms.txt is user config). A term with synonyms becomes: SHOULD →
+    * the term plus its synonyms as SHOULD clauses (sum-scoring — the
+    * SCORING_BOOLEAN rendering of SynonymQuery; blended-df is a documented
+    * divergence); MUST → a grouped disjunction; MUST_NOT → all expansions
+    * excluded. Synonym terms pass through the analyzer. */
+  def parseWithSynonyms(q: String, synonyms: Map[String, Seq[String]],
+      analyzer: Analyzer = Analyzer.default): ParsedQuery = {
+    val p = parse(q, analyzer)
+    if (synonyms.isEmpty) return p
+    def expandList(ts: Vector[String]): Vector[String] =
+      ts.flatMap(t => t +: synonyms.getOrElse(t, Seq.empty)
+        .flatMap(s => analyzer.analyze(s)).toVector).distinct
+    val (withSyn, without) = p.must.partition(t => synonyms.contains(t))
+    p.copy(
+      should = expandList(p.should),
+      must = without,
+      groups = p.groups ++ withSyn.map(t => Group(expandList(Vector(t)))),
+      mustNot = expandList(p.mustNot))
+  }
+
   private sealed trait Occur
   private case object Should extends Occur
   private case object Must extends Occur

@@ -198,6 +198,17 @@ class EngineSpec extends AnyFunSuite {
     assert(boosted.head.score > plain.head.score * 0.99f)
   }
 
+  test("query-time synonyms expand like the hand-written query") {
+    val syn = Map("error" -> Seq("timeout"))
+    val p = QueryParser.parseWithSynonyms("error retry", syn)
+    assert(p.should == Vector("error", "timeout", "retry"))
+    val pm = QueryParser.parseWithSynonyms("+error retry", syn)
+    assert(pm.groups == Vector(graft.query.Group(Vector("error", "timeout"))))
+    val a = searcher.topKHits(p, 10).collect().toSeq
+    val b = searcher.topKHits(QueryParser.parse("error timeout retry"), 10).collect().toSeq
+    assert(a == b, "synonym expansion diverged from the hand-expanded query")
+  }
+
   test("early termination: unlimited budget == exact; small budget is a valid partial") {
     for (q <- Seq("the data", "spark shuffle partition", "+query merge")) {
       val parsed = QueryParser.parse(q)
