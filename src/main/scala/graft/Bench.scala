@@ -119,8 +119,13 @@ object Bench {
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes())
     p.waitFor()
+    "cpu=([0-9.]+)s".r.findFirstMatchIn(out)
+      .foreach(m => lastCpuSec = m.group(1).toDouble)
     "min=([0-9.]+)s".r.findFirstMatchIn(out).map(_.group(1).toDouble)
   }
+
+  /** CPU task-seconds of the last childBuild (auxiliary scaling metric). */
+  private var lastCpuSec: Double = Double.NaN
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -156,7 +161,7 @@ object Bench {
     // Levels run INTERLEAVED inside one quiet window, so a storm cannot
     // poison one level's whole block. Reported value = min per level.
     if (doScaling) {
-      val good = levels.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+      val good = levels.map(_ -> scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]).toMap
       val cals = scala.collection.mutable.ArrayBuffer.empty[Double]
       var round = 0
       val maxRounds = reps * 4
@@ -167,14 +172,15 @@ object Bench {
         if (cal < 0.75 * cals.max) Thread.sleep(20000) // storm: cool off
         else levels.foreach { lvl =>
           if (good(lvl).length < reps)
-            childBuild(turnsPath, lvl).foreach(t => good(lvl) += t)
+            childBuild(turnsPath, lvl).foreach(t => good(lvl) += ((t, lastCpuSec)))
         }
       }
       val mins = levels.map { lvl =>
         val ts = good(lvl)
-        val m = if (ts.nonEmpty) ts.min else Double.NaN
+        val (m, cpu) = if (ts.nonEmpty) ts.minBy(_._1) else (Double.NaN, Double.NaN)
         results(s"index_build_${lvl}c_sec") = m
         results(s"index_turns_per_sec_${lvl}c") = nTurns / m
+        if (!cpu.isNaN) results(s"index_cpu_${lvl}c_sec") = cpu
         lvl -> m
       }
       if (mins.length == 2) {

@@ -56,16 +56,26 @@ object ScalingProbe {
       IndexBuilder.build(s, turns.limit(20000), s"$base/warm-$spec-${System.nanoTime()}",
         IndexBuilder.Config(numSegments = 16))
       val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
+      // task CPU time per build: the host-noise-robust auxiliary metric
+      // (wall is the headline; CPU time shows the compute actually done)
+      val cpuNs = new java.util.concurrent.atomic.AtomicLong()
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+      })
       val times = (1 to reps).map { _ =>
         val dir = s"$base/idx-$spec-${System.nanoTime()}"
+        val c0 = cpuNs.get()
         val t0 = System.nanoTime()
         IndexBuilder.build(s, turns, dir, IndexBuilder.Config(numSegments = 64))
         val dt = (System.nanoTime() - t0) / 1e9
         org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
           .delete(new org.apache.hadoop.fs.Path(dir), true)
-        dt
+        (dt, (cpuNs.get() - c0) / 1e9)
       }
-      println(f"[probe] spec=$spec%-6s min=${times.min}%.2fs all=${times.map(t => f"$t%.1f").mkString(",")}")
+      val best = times.minBy(_._1)
+      println(f"[probe] spec=$spec%-6s min=${best._1}%.2fs cpu=${best._2}%.2fs " +
+        f"all=${times.map(t => f"${t._1}%.1f").mkString(",")}")
       s.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
