@@ -197,9 +197,10 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1") locally {
       val s = session(16)
       val idxDir = s"${workDir("")}/qidx-$numConvs"
-      if (!new java.io.File(s"$idxDir/corpus/_SUCCESS").exists())
-        graft.index.IndexBuilder.build(s, s.read.parquet(turnsPath), idxDir,
-          graft.index.IndexBuilder.Config(numSegments = 32))
+      // build() is resume-aware AND layout-version-aware: a complete
+      // current-layout index is a no-op, a stale-schema cache is wiped
+      graft.index.IndexBuilder.build(s, s.read.parquet(turnsPath), idxDir,
+        graft.index.IndexBuilder.Config(numSegments = 32))
       val searcher = new Searcher(s, idxDir)
       val queries = Seq(
         "the data",                       // hot terms (WAND stress)

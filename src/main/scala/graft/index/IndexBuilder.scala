@@ -56,8 +56,20 @@ object IndexBuilder {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** On-disk layout version; bump on PostingRow/Block schema changes. An
+    * index without the current marker is STALE (e.g. pre-positions blocks)
+    * and gets wiped + rebuilt instead of resumed — resuming across a
+    * schema change would poison every reader with FIELD_NOT_FOUND. */
+  val LayoutVersion = 2
+
   def build(spark: SparkSession, turns: DataFrame, dir: String, cfg: Config = Config()): BuildResult = {
     import spark.implicits._
+    val fsRoot = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/layout-v$LayoutVersion")
+    if (fs.exists(fsRoot) && !fs.exists(marker)) fs.delete(fsRoot, true)
+    fs.mkdirs(fsRoot)
+    if (!fs.exists(marker)) fs.create(marker).close()
     val done = completedSteps(spark, dir)
     var skipped = 0
 

@@ -63,6 +63,10 @@ object IndexMerger {
     Seq(LineageRow("merge", 0, target, 0L, 0L, 0L,
       new java.sql.Timestamp(System.currentTimeMillis())))
       .toDS().write.mode("overwrite").parquet(s"$outDir/lineage")
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$outDir/layout-v${IndexBuilder.LayoutVersion}")).close()
   }
 
   /** Sort-merge union of one term's rows from adjacent segments: block

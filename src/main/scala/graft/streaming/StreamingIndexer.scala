@@ -66,6 +66,11 @@ object StreamingIndexer {
     fs.delete(staging, true)
 
     val hasIndex = fs.exists(new Path(s"$indexDir/corpus"))
+    val marker = new Path(s"$indexDir/layout-v${IndexBuilder.LayoutVersion}")
+    if (hasIndex && !fs.exists(marker))
+      throw new IllegalStateException(
+        s"$indexDir has a stale index layout; rebuild before streaming appends")
+    if (!fs.exists(marker)) { fs.mkdirs(new Path(indexDir)); fs.create(marker).close() }
     val (baseDoc, baseSeg) =
       if (!hasIndex) (0L, 0)
       else {
