@@ -201,10 +201,14 @@ object ExtendedOps {
         var depth = 0
         while (depth < 3 && !frontier.isEmpty) {
           depth += 1
-          val next = frontier.join(bi, col("node") === col("a"))
+          // frontier and visited are node-sized (small); broadcasting them
+          // keeps each iteration a single scan of the persisted edge table
+          // instead of re-shuffling all edges every round
+          val next = bi.join(broadcast(frontier), col("node") === col("a"))
             .select(col("b").as("node"), lit(depth).as("dist"))
             .distinct()
-            .join(visited.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
+            .join(broadcast(visited.select(col("node").as("seen"))),
+              col("node") === col("seen"), "left_anti")
           // materialize the frontier: keeps the loop's lineage flat (each
           // iteration is one join, not a recursive plan) — the iterate-to-
           // fixpoint pattern; at scale use checkpoint() every few rounds
