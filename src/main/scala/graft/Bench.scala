@@ -99,14 +99,21 @@ object Bench {
     * The child is PINNED to `cores` CPUs (taskset): an honest rendering of
     * an N-core executor. Without pinning, a local[4] JVM on a 32-core host
     * silently runs its GC/JIT/IO threads on the other 28 cores, inflating
-    * the small-N throughput and deflating measured scaling efficiency. */
+    * the small-N throughput and deflating measured scaling efficiency.
+    *
+    * Heap scales WITH cores (1.5 GiB/core): the north rule's N -> 4N is
+    * adding executors, and a real 4N-executor cluster has 4x the aggregate
+    * memory — per-executor (per-core) memory stays constant. A fixed total
+    * heap at both levels would instead model one machine re-partitioned,
+    * under-provisioning the high-parallelism level 4x. */
   private def childBuild(turnsPath: String, cores: Int): Option[Double] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val pin =
       if (new java.io.File("/usr/bin/taskset").exists())
         Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
       else Seq.empty
-    val cmd = (pin ++ Seq(javaBin, "-Xmx24g") ++ addOpens ++ Seq(
+    val heapGb = (1.5 * cores).toInt.max(3)
+    val cmd = (pin ++ Seq(javaBin, s"-Xmx${heapGb}g") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.ops.ScalingProbe", turnsPath, cores.toString)).toArray

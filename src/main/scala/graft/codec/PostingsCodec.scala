@@ -140,6 +140,60 @@ object PostingsCodec {
     blocks.toArray
   }
 
+  /** Flat-positions encode: entry i's positions are the next `tfs(i)` values
+    * of `flatPos` (concatenated in entry order; extra capacity beyond the
+    * sum of tfs is ignored). Pass null for an index without positions.
+    *
+    * This is the indexing hot path: the builder's per-term accumulation
+    * keeps positions in ONE primitive array per term instead of one small
+    * Array[Int] per posting entry — millions of tiny heap objects per task
+    * otherwise put G1 into multi-second evacuation pauses at high
+    * parallelism (measured: 813s GC / 689s CPU on the postings stage at
+    * local[16] with the per-entry layout). */
+  def encodeFlat(docs: Array[Long], tfs: Array[Int], norms: Array[Byte],
+      flatPos: Array[Int]): Array[Block] = {
+    val n = docs.length
+    require(tfs.length == n && norms.length == n)
+    if (n == 0) return Array.empty
+    val blocks = ArrayBuffer.empty[Block]
+    var start = 0
+    var p = 0 // running cursor into flatPos
+    while (start < n) {
+      val end = math.min(start + BlockSize, n)
+      val gapBuf = new ArrayBuffer[Byte]((end - start) * 2)
+      val tfBuf = new ArrayBuffer[Byte](end - start)
+      val posBuf = new ArrayBuffer[Byte](if (flatPos == null) 0 else (end - start) * 2)
+      var maxTf = 0
+      var minNorm = 0xff
+      var i = start
+      while (i < end) {
+        if (i > start) {
+          val gap = docs(i) - docs(i - 1)
+          require(gap > 0, s"docIds must be strictly ascending at $i")
+          writeVLong(gap, gapBuf)
+        }
+        writeVLong(tfs(i).toLong, tfBuf)
+        if (flatPos != null) {
+          var j = 0
+          while (j < tfs(i)) {
+            writeVLong(if (j == 0) flatPos(p).toLong
+              else (flatPos(p) - flatPos(p - 1)).toLong, posBuf)
+            j += 1
+            p += 1
+          }
+        }
+        if (tfs(i) > maxTf) maxTf = tfs(i)
+        val u = java.lang.Byte.toUnsignedInt(norms(i))
+        if (u < minNorm) minNorm = u
+        i += 1
+      }
+      blocks += Block(docs(start), docs(end - 1), end - start,
+        gapBuf.toArray, tfBuf.toArray, maxTf, minNorm.toByte, posBuf.toArray)
+      start = end
+    }
+    blocks.toArray
+  }
+
   /** Decode a block's per-entry token positions (empty outer array if the
     * block carries none). Requires the block's tfs. */
   def decodePositions(b: Block): Array[Array[Int]] = {

@@ -300,22 +300,30 @@ object IndexBuilder {
           val ts = tp.entrySet().iterator()
           while (ts.hasNext) {
             val e = ts.next()
-            buf(seg, e.getKey).add(docId, e.getValue.n, norm, e.getValue.toArray)
+            buf(seg, e.getKey).addPos(docId, norm, e.getValue)
           }
         }
-        val out = bufs.entrySet().iterator()
+        // emit in (term, segment) order SORTED IN-TASK: rows flow straight to
+        // the parquet writer with tight row-group stats for term pushdown,
+        // WITHOUT a sortWithinPartitions — Spark's sorter would buffer a
+        // second, full copy of the compressed segment per task (measured as
+        // half the postings stage's live heap at local[16]). Each buf is
+        // dropped from the map as it is consumed, so peak memory is the raw
+        // accumulation map alone.
+        val keys = bufs.keySet().toArray(new Array[(Int, String)](0))
+        java.util.Arrays.sort(keys, Ordering.by((k: (Int, String)) => (k._2, k._1)))
         new Iterator[PostingRow] {
-          def hasNext = out.hasNext
+          var i = 0
+          def hasNext = i < keys.length
           def next() = {
-            val e = out.next()
-            val (seg, term) = e.getKey
-            PostingsAggregator.finish(e.getValue).withKey(seg, term)
+            val k = keys(i)
+            i += 1
+            val b = bufs.remove(k)
+            PostingsAggregator.finish(b).withKey(k._1, k._2)
           }
         }
       }
-    rows
-      .sortWithinPartitions($"term", $"segment_id") // tight row-group stats for term pushdown
-      .write.mode("append").parquet(s"$dir/postings")
+    rows.write.mode("append").parquet(s"$dir/postings")
   }
 
   private def now() = new Timestamp(System.currentTimeMillis())

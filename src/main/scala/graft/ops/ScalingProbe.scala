@@ -59,15 +59,32 @@ object ScalingProbe {
       // task CPU time per build: the host-noise-robust auxiliary metric
       // (wall is the headline; CPU time shows the compute actually done)
       val cpuNs = new java.util.concurrent.atomic.AtomicLong()
+      // per-stage wall/cpu/gc/spill breakdown (GRAFT_PROBE_STAGES=1): pins
+      // down WHERE a parallelism level burns extra CPU (gc pressure, spill,
+      // shuffle) instead of a single opaque total
+      val stageDetail = sys.env.contains("GRAFT_PROBE_STAGES")
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (te.taskMetrics != null) cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          if (stageDetail && sc.stageInfo.taskMetrics != null) {
+            val m = sc.stageInfo.taskMetrics
+            val si = sc.stageInfo
+            println(f"[stage] id=${si.stageId}%-4d tasks=${si.numTasks}%-4d " +
+              f"wall=${(si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3}%8.2fs " +
+              f"taskTime=${m.executorRunTime / 1e3}%9.2fs cpu=${m.executorCpuTime / 1e9}%9.2fs " +
+              f"gc=${m.jvmGCTime / 1e3}%7.2fs spill=${m.memoryBytesSpilled / 1e6}%.0fMB " +
+              f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.0fMB " +
+              f"  ${si.name.take(60)}")
+          }
       })
+      val numSegments = sys.env.getOrElse("GRAFT_PROBE_SEGMENTS", "64").toInt
       val times = (1 to reps).map { _ =>
         val dir = s"$base/idx-$spec-${System.nanoTime()}"
         val c0 = cpuNs.get()
         val t0 = System.nanoTime()
-        IndexBuilder.build(s, turns, dir, IndexBuilder.Config(numSegments = 64))
+        IndexBuilder.build(s, turns, dir, IndexBuilder.Config(numSegments = numSegments))
         val dt = (System.nanoTime() - t0) / 1e9
         org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
           .delete(new org.apache.hadoop.fs.Path(dir), true)

@@ -126,7 +126,7 @@ object StreamingIndexer {
         val ts = tp.entrySet().iterator()
         while (ts.hasNext) {
           val e = ts.next()
-          buf(e.getKey).add(docId, e.getValue.n, norm, e.getValue.toArray)
+          buf(e.getKey).addPos(docId, norm, e.getValue)
         }
       }
       val out = bufs.entrySet().iterator()
