@@ -101,19 +101,25 @@ object Bench {
     * silently runs its GC/JIT/IO threads on the other 28 cores, inflating
     * the small-N throughput and deflating measured scaling efficiency.
     *
-    * Heap scales WITH cores (1.5 GiB/core): the north rule's N -> 4N is
-    * adding executors, and a real 4N-executor cluster has 4x the aggregate
-    * memory — per-executor (per-core) memory stays constant. A fixed total
-    * heap at both levels would instead model one machine re-partitioned,
-    * under-provisioning the high-parallelism level 4x. */
+    * Heap scales WITH cores (512 MiB/core, floor 2g): the north rule's
+    * N -> 4N is adding executors, and a real 4N-executor cluster has 4x the
+    * aggregate memory — per-executor (per-core) memory stays constant. The
+    * heap is FIXED (Xms=Xmx) and PRE-TOUCHED, with the throughput
+    * (Parallel) collector: on this virtualized sandbox the hypervisor
+    * re-materializes guest pages on demand, and a large, lazily-committed,
+    * G1-shrink/grow heap turns that into minutes of phantom guest "sy"
+    * time (measured: identical 16-core builds 21s with a fixed pre-touched
+    * 8g Parallel heap vs 105-172s with a lazy 24g G1 heap). Small fixed
+    * heaps are also what the flat-positions posting build actually needs. */
   private def childBuild(turnsPath: String, cores: Int): Option[Double] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val pin =
       if (new java.io.File("/usr/bin/taskset").exists())
         Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
       else Seq.empty
-    val heapGb = (1.5 * cores).toInt.max(3)
-    val cmd = (pin ++ Seq(javaBin, s"-Xmx${heapGb}g") ++ addOpens ++ Seq(
+    val heapMb = (512 * cores).max(2048)
+    val cmd = (pin ++ Seq(javaBin, s"-Xms${heapMb}m", s"-Xmx${heapMb}m",
+      "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.ops.ScalingProbe", turnsPath, cores.toString)).toArray
@@ -174,12 +180,15 @@ object Bench {
       val maxRounds = reps * 4
       while (round < maxRounds && levels.exists(l => good(l).length < reps)) {
         round += 1
-        val cal = calibrate()
-        cals += cal
-        if (cal < 0.75 * cals.max) Thread.sleep(20000) // storm: cool off
-        else levels.foreach { lvl =>
-          if (good(lvl).length < reps)
-            childBuild(turnsPath, lvl).foreach(t => good(lvl) += ((t, lastCpuSec)))
+        levels.foreach { lvl =>
+          if (good(lvl).length < reps) {
+            // gate EVERY build, not just the round: steal storms here last
+            // minutes, shorter than one 4c+16c round
+            val cal = calibrate()
+            cals += cal
+            if (cal < 0.75 * cals.max) Thread.sleep(20000) // storm: cool off
+            else childBuild(turnsPath, lvl).foreach(t => good(lvl) += ((t, lastCpuSec)))
+          }
         }
       }
       val mins = levels.map { lvl =>
