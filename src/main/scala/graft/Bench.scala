@@ -154,14 +154,31 @@ object Bench {
     val t00 = System.nanoTime()
 
     // ---- corpus setup (untimed): deterministic transcripts on tmpfs -----
+    //
+    // The SCALING corpus is larger than the query-latency corpus: at 200k
+    // convs a 16-core build finishes in ~21s and per-job fixed costs
+    // (stage scheduling, parquet commits — ~9s, Amdahl-fit from the
+    // 4c/16c pair) dominate the ratio, understating the efficiency that
+    // the same code exhibits at the 10^12-turn target where those costs
+    // are noise. 500k convs (~23M turns) keeps rounds short while pushing
+    // fixed costs under ~15% of the 16c wall.
+    val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "500000").toLong
     val turnsPath = s"${workDir("")}/turns-$numConvs"
+    val scalePath = s"${workDir("")}/turns-$scaleConvs"
     var nTurns = 0L
+    var nScaleTurns = 0L
     locally {
       val s = session(16)
       if (!new java.io.File(s"$turnsPath/_SUCCESS").exists())
         TranscriptGen.generate(s, numConvs).toDF()
           .write.mode("overwrite").parquet(turnsPath)
       nTurns = s.read.parquet(turnsPath).count()
+      if (doScaling) {
+        if (!new java.io.File(s"$scalePath/_SUCCESS").exists())
+          TranscriptGen.generate(s, scaleConvs).toDF()
+            .write.mode("overwrite").parquet(scalePath)
+        nScaleTurns = s.read.parquet(scalePath).count()
+      }
       stopSession(s)
     }
 
@@ -187,7 +204,16 @@ object Bench {
             val cal = calibrate()
             cals += cal
             if (cal < 0.75 * cals.max) Thread.sleep(20000) // storm: cool off
-            else childBuild(turnsPath, lvl).foreach(t => good(lvl) += ((t, lastCpuSec)))
+            else {
+              val t = childBuild(scalePath, lvl)
+              // post-build gate: a storm that STARTS mid-build passes the
+              // pre-gate but inflates the measurement — discard the rep if
+              // the host is degraded right after it finishes
+              val post = calibrate()
+              cals += post
+              if (post >= 0.75 * cals.max)
+                t.foreach(x => good(lvl) += ((x, lastCpuSec)))
+            }
           }
         }
       }
@@ -195,7 +221,7 @@ object Bench {
         val ts = good(lvl)
         val (m, cpu) = if (ts.nonEmpty) ts.minBy(_._1) else (Double.NaN, Double.NaN)
         results(s"index_build_${lvl}c_sec") = m
-        results(s"index_turns_per_sec_${lvl}c") = nTurns / m
+        results(s"index_turns_per_sec_${lvl}c") = nScaleTurns / m
         if (!cpu.isNaN) results(s"index_cpu_${lvl}c_sec") = cpu
         lvl -> m
       }
@@ -204,7 +230,7 @@ object Bench {
         val (n4, t4N) = mins.last
         results("scaling_efficiency") = (tN / t4N) / (n4.toDouble / n)
       }
-      results("index_turns") = nTurns.toDouble
+      results("index_turns") = nScaleTurns.toDouble
       results("host_cal_best") = cals.max
       results("host_cal_last") = cals.last
     }

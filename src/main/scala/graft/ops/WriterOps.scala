@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Op.{t, dec2}
+
+/** Round-2 additions closing the last SURVEY §2 coverage rows that had no
+  * registry entry: response writers (JSON/CSV sinks), interval facets,
+  * nested pivot drill-down, ReducerStream grouped payloads, the Let/Get/
+  * Tup/Echo stream-decorator family, and doc transformers. Reference
+  * citations per op; paths relative to /root/reference/.
+  */
+object WriterOps {
+
+  private def outDir(kind: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-writer/$kind-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+
+  def ops: Seq[Op] = Seq(
+
+    Op("writer_json",
+      "JSON response writer: a computed result page (top-50 customers by " +
+        "balance) serialized through the JSON sink and parsed back with an " +
+        "explicit schema — the /select?wt=json path " +
+        "(solr/core/src/java/org/apache/solr/response/JSONResponseWriter.java, " +
+        "JacksonJsonWriter.java); oracle is the query itself",
+      Some("""SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+             |FROM customer ORDER BY bal DESC, c_custkey LIMIT 50""".stripMargin),
+      (s, dir) => {
+        val res = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), dec2(col("c_acctbal")).as("bal"))
+          .orderBy(col("bal").desc, col("c_custkey")).limit(50)
+        val out = outDir("json", dir)
+        res.write.mode("overwrite").json(out)
+        s.read.schema(res.schema).json(out)
+          .orderBy(col("bal").desc, col("c_custkey"))
+      }),
+
+    Op("writer_csv",
+      "CSV response writer: an aggregated result exported as quoted CSV " +
+        "with header and read back typed — the /select?wt=csv path " +
+        "(solr/core/src/java/org/apache/solr/response/CSVResponseWriter.java); " +
+        "oracle is the aggregation itself",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             |  count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, dir) => {
+        val res = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+            count(lit(1)).as("cnt"))
+        val out = outDir("csv", dir)
+        res.write.mode("overwrite")
+          .option("header", "true").option("quoteAll", "true").csv(out)
+        s.read.option("header", "true").schema(res.schema).csv(out)
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      }),
+
+    Op("facet_intervals",
+      "interval facets: arbitrary (overlapping allowed) intervals over a " +
+        "numeric field, each doc counted in EVERY interval containing it — " +
+        "facet.interval semantics " +
+        "(solr/core/src/java/org/apache/solr/request/IntervalFacets.java); " +
+        "rendered as one filtered count per interval, unioned in spec order",
+      Some("""SELECT * FROM (
+             |  SELECT 0 AS ord, '(*,0)'        AS interval, count(*) FILTER (WHERE c_acctbal < 0) AS cnt FROM customer
+             |  UNION ALL
+             |  SELECT 1, '[0,1000)',    count(*) FILTER (WHERE c_acctbal >= 0 AND c_acctbal < 1000) FROM customer
+             |  UNION ALL
+             |  SELECT 2, '[1000,5000)', count(*) FILTER (WHERE c_acctbal >= 1000 AND c_acctbal < 5000) FROM customer
+             |  UNION ALL
+             |  SELECT 3, '[0,5000)',    count(*) FILTER (WHERE c_acctbal >= 0 AND c_acctbal < 5000) FROM customer
+             |  UNION ALL
+             |  SELECT 4, '[5000,*]',    count(*) FILTER (WHERE c_acctbal >= 5000) FROM customer)
+             |ORDER BY ord""".stripMargin),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val bal = col("c_acctbal")
+        // (label, predicate) in request order; intervals 2 and 3 overlap on
+        // purpose — the defining difference vs range facets' disjoint buckets
+        val spec: Seq[(Int, String, org.apache.spark.sql.Column)] = Seq(
+          (0, "(*,0)", bal < 0),
+          (1, "[0,1000)", bal >= 0 && bal < 1000),
+          (2, "[1000,5000)", bal >= 1000 && bal < 5000),
+          (3, "[0,5000)", bal >= 0 && bal < 5000),
+          (4, "[5000,*]", bal >= 5000))
+        spec.map { case (ord, label, pred) =>
+          c.agg(sum(when(pred, 1L).otherwise(0L)).as("cnt"))
+            .select(lit(ord).as("ord"), lit(label).as("interval"), col("cnt"))
+        }.reduce(_.unionByName(_)).orderBy(col("ord"))
+      }),
+
+    Op("facet_pivot",
+      "pivot facet drill-down: top-3 nations by customer count, and within " +
+        "EACH of those parents the top-2 market segments — the nested " +
+        "parent>child bucket shape of facet.pivot=nation,mktsegment " +
+        "(solr/core/src/java/org/apache/solr/handler/component/PivotFacetProcessor.java, " +
+        "PivotFacetField.java); flat rendering (level, parent, value, cnt) " +
+        "with count-desc/value-asc ordering at both levels, Solr's default " +
+        "index-order tie-break",
+      Some("""WITH l1 AS (
+             |  SELECT n_name, count(*) AS cnt FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY n_name QUALIFY row_number() OVER (ORDER BY cnt DESC, n_name) <= 3),
+             |l2 AS (
+             |  SELECT n_name, c_mktsegment, count(*) AS cnt
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE n_name IN (SELECT n_name FROM l1)
+             |  GROUP BY n_name, c_mktsegment
+             |  QUALIFY row_number() OVER (PARTITION BY n_name ORDER BY cnt DESC, c_mktsegment) <= 2)
+             |SELECT * FROM (
+             |  SELECT 1 AS level, CAST(NULL AS VARCHAR) AS parent, n_name AS value, cnt FROM l1
+             |  UNION ALL
+             |  SELECT 2, n_name, c_mktsegment, cnt FROM l2)
+             |ORDER BY level, parent NULLS FIRST, cnt DESC, value""".stripMargin),
+      (s, dir) => {
+        val joined = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+        val l1 = joined.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("n_name"))))
+          .where(col("rk") <= 3).drop("rk")
+        val l2 = joined
+          .join(broadcast(l1.select(col("n_name").as("keep"))),
+            col("n_name") === col("keep"))
+          .groupBy(col("n_name"), col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("n_name")).orderBy(col("cnt").desc, col("c_mktsegment"))))
+          .where(col("rk") <= 2).drop("rk")
+        l1.select(lit(1).as("level"), lit(null).cast("string").as("parent"),
+            col("n_name").as("value"), col("cnt"))
+          .unionByName(l2.select(lit(2).as("level"), col("n_name").as("parent"),
+            col("c_mktsegment").as("value"), col("cnt")))
+          .orderBy(col("level"), col("parent").asc_nulls_first, col("cnt").desc, col("value"))
+      }),
+
+    Op("group_collect",
+      "ReducerStream + GroupOperation: rows sorted by a group key reduced " +
+        "into one tuple per group carrying the ordered member payload " +
+        "(solrj-streaming .../io/stream/ReducerStream.java, " +
+        ".../io/ops/GroupOperation.java) — suppliers grouped by nation with " +
+        "the name list sorted inside each group; the payload is rendered as " +
+        "a joined string so the oracle hash-compares exactly",
+      Some("""SELECT n_name, count(*) AS members,
+             |  string_agg(s_name, ',' ORDER BY s_name) AS names
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      (s, dir) => {
+        t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("members"),
+            array_join(sort_array(collect_list(col("s_name"))), ",").as("names"))
+          .orderBy(col("n_name"))
+      }),
+
+    Op("stream_let_get",
+      "Let/Get/Tup/Echo stream decorators: let() binds named sub-streams, " +
+        "get() re-reads them, tup() emits one tuple combining them, echo() " +
+        "a literal — (solrj-streaming .../io/stream/LetStream.java, " +
+        "GetStream.java, TupStream.java, EchoStream.java); rendered as one " +
+        "row tupling two bound scalar aggregates plus an echoed literal",
+      Some("""SELECT 'hello' AS echo,
+             |  (SELECT count(*) FROM orders) AS order_cnt,
+             |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) FROM lineitem) AS total_qty""".stripMargin),
+      (s, dir) => {
+        // let a = agg(orders), b = agg(lineitem); tup(echo, get(a), get(b))
+        val a = t(s, dir, "orders").agg(count(lit(1)).as("order_cnt"))
+        val b = t(s, dir, "lineitem")
+          .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("total_qty"))
+        s.range(1).select(lit("hello").as("echo"))
+          .crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      }),
+
+    Op("doc_transform",
+      "doc transformers: result augmenters appending pseudo-fields to each " +
+        "returned doc — [docid] (position in the result set), a constant " +
+        "[value] field, and an [explain]-style score-breakdown string " +
+        "(solr/core/src/java/org/apache/solr/response/transform/" +
+        "DocIdAugmenterFactory.java, ValueAugmenterFactory.java, " +
+        "ExplainAugmenterFactory.java)",
+      Some("""SELECT o_orderkey,
+             |  CAST(row_number() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) - 1 AS INT) AS docid,
+             |  'testdata' AS source_tag,
+             |  'price=' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS explain
+             |FROM orders
+             |QUALIFY docid < 20 ORDER BY docid""".stripMargin),
+      (s, dir) => {
+        val priced = t(s, dir, "orders")
+          .select(col("o_orderkey"), dec2(col("o_totalprice")).as("p"))
+        priced
+          .withColumn("docid", (row_number().over(
+            Window.orderBy(col("p").desc, col("o_orderkey"))) - 1).cast("int"))
+          .where(col("docid") < 20)
+          .select(col("o_orderkey"), col("docid"),
+            lit("testdata").as("source_tag"),
+            concat(lit("price="), col("p").cast("string")).as("explain"))
+          .orderBy(col("docid"))
+      })
+  )
+}
