@@ -36,6 +36,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", workDir("spark-local"))
+      // same write-path tuning as ScalingProbe.session (bypass-merge
+      // shuffle writer + zstd parquet): snappy writes and the Tungsten
+      // shuffle sorter both collapse under 16-way concurrency here
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1024")
+      .config("spark.shuffle.file.buffer", "64k")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     if (slim) slimHadoopConf(s)

@@ -62,6 +62,14 @@ object IndexBuilder {
     * schema change would poison every reader with FIELD_NOT_FOUND. */
   val LayoutVersion = 2
 
+  /** Index-store parquet codec. zstd, not the Spark default snappy: the
+    * snappy write path collapses under write-task concurrency on this host
+    * (measured: the same shuffled corpus written as parquet costs 357
+    * CPU-sec at 16 slots under snappy vs 152 under zstd, with matching
+    * wall; at 4 slots they tie) — and zstd also compresses the postings
+    * blocks ~25% smaller, which matters when scans are page-fault-bound. */
+  val Zstd = "zstd"
+
   def build(spark: SparkSession, turns: DataFrame, dir: String, cfg: Config = Config()): BuildResult = {
     import spark.implicits._
     val fsRoot = new org.apache.hadoop.fs.Path(dir)
@@ -214,7 +222,7 @@ object IndexBuilder {
             DocRow(cur, r.seg, r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts)
           }
         }
-        .write.mode("overwrite").parquet(s"$dir/docs")
+        .write.mode("overwrite").option("compression", Zstd).parquet(s"$dir/docs")
       tm = mark(tm, "passB-docs")
       appendLineage(spark, dir, LineageRow("docs", 0, cfg.numSegments, acc, 0L,
         (System.nanoTime() - t0) / 1000000, now()))
@@ -275,7 +283,7 @@ object IndexBuilder {
         .agg(sum($"doc_count").cast("long").as("df"), sum($"ttf").as("ttf"))
         .as[TermStats]
         .sortWithinPartitions($"term") // tight row-group stats for point reads
-        .write.mode("overwrite").parquet(s"$dir/terms")
+        .write.mode("overwrite").option("compression", Zstd).parquet(s"$dir/terms")
       val c = postings.where($"term" === "")
         .agg(sum($"doc_count").cast("long"), sum($"ttf").cast("long"))
         .as[(Long, Long)].head()
@@ -356,7 +364,7 @@ object IndexBuilder {
           }
         }
       }
-    rows.write.mode("append").parquet(s"$dir/postings")
+    rows.write.mode("append").option("compression", Zstd).parquet(s"$dir/postings")
   }
 
   private def now() = new Timestamp(System.currentTimeMillis())

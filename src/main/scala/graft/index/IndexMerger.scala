@@ -44,7 +44,7 @@ object IndexMerger {
       }
     merged
       .sortWithinPartitions($"term", $"segment_id")
-      .write.mode("overwrite").parquet(s"$outDir/postings")
+      .write.mode("overwrite").option("compression", IndexBuilder.Zstd).parquet(s"$outDir/postings")
 
     // docs must carry the SAME segment remap as postings: the searcher's fq
     // DocSet path groups docs by segment_id and joins it against the merged
@@ -52,7 +52,7 @@ object IndexMerger {
     // (and streaming appends would collide baseSeg with old doc segments).
     spark.read.parquet(s"$indexDir/docs").as[DocRow]
       .map(d => d.copy(segment_id = (d.segment_id.toLong * target / numOld).toInt))
-      .write.mode("overwrite").parquet(s"$outDir/docs")
+      .write.mode("overwrite").option("compression", IndexBuilder.Zstd).parquet(s"$outDir/docs")
 
     // terms carry over unchanged (global stats are segment-invariant);
     // corpus records the new segment count

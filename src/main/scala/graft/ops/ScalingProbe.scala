@@ -30,8 +30,21 @@ object ScalingProbe {
       // 2.3GB exchange). The bypass writer streams records straight to
       // per-reduce-partition files; with 4*numSegments=256 reduce
       // partitions x 64KB buffers that is ~40MB per task slot.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "512")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1024")
       .config("spark.shuffle.file.buffer", "64k")
+      // zstd everywhere parquet is written in this session (the index
+      // store already pins zstd per-write): snappy's write path burns
+      // >2x CPU under 16-way write concurrency on this host
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      // syscall batching for Hadoop local-FS streams (4KB default buffer)
+      // and no .crc shadow files; spark.hadoop.* so executors get it too
+      .config("spark.hadoop.io.file.buffer.size", (1 << 20).toString)
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // v2 committer: task-side renames. v1 renames every output file
+      // serially on the driver — a fixed ~2-4s per job that Amdahl-caps
+      // the fast side of the scaling pair (local FS renames are atomic
+      // enough here; lineage rows still gate step completion)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.local.dir",
         sys.env.getOrElse("GRAFT_LOCAL_DIR", System.getProperty("java.io.tmpdir")))
     // ad-hoc conf injection for scaling experiments, e.g.
@@ -40,8 +53,14 @@ object ScalingProbe {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
     if (master.startsWith("local-cluster")) {
       val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      val lc(_, c) = spec: @unchecked
+      val execMb = 512 * c.toInt // per-core heap, matching the local[] bench
       b.config("spark.executor.extraClassPath", classes)
-        .config("spark.executor.memory", "3g")
+        .config("spark.executor.memory", s"${execMb}m")
+        // fixed pre-touched ParallelGC heap per executor, matching the
+        // single-JVM bench children (see Bench.childBuild scaladoc)
+        .config("spark.executor.extraJavaOptions",
+          s"-Xms${execMb}m -XX:+AlwaysPreTouch -XX:+UseParallelGC")
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -57,13 +76,6 @@ object ScalingProbe {
       keys.foreach(k => if (!keep(k)) hc.unset(k))
       println(s"[probe] slim hadoop conf: ${hc.size()} props (was ${keys.size})")
     }
-    // same syscall-batching rationale as the shuffle buffers: parquet data
-    // flows through Hadoop's local-FS stream whose buffer defaults to 4KB,
-    // and ChecksumFileSystem doubles the file count with .crc shadows —
-    // raw local FS + 1MB buffers cut kernel round-trips ~500x
-    val hc = s.sparkContext.hadoopConfiguration
-    hc.setInt("io.file.buffer.size", 1 << 20)
-    hc.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     (s, slots)
   }
 
@@ -101,7 +113,12 @@ object ScalingProbe {
               f"  ${si.name.take(60)}")
           }
       })
-      val numSegments = sys.env.getOrElse("GRAFT_PROBE_SEGMENTS", "64").toInt
+      // 128 segments (not 64): the postings stage runs one task per
+      // docs file; at 64 segments a 16-slot run gets ~47 tasks = 2.9
+      // waves with a half-empty tail (~40% idle slots), while ~128
+      // segments pack evenly at every bench level. At the 100-TB target
+      // the same rule holds: segments >> total cores.
+      val numSegments = sys.env.getOrElse("GRAFT_PROBE_SEGMENTS", "128").toInt
       val times = (1 to reps).map { _ =>
         val dir = s"$base/idx-$spec-${System.nanoTime()}"
         val c0 = cpuNs.get()

@@ -94,7 +94,7 @@ object StreamingIndexer {
           d
         }
       }
-      .write.mode("overwrite").parquet(s"$staging/docs")
+      .write.mode("overwrite").option("compression", graft.index.IndexBuilder.Zstd).parquet(s"$staging/docs")
 
     // ---- stage postings from the staged docs (batch-sized read) ---------
     val stagedDocs = spark.read.parquet(s"$staging/docs")
@@ -137,7 +137,7 @@ object StreamingIndexer {
           PostingsAggregator.finish(e.getValue).withKey(baseSeg, e.getKey)
         }
       }
-    }.write.mode("overwrite").parquet(s"$staging/postings")
+    }.write.mode("overwrite").option("compression", graft.index.IndexBuilder.Zstd).parquet(s"$staging/postings")
 
     // ---- batch delta stats (O(batch); materialized BEFORE promote moves
     // the staged files away) -----------------------------------------------
