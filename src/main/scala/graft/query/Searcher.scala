@@ -18,6 +18,19 @@ import graft.index.{CorpusStats, PostingRow}
   * TakeOrderedAndProject IS a per-partition heap + driver PQ merge.
   * A second stage joins the k winners back to the stored-fields table
   * (Solr's PURPOSE_GET_FIELDS round-trip).
+  *
+  * Execution shape: postings files are written segment-aligned by the
+  * builder, so when the cached scan provably keeps every segment inside one
+  * partition (`colocated`, verified against the materialized cache layout)
+  * a query is ONE narrow stage — `term IN (...)` filter on the cached
+  * postings (the norms sidecar rides along as the `term == ""` rows) →
+  * per-partition WAND → TakeOrdered driver merge. No shuffle. Filter (fq)
+  * DocSets are driver-collected RoaringBitmaps broadcast with the query
+  * metadata. When colocation can't be proven the same scoring body runs
+  * after an explicit `groupByKey(segment_id)` shuffle — at 10^12-doc scale
+  * with cache=false that shuffle carries only the queried terms' rows
+  * (term-predicate pushdown on the term-sorted parquet), which is the plan
+  * a real cluster wants anyway.
   */
 final class Searcher(
     val spark: SparkSession,
@@ -35,12 +48,45 @@ final class Searcher(
   // With cache=true the postings and terms tables persist across queries —
   // the searcher-epoch caching role of the reference's filter/queryResult
   // caches (`solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:164-165`).
-  // At 10^12-doc scale set cache=false: term-predicate pushdown on the
-  // term-sorted parquet keeps each query an index-like point read instead.
+  // Materialization runs under a scan conf that forbids mid-file splits
+  // (openCost = maxPartitionBytes = largest file) so each segment-aligned
+  // postings file lands whole in one cache partition. At 10^12-doc scale
+  // set cache=false: term-predicate pushdown on the term-sorted parquet
+  // keeps each query an index-like point read instead.
   private val postingsDF: DataFrame = {
-    val df = spark.read.parquet(s"$indexDir/postings")
-    if (cache) df.persist() else df
+    if (!cache) spark.read.parquet(s"$indexDir/postings")
+    else {
+      val files = Option(new java.io.File(s"$indexDir/postings")
+        .listFiles((_, n) => n.endsWith(".parquet"))).getOrElse(Array.empty)
+      val maxFile = if (files.isEmpty) 0L else files.map(_.length).max
+      val conf = spark.conf
+      val saved = Seq("spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes").map(k => k -> conf.getOption(k))
+      try {
+        val bound = math.max(maxFile + 1, 128L * 1024 * 1024).toString
+        conf.set("spark.sql.files.maxPartitionBytes", bound)
+        conf.set("spark.sql.files.openCostInBytes", math.max(maxFile + 1, 4L * 1024 * 1024).toString)
+        val df = spark.read.parquet(s"$indexDir/postings").persist()
+        df.foreach(_ => ()) // materialize NOW, under this scan conf
+        df
+      } finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
   }
+
+  /** True iff every segment's rows live inside a single cached partition —
+    * checked against the MATERIALIZED cache layout, not inferred from file
+    * sizes, so the one-stage path can never silently score a torn segment. */
+  private val colocated: Boolean = cache && {
+    try postingsDF
+      .select(spark_partition_id().as("pid"), $"segment_id").distinct()
+      .groupBy($"segment_id").agg(countDistinct($"pid").as("np"))
+      .agg(coalesce(max($"np"), lit(0L))).as[Long].head() <= 1L
+    catch { case _: Throwable => false }
+  }
+
   private val termsDF: DataFrame = {
     val df = spark.read.parquet(s"$indexDir/terms")
     if (cache) df.persist() else df
@@ -49,23 +95,28 @@ final class Searcher(
   private def postings = postingsDF
   def docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
 
-  // fq DocSet cache: computed per-segment filter bitmaps persist across
-  // queries keyed by the filter clause set — the reference's filterCache
-  // (`solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:164-165,443-450`,
-  // CaffeineCache). Entries live for the searcher epoch; close() drops them.
+  // fq DocSet cache: driver-held per-segment filter bitmaps persist across
+  // queries keyed by the canonicalized filter clause set — the reference's
+  // filterCache (`solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:164-165,443-450`,
+  // CaffeineCache). Entries live for the searcher epoch; bounded at
+  // FqCacheMax like the reference's cache size.
   private val cacheEnabled = cache
   private val fqCache =
-    new java.util.concurrent.ConcurrentHashMap[Vector[String], Dataset[Searcher.SegmentCtx]]()
+    new java.util.concurrent.ConcurrentHashMap[Vector[String], Map[Int, Array[Byte]]]()
 
   /** Drop this searcher's cached tables (end of searcher epoch). */
   def close(): Unit = if (cache) {
     postingsDF.unpersist()
     termsDF.unpersist()
-    fqCache.values().forEach(df => df.unpersist())
     fqCache.clear()
   }
 
-  import Searcher.SegmentCtx
+  // segment_id -> first_doc, for rebasing filter bitmaps (tiny; sidecar
+  // rows only — term-predicate pushdown keeps this a point read)
+  private lazy val segFirstDoc: Map[Int, Long] =
+    postings.where($"term" === "")
+      .select($"segment_id", $"first_doc").as[(Int, Long)]
+      .collect().toMap
 
   // per-seen-term df memo (bounded by distinct queried terms — the cached
   // term statistics of the reference's stats cache, SolrCore.java:1645-1658)
@@ -170,99 +221,47 @@ final class Searcher(
       }
     val idfs: Map[String, Float] =
       dfs.map { case (t, df) => t -> bm25.idf(corpus.doc_count, df) }
-    val cache = bm25.normCache(avgdl)
-    val boosts = parsed.boosts
-    val bcMeta = spark.sparkContext.broadcast((meta, phraseMeta, groupMeta, idfs, boosts, cache))
-
-    val queried = (meta.keys ++ phraseMeta.flatMap(_._1) ++ groupMeta.flatMap(_._1)).toSeq.distinct
-    val rows = postings
-      .where($"term".isin(queried: _*))
-      .as[PostingRow]
-    val ctx =
-      if (!cacheEnabled) segmentCtx(parsed.filters, parsed.rangeFilters)
+    val nc = bm25.normCache(avgdl)
+    val hasFilter = parsed.filters.nonEmpty || parsed.rangeFilters.nonEmpty
+    val fmap: Map[Int, Array[Byte]] =
+      if (!hasFilter) null
+      else if (!cacheEnabled) filterBitmaps(parsed.filters, parsed.rangeFilters)
       else {
         // canonical key: clause order is irrelevant to the DocSet
         val key = (parsed.filters.map(f => s"eq:${f._1}=${f._2}") ++
           parsed.rangeFilters.map(r => s"rg:${r.field}:${r.lo}:${r.hi}:${r.inclusive}")).sorted
         fqCache.computeIfAbsent(key, _ => {
-          // bounded like the reference's CaffeineCache filterCache: evict an
-          // arbitrary entry (plus its persisted DocSet) beyond capacity
+          // bounded like the reference's CaffeineCache filterCache
           if (fqCache.size >= Searcher.FqCacheMax) {
             val it = fqCache.entrySet().iterator()
-            if (it.hasNext) { it.next().getValue.unpersist(); it.remove() }
+            if (it.hasNext) { it.next(); it.remove() }
           }
-          val df = segmentCtx(parsed.filters, parsed.rangeFilters)
-          df.persist()
-          df
+          filterBitmaps(parsed.filters, parsed.rangeFilters)
         })
       }
-    val hasFilter = parsed.filters.nonEmpty || parsed.rangeFilters.nonEmpty
+    val bcMeta = spark.sparkContext.broadcast(
+      Searcher.QueryMeta(meta, phraseMeta, groupMeta, idfs, parsed.boosts, nc, fmap, hasFilter))
 
-    val hits = rows.groupByKey(_.segment_id).cogroup(ctx.groupByKey(_.segment_id)) {
-      (seg, ps, ss) =>
-        if (!ss.hasNext) Iterator.empty
-        else {
-          val sc = ss.next()
-          val (m, pm, gm, idfm, bst, nc) = bcMeta.value
-          def wIdf(t: String): Float = bst.getOrElse(t, 1f) * idfm(t)
-          val byTerm = ps.map(pr => pr.term -> pr).toMap
-          val mustCur = scala.collection.mutable.ArrayBuffer.empty[Cursor]
-          val shouldCur = scala.collection.mutable.ArrayBuffer.empty[Cursor]
-          val notCur = scala.collection.mutable.ArrayBuffer.empty[Cursor]
-          var missingMust = false
-          m.foreach { case (term, (qpos, occ)) =>
-            byTerm.get(term) match {
-              case Some(pr) =>
-                val cur = new PostingCursor(pr.blocks, wIdf(term), nc, qpos)
-                occ match {
-                  case 0 => mustCur += cur
-                  case 1 => shouldCur += cur
-                  case _ => notCur += cur
-                }
-              case None => if (occ == 0) missingMust = true
-            }
-          }
-          pm.foreach { case (terms, occ, qpos) =>
-            if (terms.forall(byTerm.contains)) {
-              // fresh member cursors (cursors are stateful; a term used both
-              // standalone and inside a phrase needs independent iterators);
-              // phrase idf = plain sum of member idfs (boosts apply to term
-              // clauses, not phrase members)
-              val members = terms.map(t =>
-                new PostingCursor(byTerm(t).blocks, idfm(t), nc, 0)).toArray
-              var idfSum = 0f
-              terms.foreach(t => idfSum += idfm(t))
-              val pc = new PhraseCursor(members, idfSum, nc, qpos)
-              occ match {
-                case 0 => mustCur += pc
-                case 1 => shouldCur += pc
-                case _ => notCur += pc
-              }
-            } else if (occ == 0) missingMust = true
-          }
-          gm.foreach { case (terms, qpos) =>
-            val present = terms.filter(byTerm.contains)
-            if (present.isEmpty) missingMust = true // MUST group can't match here
-            else {
-              val members = present.map(t =>
-                new PostingCursor(byTerm(t).blocks, wIdf(t), nc, 0)).toArray
-              mustCur += new DisjunctionCursor(members, qpos)
-            }
-          }
-          if (missingMust) Iterator.empty // a MUST clause can't match here
-          else {
-            val filter: Option[RoaringBitmap] =
-              if (!hasFilter) None
-              else if (sc.fbits == null) Some(new RoaringBitmap()) // filter matches nothing here
-              else Some(Searcher.bitmapFrom(sc.fbits))
-            Wand.scoreSegment(
-              shouldCur.sortBy(_.queryPos).toArray,
-              mustCur.sortBy(_.queryPos).toArray,
-              notCur.toArray,
-              sc.norms, sc.first_doc, filter, k, segmentDocBudget).iterator
+    val queried = (meta.keys ++ phraseMeta.flatMap(_._1) ++ groupMeta.flatMap(_._1)).toSeq.distinct
+    // the norms sidecar rides along as the term=="" rows: one filtered scan
+    // carries everything a segment needs to score itself
+    val rows = postings
+      .where($"term".isin("" +: queried: _*))
+      .as[PostingRow]
+    val hits: Dataset[Hit] =
+      if (colocated)
+        // one narrow stage over the cached scan: group the partition's rows
+        // by segment (whole segments per partition, verified above) and run
+        // WAND per segment — no shuffle, TakeOrdered merges on the driver
+        rows.mapPartitions { it =>
+          it.toArray.groupBy(_.segment_id).iterator.flatMap { case (_, rs) =>
+            Searcher.scoreGroup(rs, bcMeta.value, k, segmentDocBudget)
           }
         }
-    }
+      else
+        rows.groupByKey(_.segment_id).flatMapGroups { (_, rs) =>
+          Searcher.scoreGroup(rs.toArray, bcMeta.value, k, segmentDocBudget)
+        }
     hits.orderBy($"score".desc, $"doc_id".asc).limit(k)
   }
 
@@ -307,54 +306,46 @@ final class Searcher(
       .orderBy($"rank")
   }
 
-  /** Norms sidecar, optionally joined with a per-segment fq bitmap computed
-    * from the stored-fields table (the ProcessedFilter DocSet analogue —
+  /** Per-segment fq DocSet bitmaps over (doc - first_doc), driver-collected
+    * (the ProcessedFilter DocSet analogue —
     * `solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:1207,1242-1250`).
-    * Filter semantics: restricts results, does NOT change corpus stats. */
-  private def segmentCtx(filters: Vector[(String, String)],
-      ranges: Vector[RangeFilter] = Vector.empty): Dataset[SegmentCtx] = {
-    val sidecar = postings.where($"term" === "")
-      .select($"segment_id", $"first_doc", $"doc_count".as("num_docs"), $"norms")
-    if (filters.isEmpty && ranges.isEmpty)
-      sidecar.withColumn("fbits", lit(null).cast("binary")).as[SegmentCtx]
-    else {
-      val conds = filters.map { case (f, v) => col(f) === lit(v) } ++
-        ranges.map { r =>
-          if (r.inclusive) col(r.field) >= lit(r.lo) && col(r.field) <= lit(r.hi)
-          else col(r.field) > lit(r.lo) && col(r.field) < lit(r.hi)
-        }
-      val cond = conds.reduce(_ && _)
-      // per-segment matching docIds, serialized as a bitmap relative to the
-      // segment's min matching id; rebased to first_doc after the sidecar join
-      val fb = docs.where(cond)
-        .select($"segment_id", $"doc_id")
-        .as[(Int, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (seg, it) =>
-          val ids = it.map(_._2).toArray
-          val base = ids.min
-          val bm = new RoaringBitmap()
-          ids.foreach(d => bm.add((d - base).toInt))
-          (seg, base, Searcher.bitmapBytes(bm))
-        }
-        .toDF("segment_id", "fbase", "fraw")
-      sidecar.join(fb, Seq("segment_id"), "left")
-        .as[(Int, Long, Int, Array[Byte], java.lang.Long, Array[Byte])]
-        .map { case (seg, first, n, norms, fbase, fraw) =>
-          val bits =
-            if (fraw == null) null
-            else {
-              val bm = Searcher.bitmapFrom(fraw)
-              val shift = (fbase.longValue() - first).toInt
-              val out = new RoaringBitmap()
-              bm.forEach(new org.roaringbitmap.IntConsumer {
-                def accept(v: Int): Unit = out.add(v + shift)
-              })
-              Searcher.bitmapBytes(out)
-            }
-          SegmentCtx(seg, first, n, norms, bits)
-        }
-    }
+    * Filter semantics: restricts results, does NOT change corpus stats.
+    * RoaringBitmap keeps even a match-half-the-corpus DocSet ~1 bit/doc, so
+    * driver residency + task broadcast is the cheap direction at any scale
+    * (the reference holds exactly these DocSets in searcher heap). */
+  private def filterBitmaps(filters: Vector[(String, String)],
+      ranges: Vector[RangeFilter] = Vector.empty): Map[Int, Array[Byte]] = {
+    val conds = filters.map { case (f, v) => col(f) === lit(v) } ++
+      ranges.map { r =>
+        if (r.inclusive) col(r.field) >= lit(r.lo) && col(r.field) <= lit(r.hi)
+        else col(r.field) > lit(r.lo) && col(r.field) < lit(r.hi)
+      }
+    val cond = conds.reduce(_ && _)
+    val first = segFirstDoc
+    // per-segment matching docIds as a bitmap relative to the segment's min
+    // matching id (executor-side, before the collect), rebased to first_doc
+    // on the driver
+    docs.where(cond)
+      .select($"segment_id", $"doc_id")
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (seg, it) =>
+        val ids = it.map(_._2).toArray
+        val base = ids.min
+        val bm = new RoaringBitmap()
+        ids.foreach(d => bm.add((d - base).toInt))
+        (seg, base, Searcher.bitmapBytes(bm))
+      }
+      .collect()
+      .map { case (seg, base, raw) =>
+        val shift = (base - first(seg)).toInt
+        val bm = Searcher.bitmapFrom(raw)
+        val out = new RoaringBitmap()
+        bm.forEach(new org.roaringbitmap.IntConsumer {
+          def accept(v: Int): Unit = out.add(v + shift)
+        })
+        seg -> Searcher.bitmapBytes(out)
+      }.toMap
   }
 }
 
@@ -366,6 +357,89 @@ object Searcher {
   /** Multi-term expansion cap (the reference's BooleanQuery clause limit
     * role, solrconfig.xml maxBooleanClauses). */
   val MaxExpansions = 128
+
+  /** Everything a task needs to score one segment: term metadata, phrase /
+    * group clauses, idf + boost maps, the norm decode cache, and (if the
+    * query is filtered) the per-segment DocSet bitmaps. */
+  final case class QueryMeta(
+      meta: Map[String, (Int, Int)], // term -> (queryPos, occur 0=must 1=should 2=not)
+      phraseMeta: Vector[(Vector[String], Int, Int)],
+      groupMeta: Vector[(Vector[String], Int)],
+      idfs: Map[String, Float],
+      boosts: Map[String, Float],
+      normCache: Array[Float],
+      fmap: Map[Int, Array[Byte]], // null iff !hasFilter
+      hasFilter: Boolean)
+
+  /** Score one segment's rows (sidecar row + queried-term rows) — the
+    * shared body of the no-shuffle mapPartitions path and the groupByKey
+    * fallback. Static so task closures don't capture the Searcher. */
+  private[query] def scoreGroup(
+      rs: Array[PostingRow], qm: QueryMeta, k: Int, docBudget: Int): Iterator[Hit] = {
+    val sidecarIdx = rs.indexWhere(_.term.isEmpty)
+    if (sidecarIdx < 0) return Iterator.empty // no sidecar ⇒ nothing to score
+    val sc = rs(sidecarIdx)
+    def wIdf(t: String): Float = qm.boosts.getOrElse(t, 1f) * qm.idfs(t)
+    val byTerm = rs.iterator.filter(_.term.nonEmpty).map(pr => pr.term -> pr).toMap
+    val nc = qm.normCache
+    val mustCur = scala.collection.mutable.ArrayBuffer.empty[Cursor]
+    val shouldCur = scala.collection.mutable.ArrayBuffer.empty[Cursor]
+    val notCur = scala.collection.mutable.ArrayBuffer.empty[Cursor]
+    var missingMust = false
+    qm.meta.foreach { case (term, (qpos, occ)) =>
+      byTerm.get(term) match {
+        case Some(pr) =>
+          val cur = new PostingCursor(pr.blocks, wIdf(term), nc, qpos)
+          occ match {
+            case 0 => mustCur += cur
+            case 1 => shouldCur += cur
+            case _ => notCur += cur
+          }
+        case None => if (occ == 0) missingMust = true
+      }
+    }
+    qm.phraseMeta.foreach { case (terms, occ, qpos) =>
+      if (terms.forall(byTerm.contains)) {
+        // fresh member cursors (cursors are stateful; a term used both
+        // standalone and inside a phrase needs independent iterators);
+        // phrase idf = plain sum of member idfs (boosts apply to term
+        // clauses, not phrase members)
+        val members = terms.map(t =>
+          new PostingCursor(byTerm(t).blocks, qm.idfs(t), nc, 0)).toArray
+        var idfSum = 0f
+        terms.foreach(t => idfSum += qm.idfs(t))
+        val pc = new PhraseCursor(members, idfSum, nc, qpos)
+        occ match {
+          case 0 => mustCur += pc
+          case 1 => shouldCur += pc
+          case _ => notCur += pc
+        }
+      } else if (occ == 0) missingMust = true
+    }
+    qm.groupMeta.foreach { case (terms, qpos) =>
+      val present = terms.filter(byTerm.contains)
+      if (present.isEmpty) missingMust = true // MUST group can't match here
+      else {
+        val members = present.map(t =>
+          new PostingCursor(byTerm(t).blocks, wIdf(t), nc, 0)).toArray
+        mustCur += new DisjunctionCursor(members, qpos)
+      }
+    }
+    if (missingMust) Iterator.empty // a MUST clause can't match here
+    else {
+      val filter: Option[RoaringBitmap] =
+        if (!qm.hasFilter) None
+        else qm.fmap.get(sc.segment_id) match {
+          case Some(raw) => Some(bitmapFrom(raw))
+          case None => Some(new RoaringBitmap()) // filter matches nothing here
+        }
+      Wand.scoreSegment(
+        shouldCur.sortBy(_.queryPos).toArray,
+        mustCur.sortBy(_.queryPos).toArray,
+        notCur.toArray,
+        sc.norms, sc.first_doc, filter, k, docBudget).iterator
+    }
+  }
 
   /** Banded Levenshtein: true iff editDistance(a, b) <= maxEdits. Standard
     * DP with early exit; matches DuckDB's levenshtein() definition
@@ -391,11 +465,6 @@ object Searcher {
     }
     prev(b.length) <= maxEdits
   }
-
-  /** Segment scoring context: norms sidecar + optional filter bitmap. */
-  case class SegmentCtx(
-      segment_id: Int, first_doc: Long, num_docs: Int,
-      norms: Array[Byte], fbits: Array[Byte])
 
   private[query] def bitmapBytes(bm: RoaringBitmap): Array[Byte] = {
     bm.runOptimize()
