@@ -39,12 +39,26 @@ object TextOps {
     out.toArray(new Array[String](out.size))
   })
 
-  /** doc_id -> distinct word-3-gram shingles, docs with >= 3 tokens. */
-  private def shingleTable(s: SparkSession, dir: String): DataFrame = {
-    val w = split(col("text"), " ")
-    t(s, dir, "documents")
-      .where(size(w) >= 3)
-      .select(col("doc_id"), shingleUdf(w).as("sh"))
+  /** doc_id -> distinct word-3-gram shingles, docs with >= 3 tokens.
+    * Memoized + persisted per (session, dir): the dedup family's plans
+    * consume it several times each (df pass, prefix pass, verify joins),
+    * and jaccard/minhash/simhash share it within a sweep — one cached
+    * shingle pass instead of re-tokenizing the corpus per consumer. */
+  private val shingleCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  private def shingleTable(s: SparkSession, dir: String): DataFrame = synchronized {
+    shingleCache.get(dir) match {
+      case Some(df) if df.sparkSession eq s => df
+      case old =>
+        old.foreach(_.unpersist())
+        val w = split(col("text"), " ")
+        val df = t(s, dir, "documents")
+          .where(size(w) >= 3)
+          .select(col("doc_id"), shingleUdf(w).as("sh"))
+          .persist()
+        shingleCache(dir) = df
+        df
+    }
   }
 
   /** Exact pairwise Jaccard >= minJ via PREFIX FILTERING (the AllPairs /
@@ -59,73 +73,75 @@ object TextOps {
   private def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
     import s.implicits._
     val docs = shingleTable(s, dir) // (doc_id, sh: array<string>)
-    val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // one per-doc aggregation replaces the rank/count window pair: sort the
-    // doc's shingles by ascending (df, s) locally, emit one row per PREFIX
-    // shingle carrying (doc, rank, n, full sorted shingle list) — the
-    // AllPairs index with the vector stored alongside (Bayardo WWW'07 §3)
-    // df table is vocabulary-sized — broadcast to keep the token table's
-    // df-attach join shuffle-free (at web scale with a >RAM vocabulary,
-    // drop the hint and let it shuffle-join)
-    val prefix = sh.join(broadcast(dfs), "s")
-      .select(col("doc_id"),
-        struct(col("df").as("_1"), col("s").as("_2")).as("e"))
-      .groupBy(col("doc_id")).agg(collect_list(col("e")).as("es"))
-      .as[(Long, Seq[(Long, String)])]
-      .flatMap { case (doc, es) =>
-        // shingle list packed as ONE -joined string: a nested
-        // Seq[String] column costs far more in encoder (de)serialization
-        // across the bucket shuffle than a flat UTF8 string
-        val sorted = es.sortBy(identity).map(_._2).toArray
+    val dfs = docs.select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // Global df order, collected to the driver and broadcast: df is only
+    // the PREFIX-SELECTION heuristic (any fixed global order keeps AllPairs
+    // exact; ascending df minimizes candidates), so attaching it map-side
+    // to the doc's own shingle array avoids the explode → join →
+    // collect_list roundtrip that re-shuffled the whole token table. The
+    // map is vocabulary-sized; at web scale with a >RAM vocabulary fall
+    // back to a shuffle join of (doc_id, shingle) against the df table.
+    val bcDf = s.sparkContext.broadcast(dfs.as[(String, Long)].collect().toMap)
+    // sort the doc's shingles by ascending (df, s) locally, emit one SLIM
+    // row per PREFIX shingle (doc, rank, n) — the AllPairs index
+    // (Bayardo WWW'07 §3). The full shingle list does NOT ride on prefix
+    // rows: carrying it duplicated the whole corpus ~p times through the
+    // bucket shuffle; verification instead joins candidates back to the
+    // doc table below.
+    val prefix = docs.as[(Long, Seq[String])]
+      .flatMap { case (doc, shs) =>
+        val m = bcDf.value
+        val sorted = shs.toArray.map(x => (m(x), x)).sortBy(identity).map(_._2)
         val n = sorted.length
         val p = n - math.ceil(minJ * n).toInt + 1
-        val packed = sorted.mkString("")
-        Iterator.tabulate(p)(rk => (sorted(rk), doc, rk + 1, n, packed))
+        Iterator.tabulate(p)(rk => (sorted(rk), doc, rk + 1, n))
       }
-      .toDF("s", "doc_id", "rk", "n", "sh")
-    // candidate + verify per prefix-shingle bucket in ONE pass, with the
-    // PPJoin length filter (min >= t*max) and positional filter
-    // (1 + min remaining length >= equivalent-overlap bound alpha); a pair
-    // may verify in several buckets -> final tiny distinct
-    prefix
+      .toDF("s", "doc_id", "rk", "n")
+    // candidate pairs per prefix-shingle bucket, with the PPJoin length
+    // filter (min >= t*max) and positional filter (1 + min remaining
+    // length >= equivalent-overlap bound alpha); a pair may qualify in
+    // several buckets -> distinct before the verify join
+    val cand = prefix
       .select(col("s"), struct(col("doc_id").as("_1"), col("rk").as("_2"),
-        col("n").as("_3"), col("sh").as("_4")).as("e"))
+        col("n").as("_3")).as("e"))
       .groupBy(col("s")).agg(collect_list(col("e")).as("es"))
       .where(size(col("es")) > 1)
-      .select(col("es")).as[Seq[(Long, Int, Int, String)]]
+      .select(col("es")).as[Seq[(Long, Int, Int)]]
       .flatMap { es =>
         val arr = es.sortBy(_._1).toArray
-        val split = new java.util.HashMap[Long, Array[String]]()
-        def shOf(id: Long, packed: String): Array[String] = {
-          var v = split.get(id)
-          if (v == null) { v = packed.split(''); split.put(id, v) }
-          v
-        }
-        val out = Seq.newBuilder[(Long, Long, Double)]
+        val out = Seq.newBuilder[(Long, Long)]
         var i = 0
         while (i < arr.length) {
-          val (ia, ra, na, pa) = arr(i)
+          val (ia, ra, na) = arr(i)
           var j = i + 1
           while (j < arr.length) {
-            val (jb, rb, nb, pb) = arr(j)
+            val (jb, rb, nb) = arr(j)
             if (math.min(na, nb) >= minJ * math.max(na, nb)) {
               val alpha = math.ceil(minJ / (1 + minJ) * (na + nb))
-              if (1 + math.min(na - ra, nb - rb) >= alpha) {
-                val set = shOf(ia, pa).toSet
-                var c = 0
-                shOf(jb, pb).foreach(x => if (set(x)) c += 1)
-                val jac = c.toDouble / (na + nb - c)
-                if (jac >= minJ) out += ((ia, jb, jac))
-              }
+              if (1 + math.min(na - ra, nb - rb) >= alpha) out += ((ia, jb))
             }
             j += 1
           }
           i += 1
         }
         out.result()
-      }.toDF("i", "j", "jac")
-      .distinct()
+      }.toDF("i", "j").distinct()
+    // exact verification: join the (small, output-bounded) candidate set
+    // back to the doc shingle table twice — Catalyst broadcasts the
+    // candidate side, so the corpus is streamed, never shuffled — and
+    // compute true Jaccard on the two shingle sets
+    val jacUdf = udf((a: Seq[String], b: Seq[String]) => {
+      val set = a.toSet
+      var c = 0
+      b.foreach(x => if (set(x)) c += 1)
+      c.toDouble / (a.length + b.length - c)
+    })
+    broadcast(cand)
+      .join(docs.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
+      .join(docs.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+      .select(col("i"), col("j"), jacUdf(col("sha"), col("shb")).as("jac"))
+      .where(col("jac") >= minJ)
       .orderBy(col("i"), col("j"))
   }
 

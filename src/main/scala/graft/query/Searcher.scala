@@ -79,6 +79,9 @@ final class Searcher(
   /** True iff every segment's rows live inside a single cached partition —
     * checked against the MATERIALIZED cache layout, not inferred from file
     * sizes, so the one-stage path can never silently score a torn segment. */
+  /** Exposed for tests/plan audits: true = one-stage no-shuffle path. */
+  def usesColocatedPath: Boolean = colocated
+
   private val colocated: Boolean = cache && {
     try postingsDF
       .select(spark_partition_id().as("pid"), $"segment_id").distinct()

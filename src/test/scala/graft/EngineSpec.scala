@@ -231,6 +231,24 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("colocated one-stage path == groupByKey fallback on the golden set") {
+    // the cached searcher must actually prove colocation (else every query
+    // silently pays a shuffle — a performance regression, not a bug)
+    assert(searcher.usesColocatedPath,
+      "cached searcher failed to verify segment/partition colocation")
+    // cache=false forces the shuffle fallback; both paths share scoreGroup
+    // but differ in partitioning, filter-map delivery, and merge shape —
+    // identical (doc_id, score) ranking is the contract
+    val fallback = new Searcher(spark, indexDir, cache = false)
+    assert(!fallback.usesColocatedPath)
+    for (q <- goldenQueries) {
+      val parsed = searcher.expand(QueryParser.parse(q))
+      val a = searcher.topKHits(parsed, 12).collect().map(h => (h.doc_id, h.score)).toSeq
+      val b = fallback.topKHits(parsed, 12).collect().map(h => (h.doc_id, h.score)).toSeq
+      assert(a == b, s"[$q] colocated vs fallback ranking diverged")
+    }
+  }
+
   test("randomized queries: engine == oracle on 40 seeded random term sets") {
     val rnd = new scala.util.Random(4242)
     val terms = spark.read.parquet(s"$indexDir/terms")
