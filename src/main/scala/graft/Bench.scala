@@ -259,7 +259,9 @@ object Bench {
         "timeout -error retry",           // exclusion
         "role:user test build",           // filtered
         "w0042 w1234",                    // rare terms
-        "query index score rank")
+        "query index score rank",
+        "\"error retry\" timeout",        // exact phrase (positional path)
+        "par* data")                      // prefix wildcard (expansion path)
       queries.foreach(q => searcher.topKHits(q, 10).collect()) // warmup
       queries.foreach(q => searcher.topKHits(q, 10).collect()) // warmup x2 (codegen)
       val lat = scala.collection.mutable.ArrayBuffer.empty[Double]

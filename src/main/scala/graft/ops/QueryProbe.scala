@@ -19,7 +19,8 @@ object QueryProbe {
     val queries = Seq(
       "the data", "error failed retry", "spark shuffle partition merge",
       "+commit +branch", "timeout -error retry", "role:user test build",
-      "w0042 w1234", "query index score rank")
+      "w0042 w1234", "query index score rank",
+      "\"error retry\" timeout", "par* data")
     queries.foreach(q => searcher.topKHits(q, 10).collect())
     queries.foreach { q =>
       val times = (1 to reps).map { _ =>
