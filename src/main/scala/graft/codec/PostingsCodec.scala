@@ -263,8 +263,14 @@ object PostingsCodec {
   def merge(a: Array[Block], b: Array[Block], normOf: Long => Byte): Array[Block] = {
     val (da, ta) = decode(a)
     val (db, tb) = decode(b)
-    val hasPos = a.exists(x => x.poss != null && x.poss.nonEmpty) ||
-      b.exists(x => x.poss != null && x.poss.nonEmpty)
+    // positions survive the merge only when EVERY input block carries them:
+    // a mixed positional/position-less merge would misalign the per-entry
+    // position arrays (decodePositions returns empty for a bare block), so
+    // the merged output drops positions instead — same contract as Lucene's
+    // FieldInfos downgrade when segments disagree on IndexOptions
+    def allPos(xs: Array[Block]): Boolean =
+      xs.forall(x => x.poss != null && x.poss.nonEmpty)
+    val hasPos = (a.nonEmpty || b.nonEmpty) && allPos(a) && allPos(b)
     val pa = if (hasPos) a.flatMap(decodePositions) else null
     val pb = if (hasPos) b.flatMap(decodePositions) else null
     val n = da.length + db.length

@@ -25,11 +25,14 @@ object WriterOps {
         "explicit schema — the /select?wt=json path " +
         "(solr/core/src/java/org/apache/solr/response/JSONResponseWriter.java, " +
         "JacksonJsonWriter.java); oracle is the query itself",
-      Some("""SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      Some("""SELECT c_custkey, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
              |FROM customer ORDER BY bal DESC, c_custkey LIMIT 50""".stripMargin),
       (s, dir) => {
+        // final column cast to DOUBLE per the registry parity rule (OpQuery):
+        // DECIMAL outputs hash differently between Spark and the oracle
         val res = t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_name"), dec2(col("c_acctbal")).as("bal"))
+          .select(col("c_custkey"), col("c_name"),
+            dec2(col("c_acctbal")).cast("double").as("bal"))
           .orderBy(col("bal").desc, col("c_custkey")).limit(50)
         val out = outDir("json", dir)
         res.write.mode("overwrite").json(out)
@@ -43,14 +46,14 @@ object WriterOps {
         "(solr/core/src/java/org/apache/solr/response/CSVResponseWriter.java); " +
         "oracle is the aggregation itself",
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              |  count(*) AS cnt
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       (s, dir) => {
         val res = t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
-          .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+          .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
             count(lit(1)).as("cnt"))
         val out = outDir("csv", dir)
         res.write.mode("overwrite")
@@ -166,12 +169,12 @@ object WriterOps {
         "row tupling two bound scalar aggregates plus an echoed literal",
       Some("""SELECT 'hello' AS echo,
              |  (SELECT count(*) FROM orders) AS order_cnt,
-             |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) FROM lineitem) AS total_qty""".stripMargin),
+             |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem) AS total_qty""".stripMargin),
       (s, dir) => {
         // let a = agg(orders), b = agg(lineitem); tup(echo, get(a), get(b))
         val a = t(s, dir, "orders").agg(count(lit(1)).as("order_cnt"))
         val b = t(s, dir, "lineitem")
-          .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("total_qty"))
+          .agg(sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
         s.range(1).select(lit("hello").as("echo"))
           .crossJoin(broadcast(a)).crossJoin(broadcast(b))
       }),

@@ -191,7 +191,16 @@ final class Searcher(
     val dfs = termStats(parsed.allTerms)
     val must = parsed.must.filter(t => dfs.getOrElse(t, 0L) > 0)
     if (must.length != parsed.must.length) return empty // a MUST term is absent from the corpus
-    val should = parsed.should.filter(t => dfs.getOrElse(t, 0L) > 0)
+    val mustNotSet = parsed.mustNot.toSet
+    // occur-class collisions (meta below is keyed by term, so one term gets
+    // ONE occur): `+t -t` is unsatisfiable; `+t t` keeps the MUST clause
+    // (must-wins — the oracle's single-scoring of a duplicated term agrees);
+    // `t -t` lets the exclusion win (an excluded doc can never score t)
+    if (must.exists(mustNotSet)) return empty
+    val mustSet = must.toSet
+    val should = parsed.should
+      .filter(t => dfs.getOrElse(t, 0L) > 0)
+      .filterNot(t => mustSet(t) || mustNotSet(t))
     val mustNot = parsed.mustNot.filter(t => dfs.getOrElse(t, 0L) > 0)
     // a MUST phrase with a corpus-absent member can never match; SHOULD /
     // MUST_NOT phrases with dead members drop out

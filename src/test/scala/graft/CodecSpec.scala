@@ -105,6 +105,28 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("merge of mixed positional/position-less inputs drops positions instead of misaligning") {
+    val docsA = Array(1L, 4L); val docsB = Array(2L, 5L)
+    val tfsA = Array(2, 1); val tfsB = Array(1, 3)
+    val nA = Array[Byte](1, 2); val nB = Array[Byte](3, 4)
+    val normOf = (docsA.zip(nA) ++ docsB.zip(nB)).toMap
+    val withPos = PostingsCodec.encode(docsA, tfsA, nA, Array(Array(0, 5), Array(2)))
+    val bare = PostingsCodec.encode(docsB, tfsB, nB)
+    // either argument order: must not throw, must decode correctly, no positions
+    for ((x, y) <- Seq((withPos, bare), (bare, withPos))) {
+      val m = PostingsCodec.merge(x, y, normOf)
+      val (d, t) = PostingsCodec.decode(m)
+      assert(d.toSeq == Seq(1L, 2L, 4L, 5L))
+      assert(t.toSeq == Seq(2, 1, 1, 3))
+      m.foreach(b => assert(PostingsCodec.decodePositions(b).isEmpty))
+    }
+    // both positional: positions survive, aligned
+    val bPos = PostingsCodec.encode(docsB, tfsB, nB, Array(Array(1), Array(0, 3, 9)))
+    val m2 = PostingsCodec.merge(withPos, bPos, normOf)
+    val ps = m2.flatMap(PostingsCodec.decodePositions)
+    assert(ps.map(_.toSeq).toSeq == Seq(Seq(0, 5), Seq(1), Seq(2), Seq(0, 3, 9)))
+  }
+
   test("merge with interleaved (still disjoint) doc ids") {
     val docsA = Array(1L, 4L, 9L, 100L)
     val docsB = Array(2L, 5L, 50L, 600L)

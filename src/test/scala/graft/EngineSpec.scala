@@ -55,7 +55,10 @@ class EngineSpec extends AnyFunSuite {
     "-(timeout error) retry",  // negated group flattens to MUST_NOT
     "par* data",               // prefix wildcard (partition, parquet, ...)
     "errer~1 data",            // fuzzy -> error
-    "role:[system TO user] data" // lexicographic range filter
+    "role:[system TO user] data", // lexicographic range filter
+    "+data data",              // occur collision: MUST wins over SHOULD dup
+    "data -data",              // occur collision: exclusion wins (empty)
+    "+data -data query"        // occur collision: unsatisfiable MUST/NOT
   )
 
   private def assertRankIdentical(q: String, k: Int): Unit = {
