@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import graft.index.TranscriptGen
-import graft.query.Searcher
 
 /** Round benchmark (driver contract: ONE JSON line on stdout).
   *
@@ -147,6 +146,50 @@ object Bench {
   /** CPU task-seconds of the last childBuild (auxiliary scaling metric). */
   private var lastCpuSec: Double = Double.NaN
 
+  /** Absolute calibration baseline persisted across bench runs (tmpfs).
+    * The r2 gate was relative to the SESSION max, so a session that ran
+    * entirely inside a host-degradation episode approved itself; gating
+    * against max(session best, historical best) makes that impossible
+    * (VERDICT r2 task #3). */
+  private def calBaselineFile = new java.io.File(s"${workDir("")}/cal_baseline.txt")
+
+  private def loadCalBaseline(): Double =
+    try java.nio.file.Files.readString(calBaselineFile.toPath).trim.toDouble
+    catch { case _: Throwable => 0.0 }
+
+  private def saveCalBaseline(v: Double): Unit =
+    try java.nio.file.Files.writeString(calBaselineFile.toPath, f"$v%.0f")
+    catch { case _: Throwable => }
+
+  /** One fresh-JVM query-latency measurement via graft.ops.QueryProbe —
+    * the same pinning + fixed pre-touched heap discipline as childBuild
+    * (the r2 query phase ran unpinned in the shared sbt JVM next to a
+    * multi-GB persisted cache; the driver measured a 9.6s p95 tail there
+    * that the quiet-window dev probe never showed). Returns the probe's
+    * QPROBE_JSON payload (per-query per-rep wall ms + GC ms). */
+  private def childQuery(idxDir: String, cores: Int, reps: Int): Option[String] = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val pin =
+      if (new java.io.File("/usr/bin/taskset").exists())
+        Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
+      else Seq.empty
+    val heapMb = (512 * cores).max(2048)
+    val cmd = (pin ++ Seq(javaBin, s"-Xms${heapMb}m", s"-Xmx${heapMb}m",
+      "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC") ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.ops.QueryProbe", idxDir, reps.toString)).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("GRAFT_SLIM_HADOOP_CONF", "1")
+    pb.environment().put("GRAFT_LOCAL_DIR", workDir("spark-local"))
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes())
+    p.waitFor()
+    out.linesIterator.find(_.startsWith("QPROBE_JSON "))
+      .map(_.stripPrefix("QPROBE_JSON "))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val numConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "200000").toLong
@@ -197,9 +240,14 @@ object Bench {
     // calibration falls >25% below the session best are skipped (cool-off).
     // Levels run INTERLEAVED inside one quiet window, so a storm cannot
     // poison one level's whole block. Reported value = min per level.
+    val calBase0 = loadCalBaseline()
+    val cals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calRef: Double = math.max(calBase0, if (cals.isEmpty) 0.0 else cals.max)
+    // per-rep evidence rows for BENCH_DETAIL (VERDICT r2 tasks #1/#3):
+    // every attempted measurement with its pre/post calibration and verdict
+    val repDetail = scala.collection.mutable.ArrayBuffer.empty[String]
     if (doScaling) {
       val good = levels.map(_ -> scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]).toMap
-      val cals = scala.collection.mutable.ArrayBuffer.empty[Double]
       var round = 0
       val maxRounds = reps * 4
       while (round < maxRounds && levels.exists(l => good(l).length < reps)) {
@@ -210,20 +258,39 @@ object Bench {
             // minutes, shorter than one 4c+16c round
             val cal = calibrate()
             cals += cal
-            if (cal < 0.75 * cals.max) Thread.sleep(20000) // storm: cool off
-            else {
+            if (cal < 0.75 * calRef) {
+              repDetail += s"""{"phase":"scale","lvl":$lvl,"pre_cal":$cal,"verdict":"gated_pre"}"""
+              Thread.sleep(20000) // storm: cool off
+            } else {
               val t = childBuild(scalePath, lvl)
               // post-build gate: a storm that STARTS mid-build passes the
               // pre-gate but inflates the measurement — discard the rep if
               // the host is degraded right after it finishes
               val post = calibrate()
               cals += post
-              if (post >= 0.75 * cals.max)
-                t.foreach(x => good(lvl) += ((x, lastCpuSec)))
+              val ok = post >= 0.75 * calRef && t.isDefined
+              repDetail += (s"""{"phase":"scale","lvl":$lvl,"wall_sec":${t.getOrElse(Double.NaN)},""" +
+                f""""cpu_sec":$lastCpuSec%.1f,"pre_cal":$cal%.0f,"post_cal":$post%.0f,""" +
+                s""""verdict":"${if (ok) "accepted" else "gated_post"}"}""")
+              if (ok) t.foreach(x => good(lvl) += ((x, lastCpuSec)))
             }
           }
         }
       }
+      // best-effort fallback: a session stuck entirely below the historical
+      // baseline still reports numbers — explicitly flagged ungated rather
+      // than silently self-approved (the r2 failure mode, inverted)
+      var gated = 1.0
+      levels.foreach { lvl =>
+        if (good(lvl).isEmpty) {
+          gated = 0.0
+          childBuild(scalePath, lvl).foreach { x =>
+            good(lvl) += ((x, lastCpuSec))
+            repDetail += s"""{"phase":"scale","lvl":$lvl,"wall_sec":$x,"cpu_sec":$lastCpuSec,"verdict":"ungated_fallback"}"""
+          }
+        }
+      }
+      results("scaling_gated") = gated
       val mins = levels.map { lvl =>
         val ts = good(lvl)
         val (m, cpu) = if (ts.nonEmpty) ts.minBy(_._1) else (Double.NaN, Double.NaN)
@@ -240,42 +307,61 @@ object Bench {
       results("index_turns") = nScaleTurns.toDouble
       results("host_cal_best") = cals.max
       results("host_cal_last") = cals.last
+      results("host_cal_baseline") = calRef
     }
 
     // ---- query latency over a dedicated index ---------------------------
-    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1") locally {
-      val s = session(16)
+    //
+    // Same discipline as the scaling phase (VERDICT r2 task #1): the timed
+    // reps run in a PINNED fresh child JVM with a fixed pre-touched heap
+    // (graft.ops.QueryProbe), calibration-gated pre+post, retried through
+    // storms. The r2 version timed collect()s inside the shared sbt JVM —
+    // the driver measured p95 9,607 ms there (GC tails against a multi-GB
+    // heap + unfiltered host storms) vs the 584 ms quiet-window dev number.
+    var queryProbeJson: Option[String] = None
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1") {
       val idxDir = s"${workDir("")}/qidx-$numConvs"
-      // build() is resume-aware AND layout-version-aware: a complete
-      // current-layout index is a no-op, a stale-schema cache is wiped
-      graft.index.IndexBuilder.build(s, s.read.parquet(turnsPath), idxDir,
-        graft.index.IndexBuilder.Config(numSegments = 32))
-      val searcher = new Searcher(s, idxDir)
-      val queries = Seq(
-        "the data",                       // hot terms (WAND stress)
-        "error failed retry",             // mid-frequency disjunction
-        "spark shuffle partition merge",  // 4-term disjunction
-        "+commit +branch",                // conjunction
-        "timeout -error retry",           // exclusion
-        "role:user test build",           // filtered
-        "w0042 w1234",                    // rare terms
-        "query index score rank",
-        "\"error retry\" timeout",        // exact phrase (positional path)
-        "par* data")                      // prefix wildcard (expansion path)
-      queries.foreach(q => searcher.topKHits(q, 10).collect()) // warmup
-      queries.foreach(q => searcher.topKHits(q, 10).collect()) // warmup x2 (codegen)
-      val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
-      for (_ <- 1 to 10; q <- queries) {
-        val t0 = System.nanoTime()
-        searcher.topKHits(q, 10).collect()
-        lat += sec(System.nanoTime() - t0) * 1000
+      locally {
+        val s = session(16)
+        // build() is resume-aware AND layout-version-aware: a complete
+        // current-layout index is a no-op, a stale-schema cache is wiped
+        graft.index.IndexBuilder.build(s, s.read.parquet(turnsPath), idxDir,
+          graft.index.IndexBuilder.Config(numSegments = 32))
+        stopSession(s)
       }
-      val sorted = lat.sorted
-      results("query_p50_ms") = sorted(sorted.length / 2)
-      results("query_p95_ms") = sorted(math.min(sorted.length - 1, (sorted.length * 0.95).toInt))
-      results("query_mean_ms") = sorted.sum / sorted.length
-      searcher.close()
-      stopSession(s)
+      val qreps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "10").toInt
+      var attempt = 0
+      var accepted = false
+      while (attempt < 4 && !accepted) {
+        attempt += 1
+        val pre = calibrate()
+        cals += pre
+        if (pre < 0.75 * calRef) {
+          repDetail += s"""{"phase":"query","pre_cal":$pre,"verdict":"gated_pre"}"""
+          Thread.sleep(20000)
+        } else {
+          val js = childQuery(idxDir, 16, qreps)
+          val post = calibrate()
+          cals += post
+          val ok = js.isDefined && post >= 0.75 * calRef
+          repDetail += (f"""{"phase":"query","pre_cal":$pre%.0f,"post_cal":$post%.0f,""" +
+            s""""verdict":"${if (ok) "accepted" else if (js.isEmpty) "probe_failed" else "gated_post"}"}""")
+          if (ok) { queryProbeJson = js; accepted = true }
+          else if (js.isDefined && attempt == 4) queryProbeJson = js // flagged by query_gated=0
+        }
+      }
+      results("query_gated") = if (accepted) 1.0 else 0.0
+      queryProbeJson.foreach { js =>
+        // aggregate percentiles over every rep of every query
+        val lat = """"ms":\[([^\]]*)\]""".r.findAllMatchIn(js)
+          .flatMap(_.group(1).split(',').filter(_.nonEmpty).map(_.toDouble))
+          .toArray.sorted
+        if (lat.nonEmpty) {
+          results("query_p50_ms") = lat(lat.length / 2)
+          results("query_p95_ms") = lat(math.min(lat.length - 1, (lat.length * 0.95).toInt))
+          results("query_mean_ms") = lat.sum / lat.length
+        }
+      }
     }
 
     // ---- registry operator sweep at the driver's SF ---------------------
@@ -298,13 +384,16 @@ object Bench {
       stopSession(s)
     }
 
+    if (cals.nonEmpty) saveCalBaseline(math.max(calBase0, cals.max))
     val total = sec(System.nanoTime() - t00)
     def fmt(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     // full per-op detail goes to a file (and a non-final stdout line); the
     // FINAL stdout line stays compact — r1's single 3 KB line overflowed the
     // driver's tail-capture window and parsed as null.
-    val detail = s"""{"metric":"bench_total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"bench_total","value":$total,"unit":"sec","queries":${fmt(results)},""" +
+      s""""reps":[${repDetail.mkString(",")}],""" +
+      s""""query_probe":${queryProbeJson.getOrElse("null")},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail + "\n")
     catch { case _: Throwable => }
@@ -312,8 +401,8 @@ object Bench {
     val headlineKeys = Seq(
       "index_build_4c_sec", "index_build_16c_sec",
       "index_turns_per_sec_4c", "index_turns_per_sec_16c",
-      "scaling_efficiency", "index_turns",
-      "query_p50_ms", "query_p95_ms", "query_mean_ms")
+      "scaling_efficiency", "index_turns", "scaling_gated",
+      "query_p50_ms", "query_p95_ms", "query_mean_ms", "query_gated")
     val headline = headlineKeys.flatMap(k => results.get(k).map(k -> _))
     println(s"""{"metric":"bench_total","value":$total,"unit":"sec","queries":${fmt(headline)},"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
   }
