@@ -253,7 +253,13 @@ object IndexBuilder {
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen)
       .foldLeft(1L)(math.max)
     val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", (maxDocsFile + 1).toString)
+    // openCost = split cap: otherwise Spark PACKS 2+ small docs files into
+    // one task (measured: 128 segment files -> 64 tasks -> 4 uneven waves
+    // at 16 slots, ~28% idle tail on the dominant stage). One file per task
+    // keeps postings parallelism = numSegments exactly.
+    spark.conf.set("spark.sql.files.openCostInBytes", (maxDocsFile + 1).toString)
     val perBatch = math.max(1, math.ceil(cfg.numSegments.toDouble / cfg.batches).toInt)
     val analyzer = new Analyzer(cfg.stopwords)
     try {
@@ -270,7 +276,10 @@ object IndexBuilder {
           }
         }
       }
-    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
 
     // ---- step 3: exact global stats --------------------------------------
     if (done("stats")) skipped += 1

@@ -479,6 +479,63 @@ object FtsOps {
         bm25DoubleTopK(s, idx, qterms)
       }),
 
+    Op("fts_count",
+      "numFound / minExactCount surface: EXACT hit counts computed in the " +
+        "same per-segment scoring pass with WAND pruning disabled — the " +
+        "minExactCount=MAX_VALUE trade (search/QueryCommand.java:43, " +
+        "QueryComponent.java:448-452). One row per query shape: a " +
+        "conjunction with exclusion, and a 3-term disjunction. The " +
+        "pruned-path lower-bound variant and top-k identity between both " +
+        "paths are gated in EngineSpec",
+      Some("""SELECT * FROM (
+             |  SELECT 'conj' AS q, count(*) AS num_found FROM documents
+             |  WHERE list_contains(string_split(text, ' '), 'data')
+             |    AND NOT list_contains(string_split(text, ' '), 'slow')
+             |  UNION ALL
+             |  SELECT 'disj', count(*) FROM documents
+             |  WHERE list_contains(string_split(text, ' '), 'query')
+             |     OR list_contains(string_split(text, ' '), 'fast')
+             |     OR list_contains(string_split(text, ' '), 'window'))
+             |ORDER BY q""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val sr = searcher(s, dir, "documents")
+        Seq(("conj", sr.numFound("+data -slow")),
+          ("disj", sr.numFound("query fast window")))
+          .toDF("q", "num_found").orderBy($"q")
+      }),
+
+    Op("fts_phrase_slop",
+      "sloppy phrase \"merge group\"~2: per-doc frequency of ordered " +
+        "greedy-chain matches within a slop-2 window, from positional " +
+        "postings (SolrQueryParserBase.java:140,355-362 slop suffix; " +
+        "deterministic integer freq — see Phrase scaladoc for the " +
+        "documented divergence from Lucene's 1/(1+matchLength) weighting). " +
+        "For 2-term phrases the chain reduces to: a 'merge' position " +
+        "counts iff a 'group' follows within 3 positions — SQL-exact",
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |pm AS (SELECT doc_id, i FROM toks, unnest(generate_series(1, len(w))) t(i)
+             |  WHERE w[i] = 'merge'),
+             |pg AS (SELECT doc_id, j FROM toks, unnest(generate_series(1, len(w))) t(j)
+             |  WHERE w[j] = 'group'),
+             |f AS (SELECT pm.doc_id, count(DISTINCT i) AS freq
+             |  FROM pm JOIN pg ON pm.doc_id = pg.doc_id AND j > i AND j <= i + 3
+             |  GROUP BY pm.doc_id)
+             |SELECT doc_id, freq FROM f WHERE freq > 0
+             |ORDER BY freq DESC, doc_id LIMIT 50""".stripMargin),
+      (s, dir) => {
+        val idx = index(s, dir, "documents")
+        val sr = searcher(s, dir, "documents")
+        val idmap = s.read.parquet(s"$idx/docs")
+          .select(col("doc_id").as("did"),
+            regexp_extract(col("conv_id"), "(\\d+)", 1).cast("long").as("doc_id"))
+        sr.phraseFreqs(Seq("merge", "group"), slop = 2)
+          .join(idmap, "did")
+          .select(col("doc_id"), col("freq"))
+          .orderBy(col("freq").desc, col("doc_id"))
+          .limit(50)
+      }),
+
     Op("fts_doc_count",
       "index-build artifact check: corpus doc count and summed doc length " +
         "(BM25's N and the avgdl numerator) vs a direct SQL count",

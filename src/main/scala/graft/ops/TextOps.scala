@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Op.t
@@ -61,6 +61,65 @@ object TextOps {
     }
   }
 
+  /** Exact-duplicate pre-collapse shared by the near-dup pair ops (VERDICT
+    * r2 task #6): docs with identical shingle SETS collapse to one
+    * representative (min doc_id) BEFORE banding/bucketing, so a corpus with
+    * one string duplicated k times puts ONE entry in each bucket instead of
+    * k — the unbounded-collect_list straggler under mass duplication (the
+    * exact workload dedup exists for) is gone. Pair output is re-expanded
+    * through the duplicate groups afterwards, so results are identical:
+    * within-group pairs score the metric's identity value (their sets are
+    * equal), cross-group pairs inherit their representatives' metric
+    * because every metric here is a pure function of the shingle set.
+    *
+    * mem(doc_id, rep): membership table; reps: shingle rows of
+    * representatives only. Memoized per (session, dir) like shingleTable. */
+  private val collapseCache = scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+
+  private def collapsed(s: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    collapseCache.get(dir) match {
+      case Some(v @ (mem, _)) if mem.sparkSession eq s => v
+      case old =>
+        old.foreach { case (m, r) => m.unpersist(); r.unpersist() }
+        val docs = shingleTable(s, dir)
+        // fp over the SORTED shingle array = set identity (the arrays keep
+        // first-occurrence order, so two permutations of one set must not
+        // fingerprint apart); slim (doc_id, fp) rows through the window
+        val fps = docs.select(col("doc_id"),
+          md5(concat_ws("\u0001", sort_array(col("sh")))).as("fp"))
+        val mem = fps
+          .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+          .select(col("doc_id"), col("rep"))
+          .persist()
+        val reps = docs
+          .join(mem.where(col("doc_id") === col("rep")).select(col("doc_id")), "doc_id")
+          .persist()
+        collapseCache(dir) = (mem, reps)
+        (mem, reps)
+    }
+  }
+
+  /** Re-expand representative-level pairs through the duplicate groups:
+    * cross-group member pairs inherit the reps' metric; within-group pairs
+    * get the identity metric. Both sides are distributed joins — no task
+    * ever holds a duplicate group in memory (the within-group enumeration
+    * is a streamed self-join emit; its OUTPUT is inherently k²/2, which is
+    * the pair-listing contract itself). */
+  private def expandPairs(mem: DataFrame, repPairs: DataFrame,
+      metric: String, identity: Column): DataFrame = {
+    val inter = repPairs
+      .join(mem.select(col("rep").as("i"), col("doc_id").as("a")), "i")
+      .join(mem.select(col("rep").as("j"), col("doc_id").as("b")), "j")
+      .select(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"), col(metric))
+    val intra = mem.as("x")
+      .join(mem.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        identity.as(metric))
+    inter.unionByName(intra)
+  }
+
   /** Exact pairwise Jaccard >= minJ via PREFIX FILTERING (the AllPairs /
     * PPJoin family, Bayardo et al. WWW'07; Xiao et al. WWW'08): order each
     * doc's shingles by ascending global df, index only the first
@@ -70,29 +129,53 @@ object TextOps {
     * each doc's RAREST shingles, a corpus-hot shingle (df=f) no longer
     * yields f^2/2 candidate rows (the r1 inverted-join blowup). Candidates
     * are then verified on the full shingle sets. */
+  /** Driver-broadcast cap for the shingle-df map, in distinct shingles.
+    * Overridable for tests via -Dgraft.jaccard.bcast.max or env. */
+  private def jaccardBcastMax: Long =
+    sys.props.get("graft.jaccard.bcast.max")
+      .orElse(sys.env.get("GRAFT_JACCARD_BCAST_MAX"))
+      .map(_.toLong).getOrElse(4000000L)
+
   private def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
     import s.implicits._
-    val docs = shingleTable(s, dir) // (doc_id, sh: array<string>)
+    // exact-dup pre-collapse: PPJoin runs over representatives only
+    val (mem, reps) = collapsed(s, dir)
+    val docs = reps // (doc_id, sh: array<string>), one row per distinct set
     val dfs = docs.select(explode(col("sh")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // Global df order, collected to the driver and broadcast: df is only
-    // the PREFIX-SELECTION heuristic (any fixed global order keeps AllPairs
-    // exact; ascending df minimizes candidates), so attaching it map-side
-    // to the doc's own shingle array avoids the explode → join →
-    // collect_list roundtrip that re-shuffled the whole token table. The
-    // map is vocabulary-sized; at web scale with a >RAM vocabulary fall
-    // back to a shuffle join of (doc_id, shingle) against the df table.
-    val bcDf = s.sparkContext.broadcast(dfs.as[(String, Long)].collect().toMap)
-    // sort the doc's shingles by ascending (df, s) locally, emit one SLIM
-    // row per PREFIX shingle (doc, rank, n) — the AllPairs index
-    // (Bayardo WWW'07 §3). The full shingle list does NOT ride on prefix
-    // rows: carrying it duplicated the whole corpus ~p times through the
-    // bucket shuffle; verification instead joins candidates back to the
-    // doc table below.
-    val prefix = docs.as[(Long, Seq[String])]
-      .flatMap { case (doc, shs) =>
-        val m = bcDf.value
-        val sorted = shs.toArray.map(x => (m(x), x)).sortBy(identity).map(_._2)
+    // Global df order: df is only the PREFIX-SELECTION heuristic (any fixed
+    // global order keeps AllPairs exact; ascending df minimizes candidates).
+    // Two ways to attach it, picked by vocabulary size (VERDICT r2 task #4):
+    //   - small vocabulary: collect + broadcast the df map, sort each doc's
+    //     shingle array map-side — no extra shuffle;
+    //   - >cap vocabulary (3-gram vocab grows ~linearly with the corpus, so
+    //     a 100-TB corpus cannot hold it on the driver): shuffle-join the
+    //     exploded (doc_id, shingle) rows against the df table and rebuild
+    //     the per-doc (df,s)-sorted list with an aggregation — two linear
+    //     shuffles, zero driver residency.
+    val sortedDocs: Dataset[(Long, Seq[String])] =
+      if (dfs.count() <= jaccardBcastMax) {
+        val bcDf = s.sparkContext.broadcast(dfs.as[(String, Long)].collect().toMap)
+        docs.as[(Long, Seq[String])].map { case (doc, shs) =>
+          val m = bcDf.value
+          (doc, shs.toArray.map(x => (m(x), x)).sortBy(identity).map(_._2).toSeq)
+        }
+      } else {
+        docs.select(col("doc_id"), explode(col("sh")).as("s"))
+          .join(dfs, "s")
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("df"), col("s"))).as("ds"))
+          .select(col("doc_id"), col("ds"))
+          .as[(Long, Seq[(Long, String)])]
+          .map { case (doc, ds) => (doc, ds.sorted.map(_._2)) }
+      }
+    // sort the doc's shingles by ascending (df, s), emit one SLIM row per
+    // PREFIX shingle (doc, rank, n) — the AllPairs index (Bayardo WWW'07
+    // §3). The full shingle list does NOT ride on prefix rows: carrying it
+    // duplicated the whole corpus ~p times through the bucket shuffle;
+    // verification instead joins candidates back to the doc table below.
+    val prefix = sortedDocs
+      .flatMap { case (doc, sorted) =>
         val n = sorted.length
         val p = n - math.ceil(minJ * n).toInt + 1
         Iterator.tabulate(p)(rk => (sorted(rk), doc, rk + 1, n))
@@ -137,11 +220,13 @@ object TextOps {
       b.foreach(x => if (set(x)) c += 1)
       c.toDouble / (a.length + b.length - c)
     })
-    broadcast(cand)
+    val repPairs = broadcast(cand)
       .join(docs.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
       .join(docs.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
       .select(col("i"), col("j"), jacUdf(col("sha"), col("shb")).as("jac"))
       .where(col("jac") >= minJ)
+    // re-expand through the duplicate groups (identical sets ⇒ jac = 1.0)
+    expandPairs(mem, repPairs, "jac", lit(1.0))
       .orderBy(col("i"), col("j"))
   }
 
@@ -251,8 +336,10 @@ object TextOps {
             mix64(acc) >>> 8
           })
         })
-        val docs = shingleTable(s, dir)
-        val cand = docs
+        // exact-dup pre-collapse: k copies of one doc put ONE rep in each
+        // band bucket instead of k (the unbounded-bucket straggler fix)
+        val (mem, reps) = collapsed(s, dir)
+        val cand = reps
           .select(explode(bandsUdf(col("sh"))).as("bucket"), col("doc_id"))
           .groupBy(col("bucket")).agg(collect_list(col("doc_id")).as("ids"))
           .where(size(col("ids")) > 1)
@@ -263,12 +350,13 @@ object TextOps {
               yield (arr(i), arr(j))
           }.toDF("i", "j").distinct()
         val inter = size(array_intersect(col("sha"), col("shb")))
-        cand
-          .join(docs.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
-          .join(docs.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+        val repPairs = cand
+          .join(reps.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
+          .join(reps.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
           .withColumn("jac", inter.cast("double") / (size(col("sha")) + size(col("shb")) - inter))
           .where(col("jac") >= 0.6)
           .select(col("i"), col("j"), col("jac"))
+        expandPairs(mem, repPairs, "jac", lit(1.0))
           .orderBy(col("i"), col("j"))
       }),
 
@@ -302,7 +390,9 @@ object TextOps {
         // output as the r1 all-pairs cartesian, which was O(n^2).
         import s.implicits._
         val shUdf = udf((sh: Seq[String]) => simhash32(sh).toLong & 0xffffffffL)
-        val sig = shingleTable(s, dir).select(col("doc_id"), shUdf(col("sh")).as("sh32"))
+        // exact-dup pre-collapse (identical sets ⇒ identical simhash)
+        val (mem, reps) = collapsed(s, dir)
+        val sig = reps.select(col("doc_id"), shUdf(col("sh")).as("sh32"))
         // 7 bands of 5,5,5,5,4,4,4 bits
         val offsets = Array(0, 5, 10, 15, 20, 24, 28, 32)
         val bandCols = (0 until 7).map { b =>
@@ -322,7 +412,7 @@ object TextOps {
           }
           -1
         }
-        sig.select(explode(array(bandCols: _*)).as("bd"),
+        val repPairs = sig.select(explode(array(bandCols: _*)).as("bd"),
             struct(col("doc_id").as("_1"), col("sh32").as("_2")).as("e"))
           .groupBy(col("bd.band"), col("bd.bits"))
           .agg(collect_list(col("e")).as("es"))
@@ -346,6 +436,7 @@ object TextOps {
             }
             out.result()
           }.toDF("i", "j", "dist")
+        expandPairs(mem, repPairs, "dist", lit(0L))
           .orderBy(col("i"), col("j"))
       }),
 

@@ -73,9 +73,10 @@ object Oracle {
         when($"term".isin(mustSet.toSeq: _*), 1).otherwise(0))
       .select($"doc_id", $"qpos", $"partial", $"is_must")
 
-    // exact-phrase frequency per doc from token positions (same position
-    // semantics as the index: stopwords consume a position)
-    def phraseFreqUdf(terms: Vector[String]) = udf((text: String) => {
+    // phrase frequency per doc from token positions (same position
+    // semantics as the index: stopwords consume a position); slop 0 =
+    // exact adjacency, slop k = the engine's ordered greedy chain
+    def phraseFreqUdf(terms: Vector[String], slop: Int) = udf((text: String) => {
       val (ts, ps) = analyzer.analyzeWithPositions(text)
       val posOf = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
       var i = 0
@@ -83,13 +84,31 @@ object Oracle {
         posOf.getOrElseUpdate(ts(i), scala.collection.mutable.ArrayBuffer.empty) += ps(i)
         i += 1
       }
-      val sets = terms.map(t => posOf.getOrElse(t, scala.collection.mutable.ArrayBuffer.empty).toSet)
-      if (sets.exists(_.isEmpty)) 0
-      else sets.head.count(p => (1 until terms.length).forall(j => sets(j).contains(p + j)))
+      val lists = terms.map(t => posOf.getOrElse(t,
+        scala.collection.mutable.ArrayBuffer.empty).sorted.toArray)
+      if (lists.exists(_.isEmpty)) 0
+      else if (slop == 0) {
+        val sets = lists.map(_.toSet)
+        sets.head.count(p => (1 until terms.length).forall(j => sets(j).contains(p + j)))
+      } else {
+        lists.head.count { p =>
+          var prev = p
+          var ok = true
+          var j = 1
+          while (ok && j < terms.length) {
+            val arr = lists(j)
+            var idx = java.util.Arrays.binarySearch(arr, prev + 1)
+            if (idx < 0) idx = -idx - 1
+            if (idx < arr.length && arr(idx) <= prev + 1 + slop) { prev = arr(idx); j += 1 }
+            else ok = false
+          }
+          ok
+        }
+      }
     })
 
     def phraseDocs(p: Phrase): DataFrame =
-      docs.select($"doc_id", phraseFreqUdf(p.terms)($"text").as("freq"))
+      docs.select($"doc_id", phraseFreqUdf(p.terms, p.slop)($"text").as("freq"))
         .where($"freq" > 0)
 
     val phrasePartials = phrasesAlive.zipWithIndex

@@ -17,9 +17,15 @@ import graft.analysis.Analyzer
   * Term lists preserve query order — scoring accumulates in this order.
   */
 
-/** An exact (slop-0) phrase clause: terms must appear at consecutive
-  * positions. occur: 0 = MUST, 1 = SHOULD, 2 = MUST_NOT. */
-final case class Phrase(terms: Vector[String], occur: Int)
+/** A phrase clause `"a b"~slop`: slop 0 = exact (terms at consecutive
+  * positions); slop k allows each member to trail the previous match by up
+  * to k extra positions, matched by an ordered greedy chain (a documented
+  * deterministic rendering of Lucene's sloppy phrase — Lucene's
+  * SloppyPhraseMatcher weights matches by 1/(1+matchLength); here freq is
+  * the integer count of matching start positions, which slop-0 reduces to
+  * exactly Lucene's exact-phrase freq). occur: 0 = MUST, 1 = SHOULD,
+  * 2 = MUST_NOT. */
+final case class Phrase(terms: Vector[String], occur: Int, slop: Int = 0)
 
 /** A MUST-grouped disjunction `+(a b ...)`: the doc must match at least one
   * member; matching members all contribute score (BooleanQuery nesting —
@@ -91,7 +97,8 @@ object QueryParser {
     case MustNot => 2
   }
 
-  private final case class Clause(occur: Occur, body: String, phrase: Boolean, boost: Float)
+  private final case class Clause(occur: Occur, body: String, phrase: Boolean,
+      boost: Float, slop: Int = 0)
 
   def parse(q: String, analyzer: Analyzer = Analyzer.default): ParsedQuery = {
     val toks = lex(q)
@@ -140,9 +147,18 @@ object QueryParser {
         } else filters += ((field, v))
         return
       }
-      val phrase = core.startsWith("\"")
-      if (phrase) {
-        clauses += Clause(occur, core.stripPrefix("\"").stripSuffix("\""), phrase = true, boost)
+      // quoted phrase, with an optional trailing `~slop` suffix
+      // (SolrQueryParserBase.java:140,355-362 slop handling; grammar
+      // QueryParser.jj <FUZZY_SLOP> after a quoted term)
+      if (core.startsWith("\"")) {
+        val close = core.indexOf('"', 1)
+        val (body, suffix) =
+          if (close > 0) (core.substring(1, close), core.substring(close + 1))
+          else (core.substring(1), "")
+        val slop =
+          if (suffix.startsWith("~")) suffix.drop(1).toIntOption.filter(_ >= 0).getOrElse(0)
+          else 0
+        clauses += Clause(occur, body, phrase = true, boost, slop)
         return
       }
       // fuzzy: term~ or term~N (N in 1..2, Lucene's max)
@@ -222,7 +238,7 @@ object QueryParser {
       val terms = analyzer.analyze(c.body).toVector
       if (terms.nonEmpty) {
         if (c.phrase && terms.length > 1) {
-          phrases += Phrase(terms, occInt(c.occur))
+          phrases += Phrase(terms, occInt(c.occur), c.slop)
         } else {
           if (c.boost != 1f) terms.foreach(t => boosts(t) = c.boost)
           c.occur match {
@@ -251,7 +267,9 @@ object QueryParser {
     def flush(): Unit = { if (sb.nonEmpty) { out += sb.toString; sb.clear() } }
     while (i < n) {
       val c = q.charAt(i)
-      if (c == '"') { sb.append(c); inQuote = !inQuote; if (!inQuote) flush() }
+      // the closing quote does NOT flush: a `~slop` / `^boost` suffix glued
+      // to the quote must stay in the same token ("a b"~2); whitespace ends it
+      if (c == '"') { sb.append(c); inQuote = !inQuote }
       else if (!inQuote && (c == '[' || c == '{')) { sb.append(c); inBracket = true }
       else if (!inQuote && inBracket && (c == ']' || c == '}')) { sb.append(c); inBracket = false }
       else if (!inQuote && !inBracket && (c == '(' || c == ')')) {

@@ -37,7 +37,8 @@ final class Searcher(
     indexDir: String,
     bm25: Bm25 = Bm25(),
     analyzer: Analyzer = Analyzer.default,
-    cache: Boolean = true) extends Serializable {
+    cache: Boolean = true,
+    fqBroadcastMaxBytes: Long = Searcher.FqBroadcastMaxBytesDefault) extends Serializable {
 
   import spark.implicits._
 
@@ -98,19 +99,28 @@ final class Searcher(
   private def postings = postingsDF
   def docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
 
-  // fq DocSet cache: driver-held per-segment filter bitmaps persist across
-  // queries keyed by the canonicalized filter clause set — the reference's
+  // fq DocSet cache: per-segment filter bitmaps persist across queries
+  // keyed by the canonicalized filter clause set — the reference's
   // filterCache (`solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:164-165,443-450`,
   // CaffeineCache). Entries live for the searcher epoch; bounded at
-  // FqCacheMax like the reference's cache size.
+  // FqCacheMax like the reference's cache size. A DocSet under
+  // fqBroadcastMaxBytes is driver-held and broadcast with the query
+  // metadata (Left); a bigger one stays a PERSISTED executor-side dataset
+  // of (segment_id, bitmap) rows (Right) that rides into the scoring stage
+  // like the norms sidecar — the driver never holds it.
   private val cacheEnabled = cache
+  private type FqEntry = Either[Map[Int, Array[Byte]], Dataset[(Int, Array[Byte])]]
   private val fqCache =
-    new java.util.concurrent.ConcurrentHashMap[Vector[String], Map[Int, Array[Byte]]]()
+    new java.util.concurrent.ConcurrentHashMap[Vector[String], FqEntry]()
 
   /** Drop this searcher's cached tables (end of searcher epoch). */
   def close(): Unit = if (cache) {
     postingsDF.unpersist()
     termsDF.unpersist()
+    fqCache.values().forEach {
+      case Right(ds) => ds.unpersist()
+      case _ =>
+    }
     fqCache.clear()
   }
 
@@ -179,24 +189,23 @@ final class Searcher(
     p.copy(multiTerms = Vector.empty)
   }
 
-  /** @param segmentDocBudget max docs scored per segment before early
-    *                         termination with best-so-far (the reference's
-    *                         query-limit surface, QueryLimits.java /
-    *                         EarlyTerminatingCollector.java — a doc budget
-    *                         is the deterministic rendering of timeAllowed) */
-  def topKHits(parsed0: ParsedQuery, k: Int, segmentDocBudget: Int = Int.MaxValue): Dataset[Hit] = {
-    val empty = spark.emptyDataset[Hit]
+  /** Everything a query execution needs: the broadcast metadata, the
+    * filtered posting rows, and the fq residency decision. None = the query
+    * is provably empty without touching the postings. */
+  private def prepare(parsed0: ParsedQuery):
+      Option[(org.apache.spark.broadcast.Broadcast[Searcher.QueryMeta],
+        Dataset[PostingRow], FqEntry)] = {
     val parsed = expand(parsed0)
-    if (parsed.isEmpty || k <= 0) return empty
+    if (parsed.isEmpty) return None
     val dfs = termStats(parsed.allTerms)
     val must = parsed.must.filter(t => dfs.getOrElse(t, 0L) > 0)
-    if (must.length != parsed.must.length) return empty // a MUST term is absent from the corpus
+    if (must.length != parsed.must.length) return None // a MUST term is absent from the corpus
     val mustNotSet = parsed.mustNot.toSet
     // occur-class collisions (meta below is keyed by term, so one term gets
     // ONE occur): `+t -t` is unsatisfiable; `+t t` keeps the MUST clause
     // (must-wins — the oracle's single-scoring of a duplicated term agrees);
     // `t -t` lets the exclusion win (an excluded doc can never score t)
-    if (must.exists(mustNotSet)) return empty
+    if (must.exists(mustNotSet)) return None
     val mustSet = must.toSet
     val should = parsed.should
       .filter(t => dfs.getOrElse(t, 0L) > 0)
@@ -206,13 +215,13 @@ final class Searcher(
     // MUST_NOT phrases with dead members drop out
     val phrasesAlive = parsed.phrases
       .filter(_.terms.forall(t => dfs.getOrElse(t, 0L) > 0))
-    if (parsed.phrases.exists(p => p.occur == 0 && !phrasesAlive.contains(p))) return empty
+    if (parsed.phrases.exists(p => p.occur == 0 && !phrasesAlive.contains(p))) return None
     // a MUST group (grouped disjunction) needs at least one live member
     val groupsAlive = parsed.groups
       .map(g => Group(g.terms.filter(t => dfs.getOrElse(t, 0L) > 0)))
-    if (groupsAlive.exists(_.terms.isEmpty)) return empty
+    if (groupsAlive.exists(_.terms.isEmpty)) return None
     if (must.isEmpty && should.isEmpty && groupsAlive.isEmpty &&
-      phrasesAlive.forall(_.occur == 2)) return empty
+      phrasesAlive.forall(_.occur == 2)) return None
 
     // scoring order = MUST terms, SHOULD terms, then phrases, then groups,
     // each in query order (fixed accumulation order for bit-exact sums)
@@ -222,10 +231,10 @@ final class Searcher(
         should.zipWithIndex.map { case (t, i) => t -> (must.length + i, 1) } ++
         mustNot.zipWithIndex.map { case (t, i) =>
           t -> (scoring.length + phrasesAlive.length + groupsAlive.length + i, 2) }).toMap
-    // (phrase terms, occur, queryPos) — idf resolved executor-side
-    val phraseMeta: Vector[(Vector[String], Int, Int)] =
+    // (phrase terms, occur, queryPos, slop) — idf resolved executor-side
+    val phraseMeta: Vector[(Vector[String], Int, Int, Int)] =
       phrasesAlive.zipWithIndex.map { case (p, i) =>
-        (p.terms, p.occur, scoring.length + i)
+        (p.terms, p.occur, scoring.length + i, p.slop)
       }
     val groupMeta: Vector[(Vector[String], Int)] =
       groupsAlive.zipWithIndex.map { case (g, i) =>
@@ -235,9 +244,9 @@ final class Searcher(
       dfs.map { case (t, df) => t -> bm25.idf(corpus.doc_count, df) }
     val nc = bm25.normCache(avgdl)
     val hasFilter = parsed.filters.nonEmpty || parsed.rangeFilters.nonEmpty
-    val fmap: Map[Int, Array[Byte]] =
+    val fqEntry: FqEntry =
       if (!hasFilter) null
-      else if (!cacheEnabled) filterBitmaps(parsed.filters, parsed.rangeFilters)
+      else if (!cacheEnabled) resolveFq(parsed.filters, parsed.rangeFilters)
       else {
         // canonical key: clause order is irrelevant to the DocSet
         val key = (parsed.filters.map(f => s"eq:${f._1}=${f._2}") ++
@@ -246,11 +255,21 @@ final class Searcher(
           // bounded like the reference's CaffeineCache filterCache
           if (fqCache.size >= Searcher.FqCacheMax) {
             val it = fqCache.entrySet().iterator()
-            if (it.hasNext) { it.next(); it.remove() }
+            if (it.hasNext) {
+              it.next().getValue match {
+                case Right(ds) => ds.unpersist()
+                case _ =>
+              }
+              it.remove()
+            }
           }
-          filterBitmaps(parsed.filters, parsed.rangeFilters)
+          resolveFq(parsed.filters, parsed.rangeFilters)
         })
       }
+    val fmap: Map[Int, Array[Byte]] = fqEntry match {
+      case Left(m) => m
+      case _ => null // no filter, or the DocSet rides as rows (Right)
+    }
     val bcMeta = spark.sparkContext.broadcast(
       Searcher.QueryMeta(meta, phraseMeta, groupMeta, idfs, parsed.boosts, nc, fmap, hasFilter))
 
@@ -260,28 +279,118 @@ final class Searcher(
     val rows = postings
       .where($"term".isin("" +: queried: _*))
       .as[PostingRow]
-    val hits: Dataset[Hit] =
-      if (colocated)
-        // one narrow stage over the cached scan: group the partition's rows
-        // by segment (whole segments per partition, verified above) and run
-        // WAND per segment — no shuffle, TakeOrdered merges on the driver
-        rows.mapPartitions { it =>
-          it.toArray.groupBy(_.segment_id).iterator.flatMap { case (_, rs) =>
-            Searcher.scoreGroup(rs, bcMeta.value, k, segmentDocBudget)
-          }
-        }
-      else
-        rows.groupByKey(_.segment_id).flatMapGroups { (_, rs) =>
-          Searcher.scoreGroup(rs.toArray, bcMeta.value, k, segmentDocBudget)
-        }
-    hits.orderBy($"score".desc, $"doc_id".asc).limit(k)
+    Some((bcMeta, rows, fqEntry))
   }
+
+  /** Posting rows with the fq DocSet riding along when it is executor-side
+    * (Right): one bitmap row per segment, keyed FqRowTerm — the driver
+    * never holds or broadcasts an oversized DocSet. */
+  private def rowsWithFq(rows: Dataset[PostingRow],
+      fqDs: Dataset[(Int, Array[Byte])]): Dataset[PostingRow] = {
+    val firstB = spark.sparkContext.broadcast(segFirstDoc)
+    rows.union(fqDs.map { case (seg, bytes) =>
+      PostingRow(Searcher.FqRowTerm, seg, 0, 0L,
+        firstB.value.getOrElse(seg, 0L), Array.empty, bytes)
+    })
+  }
+
+  /** @param segmentDocBudget max docs scored per segment before early
+    *                         termination with best-so-far (the reference's
+    *                         query-limit surface, QueryLimits.java /
+    *                         EarlyTerminatingCollector.java — a doc budget
+    *                         is the deterministic rendering of timeAllowed) */
+  def topKHits(parsed0: ParsedQuery, k: Int, segmentDocBudget: Int = Int.MaxValue): Dataset[Hit] = {
+    if (k <= 0) return spark.emptyDataset[Hit]
+    prepare(parsed0) match {
+      case None => spark.emptyDataset[Hit]
+      case Some((bcMeta, rows, fqEntry)) =>
+        val hits: Dataset[Hit] = fqEntry match {
+          case Right(fqDs) =>
+            // oversized DocSet: each segment's bitmap rides the (narrow)
+            // shuffle WITH that segment's queried-term rows — the shuffle
+            // moves only queried-term postings + one bitmap row per
+            // segment, which is the plan a 10^12-doc cluster wants for a
+            // match-half-the-corpus fq.
+            rowsWithFq(rows, fqDs).groupByKey(_.segment_id).flatMapGroups { (_, rs) =>
+              Searcher.scoreGroup(rs.toArray, bcMeta.value, k, segmentDocBudget)
+            }
+          case _ if colocated =>
+            // one narrow stage over the cached scan: group the partition's
+            // rows by segment (whole segments per partition, verified
+            // above) and run WAND per segment — no shuffle, TakeOrdered
+            // merges on the driver
+            rows.mapPartitions { it =>
+              it.toArray.groupBy(_.segment_id).iterator.flatMap { case (_, rs) =>
+                Searcher.scoreGroup(rs, bcMeta.value, k, segmentDocBudget)
+              }
+            }
+          case _ =>
+            rows.groupByKey(_.segment_id).flatMapGroups { (_, rs) =>
+              Searcher.scoreGroup(rs.toArray, bcMeta.value, k, segmentDocBudget)
+            }
+        }
+        hits.orderBy($"score".desc, $"doc_id".asc).limit(k)
+    }
+  }
+
+  /** Top-k with a hit count — the numFound / minExactCount response surface
+    * (`solr/core/src/java/org/apache/solr/search/QueryCommand.java:43`,
+    * QueryComponent.java:448-452). minExactCount > k asks for an EXACT
+    * total: WAND pruning is disabled and every matching doc is counted in
+    * the same per-segment pass (what the reference does when
+    * minExactCount=Integer.MAX_VALUE). Otherwise the pruned WAND runs and
+    * totalHits is a LOWER BOUND (Lucene's GREATER_THAN_OR_EQUAL_TO) — the
+    * latency the approximate count buys. Either way the top-k hits
+    * themselves are identical (EngineSpec pins this). */
+  def topKWithCount(parsed0: ParsedQuery, k: Int,
+      minExactCount: Int = Int.MaxValue): Searcher.TopDocs = {
+    val exact = minExactCount > k
+    prepare(parsed0) match {
+      case None => Searcher.TopDocs(Array.empty, 0L, isExact = true)
+      case Some((bcMeta, rows, fqEntry)) =>
+        val perSegment: Dataset[(Seq[Hit], Long)] = fqEntry match {
+          case Right(fqDs) =>
+            rowsWithFq(rows, fqDs).groupByKey(_.segment_id).mapGroups { (_, rs) =>
+              val (h, c) = Searcher.scoreGroupCounted(
+                rs.toArray, bcMeta.value, k, Int.MaxValue, prune = !exact)
+              (h.toSeq, c)
+            }
+          case _ if colocated =>
+            rows.mapPartitions { it =>
+              it.toArray.groupBy(_.segment_id).iterator.map { case (_, rs) =>
+                val (h, c) = Searcher.scoreGroupCounted(
+                  rs, bcMeta.value, k, Int.MaxValue, prune = !exact)
+                (h.toSeq, c)
+              }
+            }
+          case _ =>
+            rows.groupByKey(_.segment_id).mapGroups { (_, rs) =>
+              val (h, c) = Searcher.scoreGroupCounted(
+                rs.toArray, bcMeta.value, k, Int.MaxValue, prune = !exact)
+              (h.toSeq, c)
+            }
+        }
+        // numSegments results: the driver PQ-merge is exactly Solr's
+        // distributed-merge role (QueryComponent.java:971-1060), with the
+        // same (score desc, docId asc) tie-break as TakeOrdered
+        val seg = perSegment.collect()
+        val hits = seg.iterator.flatMap(_._1).toArray
+          .sortBy(h => (-h.score, h.doc_id)).take(k)
+        Searcher.TopDocs(hits, seg.iterator.map(_._2).sum, isExact = exact)
+    }
+  }
+
+  /** Exact hit count of a query (numFound with minExactCount = infinity). */
+  def numFound(parsed: ParsedQuery): Long =
+    topKWithCount(parsed, 1, Int.MaxValue).totalHits
+
+  def numFound(q: String): Long = numFound(QueryParser.parse(q, analyzer))
 
   /** Exact-phrase match enumeration: every (internal docId, phraseFreq)
     * with freq >= 1, from the positional postings — the driver-checkable
     * integer artifact of the phrase path (scores are float and gated by
     * EngineSpec instead). */
-  def phraseFreqs(terms: Seq[String]): DataFrame = {
+  def phraseFreqs(terms: Seq[String], slop: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.col
     val dfs = termStats(terms)
     if (terms.isEmpty || terms.exists(t => dfs.getOrElse(t, 0L) == 0L))
@@ -294,7 +403,7 @@ final class Searcher(
       else {
         val dummy = Array.fill(256)(1f)
         val members = termsV.map(t => new PostingCursor(byTerm(t).blocks, 0f, dummy, 0)).toArray
-        val pc = new PhraseCursor(members, 0f, dummy, 0)
+        val pc = new PhraseCursor(members, 0f, dummy, 0, slop)
         new Iterator[(Long, Long)] {
           def hasNext: Boolean = pc.doc != Long.MaxValue
           def next(): (Long, Long) = {
@@ -318,46 +427,52 @@ final class Searcher(
       .orderBy($"rank")
   }
 
-  /** Per-segment fq DocSet bitmaps over (doc - first_doc), driver-collected
-    * (the ProcessedFilter DocSet analogue —
+  /** Per-segment fq DocSet bitmaps over (doc - first_doc), computed
+    * executor-side (the ProcessedFilter DocSet analogue —
     * `solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:1207,1242-1250`).
-    * Filter semantics: restricts results, does NOT change corpus stats.
-    * RoaringBitmap keeps even a match-half-the-corpus DocSet ~1 bit/doc, so
-    * driver residency + task broadcast is the cheap direction at any scale
-    * (the reference holds exactly these DocSets in searcher heap). */
-  private def filterBitmaps(filters: Vector[(String, String)],
-      ranges: Vector[RangeFilter] = Vector.empty): Map[Int, Array[Byte]] = {
+    * Filter semantics: restricts results, does NOT change corpus stats. */
+  private def fqDocSetDS(filters: Vector[(String, String)],
+      ranges: Vector[RangeFilter]): Dataset[(Int, Array[Byte])] = {
     val conds = filters.map { case (f, v) => col(f) === lit(v) } ++
       ranges.map { r =>
         if (r.inclusive) col(r.field) >= lit(r.lo) && col(r.field) <= lit(r.hi)
         else col(r.field) > lit(r.lo) && col(r.field) < lit(r.hi)
       }
     val cond = conds.reduce(_ && _)
-    val first = segFirstDoc
-    // per-segment matching docIds as a bitmap relative to the segment's min
-    // matching id (executor-side, before the collect), rebased to first_doc
-    // on the driver
+    val firstB = spark.sparkContext.broadcast(segFirstDoc)
     docs.where(cond)
       .select($"segment_id", $"doc_id")
       .as[(Int, Long)]
       .groupByKey(_._1)
       .mapGroups { (seg, it) =>
-        val ids = it.map(_._2).toArray
-        val base = ids.min
+        val first = firstB.value(seg)
         val bm = new RoaringBitmap()
-        ids.foreach(d => bm.add((d - base).toInt))
-        (seg, base, Searcher.bitmapBytes(bm))
+        it.foreach { case (_, d) => bm.add((d - first).toInt) }
+        (seg, Searcher.bitmapBytes(bm))
       }
-      .collect()
-      .map { case (seg, base, raw) =>
-        val shift = (base - first(seg)).toInt
-        val bm = Searcher.bitmapFrom(raw)
-        val out = new RoaringBitmap()
-        bm.forEach(new org.roaringbitmap.IntConsumer {
-          def accept(v: Int): Unit = out.add(v + shift)
-        })
-        seg -> Searcher.bitmapBytes(out)
-      }.toMap
+  }
+
+  /** Size-bounded DocSet residency (VERDICT r2 task #5): serialized bitmaps
+    * up to fqBroadcastMaxBytes total are driver-collected and broadcast
+    * with the query metadata (RoaringBitmap ~1 bit/doc keeps typical fqs
+    * tiny); above the cap — e.g. a 50%-selectivity filter over a 10^12-doc
+    * corpus is tens of GB even run-compressed — the DocSet stays a
+    * persisted executor-side dataset joined into the scoring shuffle. */
+  private def resolveFq(filters: Vector[(String, String)],
+      ranges: Vector[RangeFilter]): FqEntry = {
+    val ds = fqDocSetDS(filters, ranges).persist()
+    val totalBytes = ds.map(_._2.length.toLong).toDF("n")
+      .agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
+    if (totalBytes <= fqBroadcastMaxBytes) {
+      val m = ds.collect().toMap
+      ds.unpersist()
+      Left(m)
+    } else {
+      // uncached searchers get no epoch-level unpersist hook; drop the
+      // persist immediately and let the query plan recompute the DocSet
+      if (!cacheEnabled) ds.unpersist()
+      Right(ds)
+    }
   }
 }
 
@@ -366,33 +481,56 @@ object Searcher {
     * CaffeineCache filterCache, solrconfig.xml filterCache size). */
   val FqCacheMax = 64
 
+  /** Default cap on driver-resident fq DocSet bytes; bigger DocSets stay
+    * executor-side (see [[Searcher#resolveFq]]). */
+  val FqBroadcastMaxBytesDefault: Long = 32L << 20
+
+  /** Sentinel term keying the fq-DocSet rows that ride the scoring shuffle
+    * (the analyzer can never emit a control character, so no
+    * collision with a real vocabulary term). */
+  val FqRowTerm = "\u0001fq"
+
   /** Multi-term expansion cap (the reference's BooleanQuery clause limit
     * role, solrconfig.xml maxBooleanClauses). */
   val MaxExpansions = 128
+
+  /** Top-k result page with its hit count — the numFound surface.
+    * totalHits is exact when isExact, else a lower bound (Lucene's
+    * GREATER_THAN_OR_EQUAL_TO relation under WAND pruning). */
+  final case class TopDocs(hits: Array[Hit], totalHits: Long, isExact: Boolean)
 
   /** Everything a task needs to score one segment: term metadata, phrase /
     * group clauses, idf + boost maps, the norm decode cache, and (if the
     * query is filtered) the per-segment DocSet bitmaps. */
   final case class QueryMeta(
       meta: Map[String, (Int, Int)], // term -> (queryPos, occur 0=must 1=should 2=not)
-      phraseMeta: Vector[(Vector[String], Int, Int)],
+      phraseMeta: Vector[(Vector[String], Int, Int, Int)], // (terms, occur, queryPos, slop)
       groupMeta: Vector[(Vector[String], Int)],
       idfs: Map[String, Float],
       boosts: Map[String, Float],
       normCache: Array[Float],
-      fmap: Map[Int, Array[Byte]], // null iff !hasFilter
+      fmap: Map[Int, Array[Byte]], // null when !hasFilter OR the DocSet rides as FqRowTerm rows
       hasFilter: Boolean)
 
   /** Score one segment's rows (sidecar row + queried-term rows) — the
     * shared body of the no-shuffle mapPartitions path and the groupByKey
     * fallback. Static so task closures don't capture the Searcher. */
   private[query] def scoreGroup(
-      rs: Array[PostingRow], qm: QueryMeta, k: Int, docBudget: Int): Iterator[Hit] = {
+      rs: Array[PostingRow], qm: QueryMeta, k: Int, docBudget: Int): Iterator[Hit] =
+    scoreGroupCounted(rs, qm, k, docBudget, prune = true)._1.iterator
+
+  /** [[scoreGroup]] plus the segment's scored-doc count; prune = false
+    * disables WAND pruning so the count is the segment's exact numFound. */
+  private[query] def scoreGroupCounted(
+      rs: Array[PostingRow], qm: QueryMeta, k: Int, docBudget: Int,
+      prune: Boolean): (Array[Hit], Long) = {
     val sidecarIdx = rs.indexWhere(_.term.isEmpty)
-    if (sidecarIdx < 0) return Iterator.empty // no sidecar ⇒ nothing to score
+    if (sidecarIdx < 0) return (Array.empty, 0L) // no sidecar ⇒ nothing to score
     val sc = rs(sidecarIdx)
     def wIdf(t: String): Float = qm.boosts.getOrElse(t, 1f) * qm.idfs(t)
-    val byTerm = rs.iterator.filter(_.term.nonEmpty).map(pr => pr.term -> pr).toMap
+    val byTerm = rs.iterator
+      .filter(pr => pr.term.nonEmpty && pr.term != FqRowTerm)
+      .map(pr => pr.term -> pr).toMap
     val nc = qm.normCache
     val mustCur = scala.collection.mutable.ArrayBuffer.empty[Cursor]
     val shouldCur = scala.collection.mutable.ArrayBuffer.empty[Cursor]
@@ -410,7 +548,7 @@ object Searcher {
         case None => if (occ == 0) missingMust = true
       }
     }
-    qm.phraseMeta.foreach { case (terms, occ, qpos) =>
+    qm.phraseMeta.foreach { case (terms, occ, qpos, slop) =>
       if (terms.forall(byTerm.contains)) {
         // fresh member cursors (cursors are stateful; a term used both
         // standalone and inside a phrase needs independent iterators);
@@ -420,7 +558,7 @@ object Searcher {
           new PostingCursor(byTerm(t).blocks, qm.idfs(t), nc, 0)).toArray
         var idfSum = 0f
         terms.foreach(t => idfSum += qm.idfs(t))
-        val pc = new PhraseCursor(members, idfSum, nc, qpos)
+        val pc = new PhraseCursor(members, idfSum, nc, qpos, slop)
         occ match {
           case 0 => mustCur += pc
           case 1 => shouldCur += pc
@@ -437,19 +575,23 @@ object Searcher {
         mustCur += new DisjunctionCursor(members, qpos)
       }
     }
-    if (missingMust) Iterator.empty // a MUST clause can't match here
+    if (missingMust) (Array.empty, 0L) // a MUST clause can't match here
     else {
       val filter: Option[RoaringBitmap] =
         if (!qm.hasFilter) None
-        else qm.fmap.get(sc.segment_id) match {
+        else if (qm.fmap != null) qm.fmap.get(sc.segment_id) match {
           case Some(raw) => Some(bitmapFrom(raw))
           case None => Some(new RoaringBitmap()) // filter matches nothing here
         }
-      Wand.scoreSegment(
+        else rs.find(_.term == FqRowTerm) match { // DocSet rode the shuffle
+          case Some(r) => Some(bitmapFrom(r.norms))
+          case None => Some(new RoaringBitmap()) // filter matches nothing here
+        }
+      Wand.scoreSegmentCounted(
         shouldCur.sortBy(_.queryPos).toArray,
         mustCur.sortBy(_.queryPos).toArray,
         notCur.toArray,
-        sc.norms, sc.first_doc, filter, k, docBudget).iterator
+        sc.norms, sc.first_doc, filter, k, docBudget, prune)
     }
   }
 

@@ -141,12 +141,18 @@ final class PostingCursor(
   }
 }
 
-/** Exact-phrase (slop 0) scorer: leapfrog conjunction of the member terms'
-  * cursors plus adjacency verification on token positions; BM25-scored with
-  * freq = number of phrase occurrences and idf = sum of member idfs — the
-  * reference's PhraseQuery-under-BM25 semantics
+/** Phrase scorer: leapfrog conjunction of the member terms' cursors plus
+  * position verification; BM25-scored with freq = number of phrase
+  * occurrences and idf = sum of member idfs — the reference's
+  * PhraseQuery-under-BM25 semantics
   * (`solr/core/src/java/org/apache/solr/parser/SolrQueryParserBase.java:140,355-362`
   * builds the PhraseQuery; Lucene scores it like a term with phraseFreq).
+  *
+  * Slop 0 = exact adjacency (the fast path, bit-identical to r2). Slop k
+  * matches an ordered greedy chain: member i's position q_i is the SMALLEST
+  * position with q_{i-1} < q_i <= q_{i-1} + 1 + k; freq = count of start
+  * positions completing a chain. Deterministic, slop-0-reduces-to-exact
+  * (documented divergence from Lucene's 1/(1+matchLength) weighting).
   *
   * @param ts  member term cursors in PHRASE order (position i must carry
   *            the term at offset i)
@@ -156,7 +162,8 @@ final class PhraseCursor(
     ts: Array[PostingCursor],
     val idf: Float,
     cache: Array[Float],
-    val queryPos: Int) extends Cursor {
+    val queryPos: Int,
+    slop: Int = 0) extends Cursor {
 
   private val cmin: Float = {
     var m = Float.MaxValue
@@ -166,10 +173,14 @@ final class PhraseCursor(
   }
   private def bound(tfUB: Int): Float = idf * (tfUB / (tfUB + cmin))
 
-  /** Safe global bound: phrase freq <= min member tf. */
+  /** Safe global bound: slop 0 ⇒ freq <= min member tf (each occurrence
+    * consumes one position of EVERY member); slop > 0 ⇒ only freq <= tf of
+    * the FIRST member is safe (greedy chains may share later members'
+    * positions across different starts). */
   val maxScore: Float = {
     var m = Int.MaxValue
-    ts.foreach(t => if (t.maxTf < m) m = t.maxTf)
+    if (slop == 0) ts.foreach(t => if (t.maxTf < m) m = t.maxTf)
+    else m = ts(0).maxTf
     bound(m)
   }
 
@@ -185,7 +196,8 @@ final class PhraseCursor(
 
   def blockMaxScore: Float = {
     var m = Int.MaxValue
-    ts.foreach(t => if (t.blockMaxTf < m) m = t.blockMaxTf)
+    if (slop == 0) ts.foreach(t => if (t.blockMaxTf < m) m = t.blockMaxTf)
+    else m = ts(0).blockMaxTf
     bound(m)
   }
 
@@ -195,7 +207,9 @@ final class PhraseCursor(
     m
   }
 
-  /** Count of positions p in t0 with every member i at p+i (exact phrase). */
+  /** Count of start positions completing an ordered chain: slop 0 checks
+    * p+i membership directly (fast path); slop k advances each member to
+    * the smallest position in (prev, prev + 1 + k]. */
   private def phraseFreq(): Int = {
     val p0 = ts(0).positions()
     var f = 0
@@ -204,9 +218,20 @@ final class PhraseCursor(
       val p = p0(k)
       var i = 1
       var ok = true
-      while (ok && i < ts.length) {
-        if (java.util.Arrays.binarySearch(ts(i).positions(), p + i) < 0) ok = false
-        i += 1
+      if (slop == 0) {
+        while (ok && i < ts.length) {
+          if (java.util.Arrays.binarySearch(ts(i).positions(), p + i) < 0) ok = false
+          i += 1
+        }
+      } else {
+        var prev = p
+        while (ok && i < ts.length) {
+          val ps = ts(i).positions()
+          var idx = java.util.Arrays.binarySearch(ps, prev + 1)
+          if (idx < 0) idx = -idx - 1
+          if (idx < ps.length && ps(idx) <= prev + 1 + slop) { prev = ps(idx); i += 1 }
+          else ok = false
+        }
       }
       if (ok) f += 1
       k += 1
@@ -379,17 +404,42 @@ object Wand {
       firstDoc: Long,
       filter: Option[RoaringBitmap],
       k: Int,
-      docBudget: Int = Int.MaxValue): Array[Hit] = {
+      docBudget: Int = Int.MaxValue): Array[Hit] =
+    scoreSegmentCounted(should, must, mustNot, norms, firstDoc, filter, k,
+      docBudget, prune = true)._1
+
+  /** [[scoreSegment]] plus the segment's scored-doc count — the numFound /
+    * minExactCount surface (`solr/core/src/java/org/apache/solr/search/QueryCommand.java:43`,
+    * QueryComponent.java:448-452): with `prune = false` WAND pruning is off,
+    * every doc matching the boolean+filter semantics is scored, and the
+    * count is the segment's EXACT hit count; with `prune = true` the count
+    * is the number of docs actually scored — a lower bound, which is the
+    * trade minExactCount buys (Lucene's GREATER_THAN_OR_EQUAL_TO relation).
+    * Conjunctions evaluate their full match set either way, so their count
+    * is always exact (modulo docBudget). */
+  def scoreSegmentCounted(
+      should: Array[Cursor],
+      must: Array[Cursor],
+      mustNot: Array[Cursor],
+      norms: Array[Byte],
+      firstDoc: Long,
+      filter: Option[RoaringBitmap],
+      k: Int,
+      docBudget: Int = Int.MaxValue,
+      prune: Boolean = true): (Array[Hit], Long) = {
     val top = new TopK(k)
     val budget = new Budget(docBudget)
-    if (must.nonEmpty) conjunction(must, should, mustNot, norms, firstDoc, filter, top, budget)
-    else if (should.nonEmpty) bmw(should, mustNot, norms, firstDoc, filter, top, budget)
-    top.results
+    val counter = new Counter
+    if (must.nonEmpty) conjunction(must, should, mustNot, norms, firstDoc, filter, top, budget, counter)
+    else if (should.nonEmpty) bmw(should, mustNot, norms, firstDoc, filter, top, budget, counter, prune)
+    (top.results, counter.n)
   }
 
   private final class Budget(var left: Int) {
     def spend(): Boolean = { left -= 1; left >= 0 }
   }
+
+  private final class Counter { var n = 0L }
 
   private def allowed(doc: Long, firstDoc: Long, filter: Option[RoaringBitmap],
       mustNot: Array[Cursor]): Boolean = {
@@ -427,14 +477,18 @@ object Wand {
       firstDoc: Long,
       filter: Option[RoaringBitmap],
       top: TopK,
-      budget: Budget): Unit = {
+      budget: Budget,
+      counter: Counter,
+      prune: Boolean = true): Unit = {
     val byQueryPos = should.sortBy(_.queryPos)
     val cursors = should.clone() // sorted by current doc below
     while (true) {
       java.util.Arrays.sort(cursors, (a: Cursor, b: Cursor) =>
         java.lang.Long.compare(a.doc, b.doc))
       if (cursors(0).doc == Long.MaxValue) return
-      val theta = top.threshold
+      // prune = false: exact-count mode — the threshold never rises above
+      // -Inf for PRUNING purposes, so every matching doc is scored/counted
+      val theta = if (prune) top.threshold else Float.NegativeInfinity
       // pivot: first prefix whose global-max sum can reach the threshold
       var ub = 0f
       var p = 0
@@ -484,6 +538,7 @@ object Wand {
         while (i <= p) { if (cursors(i).doc < pivot) cursors(i).advanceTo(pivot); i += 1 }
         if (allowed(pivot, firstDoc, filter, mustNot)) {
           if (!budget.spend()) return // early termination: budget exhausted
+          counter.n += 1
           val norm = norms((pivot - firstDoc).toInt)
           val s = scoreDoc(pivot, norm, byQueryPos)
           top.insert(pivot, s)
@@ -511,7 +566,8 @@ object Wand {
       firstDoc: Long,
       filter: Option[RoaringBitmap],
       top: TopK,
-      budget: Budget): Unit = {
+      budget: Budget,
+      counter: Counter): Unit = {
     val all = (must ++ should).sortBy(_.queryPos)
     var target = must.map(_.doc).max
     while (target != Long.MaxValue) {
@@ -525,6 +581,7 @@ object Wand {
       if (agreed) {
         if (allowed(target, firstDoc, filter, mustNot)) {
           if (!budget.spend()) return // early termination: budget exhausted
+          counter.n += 1
           var j = 0
           while (j < should.length) {
             if (should(j).doc < target) should(j).advanceTo(target)

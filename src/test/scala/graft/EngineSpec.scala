@@ -58,7 +58,10 @@ class EngineSpec extends AnyFunSuite {
     "role:[system TO user] data", // lexicographic range filter
     "+data data",              // occur collision: MUST wins over SHOULD dup
     "data -data",              // occur collision: exclusion wins (empty)
-    "+data -data query"        // occur collision: unsatisfiable MUST/NOT
+    "+data -data query",       // occur collision: unsatisfiable MUST/NOT
+    "\"error retry\"~2 timeout", // sloppy phrase, SHOULD
+    "+\"the data\"~1",         // sloppy phrase, MUST
+    "data -\"merge shuffle\"~3" // sloppy phrase, MUST_NOT
   )
 
   private def assertRankIdentical(q: String, k: Int): Unit = {
@@ -250,6 +253,89 @@ class EngineSpec extends AnyFunSuite {
       val b = fallback.topKHits(parsed, 12).collect().map(h => (h.doc_id, h.score)).toSeq
       assert(a == b, s"[$q] colocated vs fallback ranking diverged")
     }
+  }
+
+  test("phrase slop: parser reads the suffix; freq is monotone in slop; slop 0 == exact") {
+    val p = QueryParser.parse("\"error retry\"~2 data")
+    assert(p.phrases == Vector(graft.query.Phrase(Vector("error", "retry"), 1, 2)))
+    assert(QueryParser.parse("\"error retry\" data").phrases.head.slop == 0)
+    def freqs(slop: Int): Map[Long, Long] =
+      searcher.phraseFreqs(Seq("the", "data"), slop)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f0 = freqs(0)
+    val f2 = freqs(2)
+    assert(f0.nonEmpty)
+    // every exact match is also a slop-2 match with at least that freq
+    f0.foreach { case (d, f) => assert(f2.getOrElse(d, 0L) >= f, s"doc $d") }
+    assert(f2.keySet.size >= f0.keySet.size)
+    // slop-2 catches "the X data" bigrams that exact misses
+    val brute = {
+      val anal = graft.analysis.Analyzer.default
+      val fUdf = udf((text: String) => {
+        val (ts, ps) = anal.analyzeWithPositions(text)
+        val a = ts.zip(ps).filter(_._1 == "the").map(_._2).sorted
+        val b = ts.zip(ps).filter(_._1 == "data").map(_._2).sorted
+        a.count(p => b.exists(q => q > p && q <= p + 3))
+      })
+      searcher.docs.select($"doc_id", fUdf($"text").as("f")).where($"f" > 0)
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    }
+    assert(f2 == brute, "slop-2 phrase freqs diverged from brute force")
+  }
+
+  test("numFound: exact count matches brute force; pruned top-k == exact top-k") {
+    for (q <- Seq("the data", "error failed retry timeout commit", "+query merge",
+        "role:user spark index", "data -timeout")) {
+      val parsed = searcher.expand(QueryParser.parse(q))
+      val exact = searcher.topKWithCount(parsed, 10, minExactCount = Int.MaxValue)
+      assert(exact.isExact)
+      // brute-force hit count = the oracle's full ranking length
+      val oracleHits = Oracle.topK(spark,
+        searcher.docs.select($"doc_id", $"text", $"role", $"tool"), parsed, 1000000)
+        .collect()
+      assert(exact.totalHits == oracleHits.length, s"[$q] numFound")
+      // exact-path top-k identical to the standard pruned WAND path
+      val wand = searcher.topKHits(parsed, 10).collect()
+      assert(exact.hits.map(h => (h.doc_id, h.score)).toSeq ==
+        wand.map(h => (h.doc_id, h.score)).toSeq, s"[$q] exact-path top-k")
+      // pruned counted path: same top-k, count is a valid lower bound
+      val pruned = searcher.topKWithCount(parsed, 10, minExactCount = 5)
+      assert(!pruned.isExact)
+      assert(pruned.hits.map(h => (h.doc_id, h.score)).toSeq ==
+        exact.hits.map(h => (h.doc_id, h.score)).toSeq, s"[$q] pruned-path top-k")
+      assert(pruned.totalHits <= exact.totalHits && pruned.totalHits >= pruned.hits.length)
+    }
+  }
+
+  test("oversized fq DocSets ride the scoring shuffle: forced executor-side path == broadcast path") {
+    // fqBroadcastMaxBytes = 0 forces EVERY filter DocSet onto the
+    // rides-as-rows path (the 10^12-doc behavior for a half-the-corpus fq,
+    // where driver residency would be tens of GB); results must be
+    // identical to the driver-broadcast path AND the oracle
+    val forced = new Searcher(spark, indexDir, fqBroadcastMaxBytes = 0L)
+    try {
+      val filtered = Seq(
+        "role:user spark index",          // ~50% selectivity filter
+        "role:assistant error retry",
+        "role:[system TO user] data",     // range filter (matches most docs)
+        "role:user tool:grep data",       // conjunctive filters
+        "role:nosuchrole data")           // filter matches nothing
+      for (q <- filtered) {
+        val parsed = QueryParser.parse(q)
+        val a = searcher.topKHits(parsed, 12).collect().map(h => (h.doc_id, h.score)).toSeq
+        val b = forced.topKHits(parsed, 12).collect().map(h => (h.doc_id, h.score)).toSeq
+        assert(a == b, s"[$q] executor-side fq path diverged from broadcast path")
+        val oracle = Oracle.topK(spark,
+          searcher.docs.select($"doc_id", $"text", $"role", $"tool"), parsed, 12)
+          .collect().map(h => (h.doc_id, h.score)).toSeq
+        assert(b == oracle, s"[$q] executor-side fq path diverged from oracle")
+      }
+      // the second run of the same filter hits the fq cache's Right entry
+      val again = forced.topKHits("role:user spark index", 12).collect()
+      val first = searcher.topKHits("role:user spark index", 12).collect()
+      assert(again.map(h => (h.doc_id, h.score)).toSeq ==
+        first.map(h => (h.doc_id, h.score)).toSeq)
+    } finally forced.close()
   }
 
   test("randomized queries: engine == oracle on 40 seeded random term sets") {

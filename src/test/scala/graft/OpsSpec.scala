@@ -58,4 +58,62 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(recalls.forall(_ >= 0.9), s"recall@10 too low: $recalls")
   }
+
+  test("jaccard vocabulary fallback (shuffle join, no driver collect) == broadcast path") {
+    val fn = SparkEntry.queries("text_dedup_ngram_jaccard")
+    val base = fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    assert(base.nonEmpty)
+    // cap 0 forces the >RAM-vocabulary path: df ranks attached via a
+    // shuffle join of (doc_id, shingle) against the df table
+    sys.props("graft.jaccard.bcast.max") = "0"
+    try {
+      val fallback = fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      assert(fallback == base, "shuffle-join df attachment diverged from broadcast path")
+    } finally sys.props -= "graft.jaccard.bcast.max"
+  }
+
+  test("mass duplication: 3000 copies of one doc pass the near-dup ops without unbounded buckets") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("dupstress")
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val others = Seq(
+      "one two three four five six seven",
+      "red green blue cyan magenta yellow black",
+      "north south east west up down left right",
+      "lorem ipsum dolor sit amet consectetur adipiscing")
+    val rows = (0 until 3000).map(i => (i.toLong, dup)) ++
+      others.zipWithIndex.map { case (t, i) => ((3000 + i).toLong, t) }
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // watch the worst task: pre-collapse means no bucket/bucket-join stage
+    // ever materializes the 3000-member duplicate group as one list
+    val maxRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          var cur = maxRead.get()
+          while (r > cur && !maxRead.compareAndSet(cur, r)) cur = maxRead.get()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val expect = 3000L * 2999 / 2 // all pairs inside the duplicate group
+      val nMin = SparkEntry.queries("text_dedup_minhash_lsh")(spark, dir).count()
+      assert(nMin == expect, s"minhash pair count $nMin != $expect")
+      val nJac = SparkEntry.queries("text_dedup_ngram_jaccard")(spark, dir).count()
+      assert(nJac == expect, s"jaccard pair count $nJac != $expect")
+      val nSim = SparkEntry.queries("text_dedup_simhash")(spark, dir).count()
+      // unrelated 32-bit simhashes can land within hamming 6 by chance; a
+      // chance rep pair touching the duplicate group expands to 3000 pairs
+      assert(nSim >= expect && nSim <= expect + 4 * 3000 + 10,
+        s"simhash pair count $nSim")
+      Thread.sleep(3000) // listener events are async
+      val worst = maxRead.get()
+      assert(worst <= 200000L,
+        s"a task read $worst shuffle records — duplicate group leaked into a bucket")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
