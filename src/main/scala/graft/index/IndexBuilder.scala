@@ -59,8 +59,11 @@ object IndexBuilder {
   /** On-disk layout version; bump on PostingRow/Block schema changes. An
     * index without the current marker is STALE (e.g. pre-positions blocks)
     * and gets wiped + rebuilt instead of resumed — resuming across a
-    * schema change would poison every reader with FIELD_NOT_FOUND. */
-  val LayoutVersion = 2
+    * schema change would poison every reader with FIELD_NOT_FOUND.
+    * v3: postings carry single-token FIELD terms (`role:<v>`, `tool:<v>`)
+    * so role/tool are scored qf fields, not just filters (the copyField +
+    * per-field postings role of DocumentBuilder.java:99-123). */
+  val LayoutVersion = 3
 
   /** Index-store parquet codec. zstd, not the Spark default snappy: the
     * snappy write path collapses under write-task concurrency on this host
@@ -320,8 +323,8 @@ object IndexBuilder {
     import spark.implicits._
     val in = if (filterBatch) docs.where($"segment_id" >= lo && $"segment_id" < hi) else docs
     val rows: Dataset[PostingRow] = in
-      .select($"doc_id", $"segment_id", $"text")
-      .as[(Long, Int, String)]
+      .select($"doc_id", $"segment_id", $"text", $"role", $"tool")
+      .as[(Long, Int, String, String, String)]
       .mapPartitions { it =>
         val bufs = new java.util.HashMap[(Int, String), PostingsBuf]()
         def buf(seg: Int, term: String): PostingsBuf = {
@@ -330,14 +333,20 @@ object IndexBuilder {
           if (b == null) { b = new PostingsBuf(); bufs.put(k, b) }
           b
         }
+        val one = SmallFloat.intToByte4(1) // field norm: single-token dl
         val tp = new java.util.HashMap[String, IntBuf]()
-        it.foreach { case (docId, seg, text) =>
+        it.foreach { case (docId, seg, text, role, tool) =>
           val (terms, tposs) = analyzer.analyzeWithPositions(text)
           val dl = terms.length
           val norm = SmallFloat.intToByte4(dl)
           val lenBuf = buf(seg, "")
           lenBuf.isLenRow = true
           lenBuf.add(docId, dl, norm)
+          // single-token field postings (`role:user` keying): tf = 1,
+          // norm = dl 1 — scored with the field's own stats, filtered
+          // structurally; positions are not needed (no phrases on fields)
+          if (role != null && role.nonEmpty) buf(seg, "role:" + role).add(docId, 1, one)
+          if (tool != null && tool.nonEmpty) buf(seg, "tool:" + tool).add(docId, 1, one)
           tp.clear()
           var i = 0
           while (i < terms.length) {

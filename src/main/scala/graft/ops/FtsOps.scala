@@ -209,6 +209,9 @@ object FtsOps {
              |SELECT w AS term, count(DISTINCT doc_id) AS df, count(*) AS ttf
              |FROM toks GROUP BY w ORDER BY df DESC, term LIMIT 25""".stripMargin),
       (s, dir) => s.read.parquet(s"${index(s, dir, "documents")}/terms")
+        // layout v3 adds structured field terms (role:/tool:) to the terms
+        // table; the text-vocabulary oracle sees only real tokens
+        .where(!col("term").contains(":"))
         .select(col("term"), col("df"), col("ttf"))
         .orderBy(col("df").desc, col("term"))
         .limit(25)),
@@ -477,6 +480,30 @@ object FtsOps {
           .filter(t => graft.query.Searcher.editDistanceAtMost(t, "quary", 1))
           .collect().sorted.toSeq
         bm25DoubleTopK(s, idx, qterms)
+      }),
+
+    Op("fts_edismax_engine",
+      "edismax served by the ENGINE's one-stage path: per-term " +
+        "disjunction-max over qf fields (text^1.0, role^2.0 — role is a " +
+        "real scored field via layout-v3 single-token field postings, " +
+        "DocumentBuilder.java:99-123 copyField role), tie=0.1, mm=2. " +
+        "Float scores -> rows-only driver check; exact equality vs a " +
+        "driver-side brute-force replication is gated in EngineSpec, and " +
+        "the double-precision fts_edismax op remains the hash-checked " +
+        "artifact of the same semantics",
+      None,
+      (s, dir) => {
+        val idx = index(s, dir, "documents")
+        val sr = searcher(s, dir, "documents")
+        val idmap = s.read.parquet(s"$idx/docs")
+          .select(col("doc_id").as("hit_doc"),
+            regexp_extract(col("conv_id"), "(\\d+)", 1).cast("long").as("doc_id"))
+        sr.dismaxTopK("data query src7 fast", Seq("text" -> 1f, "role" -> 2f),
+            tie = 0.1f, mm = 2, k = 20)
+          .withColumnRenamed("doc_id", "hit_doc")
+          .join(idmap, "hit_doc")
+          .select(col("doc_id"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
       }),
 
     Op("fts_count",

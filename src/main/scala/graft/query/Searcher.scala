@@ -166,14 +166,17 @@ final class Searcher(
     if (parsed.multiTerms.isEmpty) return parsed
     var p = parsed
     p.multiTerms.foreach { mt =>
+      // field postings (role:x / tool:y, layout v3) are NOT text vocabulary:
+      // a fuzzy body like `roles~2` must not expand into `role:x`
+      val vocab = termsDF.where(!$"term".contains(":"))
       val expanded: Vector[String] = (mt.kind match {
         case 0 =>
-          termsDF.where($"term".startsWith(mt.body))
+          vocab.where($"term".startsWith(mt.body))
             .orderBy($"term").limit(Searcher.MaxExpansions)
             .select($"term").as[String].collect()
         case _ =>
           val (body, maxE) = (mt.body, mt.maxEdits)
-          termsDF.select($"term").as[String]
+          vocab.select($"term").as[String]
             .filter(t => Searcher.editDistanceAtMost(t, body, maxE))
             .collect().sorted.take(Searcher.MaxExpansions)
       }).toVector
@@ -386,6 +389,54 @@ final class Searcher(
 
   def numFound(q: String): Long = numFound(QueryParser.parse(q, analyzer))
 
+  /** edismax served by the engine index: each analyzed query term scores as
+    * a disjunction-max over the qf FIELDS — "text" uses the text postings
+    * with the doc-length norm, other fields use the single-token field
+    * postings (`role:<v>` keying, layout v3) with dl = avgdl = 1 — combined
+    * as max + tie·(sum − max) per term and gated by mm matched terms
+    * (ExtendedDismaxQParser.java:392-445,994-1036). Runs on the same
+    * one-stage colocated path as topKHits.
+    *
+    * @param qf (field, weight) in qf order; field "text" = the text field */
+  def dismaxTopK(q: String, qf: Seq[(String, Float)], tie: Float, mm: Int,
+      k: Int): Dataset[Hit] = {
+    val empty = spark.emptyDataset[Hit]
+    val qterms = analyzer.analyze(q).toVector.distinct
+    if (qterms.isEmpty || qf.isEmpty || k <= 0) return empty
+    def keyOf(f: String, t: String) = if (f == "text") t else s"$f:$t"
+    val allKeys = for (t <- qterms; (f, _) <- qf) yield keyOf(f, t)
+    val dfs = termStats(allKeys.distinct)
+    // per term (query order): live (key, weighted idf, isTextField) per
+    // field in qf order
+    val termFields: Vector[Vector[(String, Float, Boolean)]] = qterms.map { t =>
+      qf.toVector.flatMap { case (f, w) =>
+        val key = keyOf(f, t)
+        dfs.get(key).filter(_ > 0).map(df =>
+          (key, w * bm25.idf(corpus.doc_count, df), f == "text"))
+      }
+    }
+    if (termFields.forall(_.isEmpty)) return empty
+    val nc = bm25.normCache(avgdl)
+    val bcQ = spark.sparkContext.broadcast(
+      Searcher.DisMaxMeta(termFields, nc, tie, mm, bm25.k1))
+    val queried = termFields.flatten.map(_._1).distinct
+    val rows = postings
+      .where($"term".isin("" +: queried: _*))
+      .as[PostingRow]
+    val hits: Dataset[Hit] =
+      if (colocated)
+        rows.mapPartitions { it =>
+          it.toArray.groupBy(_.segment_id).iterator.flatMap { case (_, rs) =>
+            Searcher.scoreDisMaxGroup(rs, bcQ.value, k)
+          }
+        }
+      else
+        rows.groupByKey(_.segment_id).flatMapGroups { (_, rs) =>
+          Searcher.scoreDisMaxGroup(rs.toArray, bcQ.value, k)
+        }
+    hits.orderBy($"score".desc, $"doc_id".asc).limit(k)
+  }
+
   /** Exact-phrase match enumeration: every (internal docId, phraseFreq)
     * with freq >= 1, from the positional postings — the driver-checkable
     * integer artifact of the phrase path (scores are float and gated by
@@ -498,6 +549,37 @@ object Searcher {
     * totalHits is exact when isExact, else a lower bound (Lucene's
     * GREATER_THAN_OR_EQUAL_TO relation under WAND pruning). */
   final case class TopDocs(hits: Array[Hit], totalHits: Long, isExact: Boolean)
+
+  /** Everything a task needs to dismax-score one segment:
+    * termFields(t) = (posting key, weighted idf, isTextField) per live
+    * field of query term t, both in query/qf order. */
+  final case class DisMaxMeta(
+      termFields: Vector[Vector[(String, Float, Boolean)]],
+      normCache: Array[Float],
+      tie: Float,
+      mm: Int,
+      k1: Float)
+
+  /** Dismax-score one segment's rows (sidecar + queried field/text rows). */
+  private[query] def scoreDisMaxGroup(
+      rs: Array[PostingRow], dm: DisMaxMeta, k: Int): Iterator[Hit] = {
+    val sidecarIdx = rs.indexWhere(_.term.isEmpty)
+    if (sidecarIdx < 0) return Iterator.empty
+    val sc = rs(sidecarIdx)
+    val byTerm = rs.iterator.filter(_.term.nonEmpty).map(pr => pr.term -> pr).toMap
+    val cursors: Array[Array[Cursor]] = dm.termFields.map { fields =>
+      fields.flatMap { case (key, wIdf, isText) =>
+        byTerm.get(key).map { pr =>
+          // field terms have dl = avgdl = 1 ⇒ c = k1, independent of the
+          // doc's TEXT norm byte delivered at score time
+          new PostingCursor(pr.blocks, wIdf, dm.normCache, 0,
+            fixedC = if (isText) Float.NaN else dm.k1): Cursor
+        }
+      }.toArray
+    }.toArray
+    if (cursors.forall(_.isEmpty)) Iterator.empty
+    else Wand.scoreDisMax(cursors, dm.tie, dm.mm, sc.norms, sc.first_doc, k).iterator
+  }
 
   /** Everything a task needs to score one segment: term metadata, phrase /
     * group clauses, idf + boost maps, the norm decode cache, and (if the

@@ -25,12 +25,21 @@ trait Cursor {
   *
   * @param queryPos position of this term in the query (fixes the float32
   *                 accumulation order for bit-exact scores, SURVEY.md §4.2)
+  * @param fixedC   when not NaN, overrides the norm-cache lookup with a
+  *                 constant k1·(1−b+b·dl/avgdl) — single-token FIELD terms
+  *                 (role:x / tool:y) have dl = avgdl = 1 regardless of the
+  *                 doc's text length, so their c is the field's k1
   */
 final class PostingCursor(
     blocks: Array[Block],
     val idf: Float,
     cache: Array[Float],
-    val queryPos: Int) extends Cursor {
+    val queryPos: Int,
+    fixedC: Float = Float.NaN) extends Cursor {
+
+  private def cOf(normByte: Byte): Float =
+    if (fixedC == fixedC) fixedC // non-NaN
+    else cache(java.lang.Byte.toUnsignedInt(normByte))
 
   /** Global upper bound of this term's score anywhere in the segment. */
   val maxScore: Float = {
@@ -38,7 +47,7 @@ final class PostingCursor(
     var i = 0
     while (i < blocks.length) {
       val b = blocks(i)
-      val s = idf * (b.max_tf / (b.max_tf + cache(java.lang.Byte.toUnsignedInt(b.min_norm))))
+      val s = idf * (b.max_tf / (b.max_tf + cOf(b.min_norm)))
       if (s > m) m = s
       i += 1
     }
@@ -83,7 +92,7 @@ final class PostingCursor(
   }
 
   def score(normByte: Byte): Float =
-    idf * (tfsBuf(pos) / (tfsBuf(pos) + cache(java.lang.Byte.toUnsignedInt(normByte))))
+    idf * (tfsBuf(pos) / (tfsBuf(pos) + cOf(normByte)))
 
   /** Upper bound of any score in the block that covers (or first follows)
     * `target`, plus that block's last doc — WITHOUT decoding. Advances the
@@ -97,7 +106,7 @@ final class PostingCursor(
 
   def blockMaxScore: Float = {
     val b = blocks(bi)
-    idf * (b.max_tf / (b.max_tf + cache(java.lang.Byte.toUnsignedInt(b.min_norm))))
+    idf * (b.max_tf / (b.max_tf + cOf(b.min_norm)))
   }
 
   def blockLastDoc: Long = blocks(bi).last_doc
@@ -440,6 +449,77 @@ object Wand {
   }
 
   private final class Counter { var n = 0L }
+
+  /** edismax segment scorer: per query term, disjunction-max over that
+    * term's per-FIELD cursors — score(term) = max + tie·(sum − max) over
+    * the fields matching the doc, summed over terms in query order; a doc
+    * qualifies when >= mm terms match in at least one field
+    * (ExtendedDismaxQParser.java:392-445,994-1036 semantics: DisjunctionMax
+    * over qf fields with tiebreaker, mm clause gate). Doc-at-a-time
+    * exhaustive evaluation (no pruning — a dismax upper bound under mm is
+    * not worth the complexity at typical 2-5 term queries); deterministic
+    * float accumulation: fields in qf order inside a term, terms in query
+    * order.
+    *
+    * @param terms terms(t) = field cursors of query term t, qf order
+    */
+  def scoreDisMax(
+      terms: Array[Array[Cursor]],
+      tie: Float,
+      mm: Int,
+      norms: Array[Byte],
+      firstDoc: Long,
+      k: Int): Array[Hit] = {
+    val top = new TopK(k)
+    while (true) {
+      var d = Long.MaxValue
+      var t = 0
+      while (t < terms.length) {
+        val fcs = terms(t)
+        var f = 0
+        while (f < fcs.length) {
+          if (fcs(f).doc < d) d = fcs(f).doc
+          f += 1
+        }
+        t += 1
+      }
+      if (d == Long.MaxValue) return top.results
+      val norm = norms((d - firstDoc).toInt)
+      var acc = 0f
+      var matched = 0
+      t = 0
+      while (t < terms.length) {
+        val fcs = terms(t)
+        var mx = 0f
+        var sum = 0f
+        var any = false
+        var f = 0
+        while (f < fcs.length) {
+          if (fcs(f).doc == d) {
+            val s = fcs(f).score(norm)
+            any = true
+            sum += s
+            if (s > mx) mx = s
+          }
+          f += 1
+        }
+        if (any) { matched += 1; acc += mx + tie * (sum - mx) }
+        t += 1
+      }
+      if (matched >= mm) top.insert(d, acc)
+      t = 0
+      while (t < terms.length) {
+        val fcs = terms(t)
+        var f = 0
+        while (f < fcs.length) {
+          if (fcs(f).doc == d) fcs(f).next()
+          f += 1
+        }
+        t += 1
+      }
+    }
+    top.results // unreachable
+  }
 
   private def allowed(doc: Long, firstDoc: Long, filter: Option[RoaringBitmap],
       mustNot: Array[Cursor]): Boolean = {

@@ -98,7 +98,7 @@ object StreamingIndexer {
 
     // ---- stage postings from the staged docs (batch-sized read) ---------
     val stagedDocs = spark.read.parquet(s"$staging/docs")
-      .select($"doc_id", $"text").as[(Long, String)]
+      .select($"doc_id", $"text", $"role", $"tool").as[(Long, String, String, String)]
     stagedDocs.mapPartitions { it =>
       val bufs = new java.util.HashMap[String, PostingsBuf]()
       def buf(term: String): PostingsBuf = {
@@ -106,14 +106,18 @@ object StreamingIndexer {
         if (b == null) { b = new PostingsBuf(); bufs.put(term, b) }
         b
       }
+      val one = SmallFloat.intToByte4(1)
       val tp = new java.util.HashMap[String, IntBuf]()
-      it.foreach { case (docId, text) =>
+      it.foreach { case (docId, text, role, tool) =>
         val (terms, tposs) = analyzer.analyzeWithPositions(text)
         val dl = terms.length
         val norm = SmallFloat.intToByte4(dl)
         val lenBuf = buf("")
         lenBuf.isLenRow = true
         lenBuf.add(docId, dl, norm)
+        // same single-token field postings as the batch builder (layout v3)
+        if (role != null && role.nonEmpty) buf("role:" + role).add(docId, 1, one)
+        if (tool != null && tool.nonEmpty) buf("tool:" + tool).add(docId, 1, one)
         tp.clear()
         var i = 0
         while (i < terms.length) {

@@ -127,7 +127,10 @@ class EngineSpec extends AnyFunSuite {
     assert(searcher.corpus.sum_dl == expectedSumDl)
     assert(searcher.corpus.doc_count == corpus.count())
     val dfSpark = toks.groupBy($"t").agg(count(lit(1))).count() // distinct terms
+    // exclude the layout-v3 structured field terms (role:/tool:) — they are
+    // not text vocabulary
     val termsTable = spark.read.parquet(s"$indexDir/terms")
+      .where(!col("term").contains(":"))
     assert(termsTable.count() == dfSpark)
     // spot-check df of one hot term
     val dfThe = corpus.where(array_contains(analyzeUdf($"text"), "the")).count()
@@ -281,6 +284,63 @@ class EngineSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     }
     assert(f2 == brute, "slop-2 phrase freqs diverged from brute force")
+  }
+
+  test("dismax multi-field engine == driver-side brute force (qf text^1 role^2, tie, mm)") {
+    val bm25 = Bm25()
+    val anal = graft.analysis.Analyzer.default
+    val qf = Seq("text" -> 1f, "role" -> 2f)
+    val (tie, mm) = (0.1f, 1)
+    for (q <- Seq("user data error", "assistant spark shuffle", "tool the")) {
+      val got = searcher.dismaxTopK(q, qf, tie, mm, 10)
+        .collect().map(h => (h.doc_id, h.score)).toSeq
+      // brute force replicating the engine's float math exactly: same
+      // formulas (shared Bm25), same accumulation order (fields in qf
+      // order inside a term, terms in query order)
+      val rows = searcher.docs.select($"doc_id", $"role", $"text").collect()
+        .map(r => (r.getLong(0), r.getString(1), anal.analyze(r.getString(2))))
+      val n = searcher.corpus.doc_count
+      val avgdl = searcher.avgdl
+      val nc = bm25.normCache(avgdl)
+      val qterms = anal.analyze(q).toVector.distinct
+      def dfText(t: String) = rows.count(_._3.contains(t)).toLong
+      def dfRole(t: String) = rows.count(_._2 == t).toLong
+      val wIdf: Map[(String, String), Float] = (for {
+        t <- qterms
+        (f, w) <- qf
+        df = if (f == "text") dfText(t) else dfRole(t)
+        if df > 0
+      } yield (f, t) -> (w * bm25.idf(n, df))).toMap
+      val scored = rows.flatMap { case (docId, role, toks) =>
+        val norm = graft.codec.SmallFloat.intToByte4(toks.length)
+        var acc = 0f
+        var matched = 0
+        qterms.foreach { t =>
+          var mx = 0f
+          var sum = 0f
+          var any = false
+          qf.foreach { case (f, _) =>
+            wIdf.get((f, t)).foreach { wi =>
+              if (f == "text") {
+                val tf = toks.count(_ == t)
+                if (tf > 0) {
+                  val s = bm25.scoreCached(tf, norm, wi, nc)
+                  any = true; sum += s; if (s > mx) mx = s
+                }
+              } else if (role == t) {
+                val s = wi * (1f / (1f + bm25.k1))
+                any = true; sum += s; if (s > mx) mx = s
+              }
+            }
+          }
+          if (any) { matched += 1; acc += mx + tie * (sum - mx) }
+        }
+        if (matched >= mm) Some((docId, acc)) else None
+      }
+      val want = scored.sortBy { case (d, s) => (-s, d) }.take(10).toSeq
+      assert(got == want, s"[$q] engine dismax diverged from brute force")
+      assert(got.nonEmpty, s"[$q] dismax returned nothing")
+    }
   }
 
   test("numFound: exact count matches brute force; pruned top-k == exact top-k") {
