@@ -14,6 +14,16 @@ import Op.t
   */
 object SearchOps {
 
+  /** Sum doubles in ascending qp order — bit-identical to DuckDB's
+    * `list_reduce(list(p ORDER BY qp), (a, v) -> a + v)` (the 0.0 fold
+    * init is exact for the first positive partial). */
+  private val orderedSum = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+    val ps = xs.map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    var acc = 0.0
+    ps.foreach(acc += _._2)
+    acc
+  })
+
   def ops: Seq[Op] = Seq(
 
     Op("dismax_fielded",
@@ -114,6 +124,106 @@ object SearchOps {
         .select(col("w").as("suggestion"), col("dist"), col("cnt"))
         .orderBy(col("dist"), col("cnt").desc, col("suggestion"))
         .limit(10)),
+
+    Op("suggest_collate",
+      "spellcheck collation (spelling/SpellCheckCollator.java): each query " +
+        "term missing from the vocabulary is replaced by its best " +
+        "suggestion — min (edit distance, -docFreq, term) within distance " +
+        "2, DirectSolrSpellChecker ranking — and the rewritten query is " +
+        "verified by running it: num_found = exact hit count of the " +
+        "collated conjunction through the engine's numFound path",
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |v AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+             |inq AS (SELECT * FROM (VALUES ('qery', 0), ('fast', 1), ('dta', 2)) t(w, qp)),
+             |corr AS (SELECT inq.qp,
+             |    CASE WHEN EXISTS (SELECT 1 FROM v WHERE v.w = inq.w) THEN inq.w
+             |    ELSE coalesce((SELECT v.w FROM v WHERE levenshtein(v.w, inq.w) <= 2
+             |                   ORDER BY levenshtein(v.w, inq.w), df DESC, v.w LIMIT 1), inq.w)
+             |    END AS cw
+             |  FROM inq)
+             |SELECT (SELECT string_agg(cw, ' ' ORDER BY qp) FROM corr) AS collation,
+             |  (SELECT count(*) FROM documents d
+             |   WHERE NOT EXISTS (SELECT 1 FROM corr
+             |                     WHERE NOT list_contains(string_split(d.text, ' '), corr.cw))) AS num_found""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val input = Seq("qery", "fast", "dta")
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val v = toks.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+          .persist()
+        // per-query-term suggestion pick: a distributed candidate filter +
+        // top-1 TakeOrdered per term — bounded by QUERY length, not data
+        val corrected = input.map { term =>
+          val exact = v.where(col("w") === term).limit(1).count() > 0
+          if (exact) term
+          else v.withColumn("dist", levenshtein(col("w"), lit(term)))
+            .where(col("dist") <= 2)
+            .orderBy(col("dist"), col("df").desc, col("w"))
+            .limit(1).select(col("w")).as[String]
+            .collect().headOption.getOrElse(term)
+        }
+        v.unpersist()
+        val collation = corrected.mkString(" ")
+        // verify the collation by running it — exact hit count through the
+        // engine's numFound (minExactCount = infinity) path
+        val sr = FtsOps.searcherPublic(s, dir, "documents")
+        val hits = sr.numFound(corrected.map("+" + _).mkString(" "))
+        Seq((collation, hits)).toDF("collation", "num_found")
+      }),
+
+    Op("mlt_tfidf",
+      "more-like-this with the reference's tf-idf term selection and " +
+        "scoring (handler/MoreLikeThisHandler.java, mlt/MoreLikeThis " +
+        "interestingTerms): top-5 seed-doc terms by tf*idf (idf = BM25 log, " +
+        "selection key rounded to 6dp; ties by term), then other docs " +
+        "scored by sum of matched terms' tf_doc * idf in selection order — " +
+        "all double-precision with fixed accumulation order, so DuckDB " +
+        "reproduces the values (round 6dp absorbs the 1-ulp ln() skew)",
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents WHERE length(text) > 0),
+             |n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+             |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+             |idf AS (SELECT w, ln(1 + (n.n - df + 0.5) / (df + 0.5)) AS idf FROM df, n),
+             |sel AS (SELECT w, idf, row_number() OVER (ORDER BY round(tf * idf, 6) DESC, w) - 1 AS qp
+             |  FROM tf JOIN idf USING (w) WHERE doc_id = 0
+             |  ORDER BY round(tf * idf, 6) DESC, w LIMIT 5),
+             |scored AS (SELECT tf.doc_id,
+             |    list_reduce(list(tf.tf * sel.idf ORDER BY sel.qp), (a, v) -> a + v) AS sc
+             |  FROM tf JOIN sel ON tf.w = sel.w WHERE tf.doc_id <> 0 GROUP BY tf.doc_id)
+             |SELECT doc_id, round(sc, 6) AS score FROM scored
+             |ORDER BY round(sc, 6) DESC, doc_id LIMIT 10""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        val n = toks.select(countDistinct(col("doc_id"))).as[Long].head()
+        val idf = toks.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+          .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+        // interesting terms of the seed doc: TakeOrdered top-5, then a
+        // 5-row broadcast join carries (idf, qp) to the scoring side
+        val sel = tf.where(col("doc_id") === 0)
+          .join(idf, "w")
+          .withColumn("key", round(col("tf") * col("idf"), 6))
+          .orderBy(col("key").desc, col("w"))
+          .limit(5)
+          .select(col("w"), col("idf").as("sidf"))
+          .as[(String, Double)].collect()
+        val selDf = sel.zipWithIndex
+          .map { case ((w, i), qp) => (w, i, qp) }.toSeq
+          .toDF("w", "sidf", "qp")
+        tf.where(col("doc_id") =!= 0)
+          .join(broadcast(selDf), "w")
+          .select(col("doc_id"), col("qp"), (col("tf") * col("sidf")).as("p"))
+          .groupBy(col("doc_id"))
+          .agg(orderedSum(collect_list(struct(col("qp"), col("p")))).as("sc"))
+          .select(col("doc_id"), round(col("sc"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      }),
 
     Op("terms_enum",
       "terms component: enumerate index terms by prefix with df/ttf " +

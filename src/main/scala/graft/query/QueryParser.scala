@@ -33,8 +33,10 @@ final case class Phrase(terms: Vector[String], occur: Int, slop: Int = 0)
 final case class Group(terms: Vector[String])
 
 /** A multi-term clause awaiting index-time expansion: kind 0 = prefix
-  * (`body*`), kind 1 = fuzzy (`body~maxEdits`). Expanded by
-  * Searcher.expand against the terms table with Lucene's
+  * (`body*`), kind 1 = fuzzy (`body~maxEdits`), kind 2 = general wildcard
+  * (`body` is a glob with `*` = any run, `?` = any one char — leading /
+  * infix stars and `?` included, SolrQueryParserBase getWildcardQuery).
+  * Expanded by Searcher.expand against the terms table with Lucene's
   * SCORING_BOOLEAN_REWRITE semantics (each concrete term scores normally). */
 final case class MultiTerm(kind: Int, body: String, maxEdits: Int, occur: Int, boost: Float)
 
@@ -173,11 +175,27 @@ object QueryParser {
           return
         }
       }
-      // trailing-star prefix wildcard
-      if (core.endsWith("*") && core.length > 1 && !core.dropRight(1).contains("*")) {
+      // trailing-star prefix wildcard (the common fast shape: expansion is
+      // a contiguous range read of the sorted terms table)
+      if (core.endsWith("*") && core.length > 1 &&
+        !core.dropRight(1).exists(c => c == '*' || c == '?')) {
         val base = analyzer.analyze(core.dropRight(1))
         if (base.length == 1)
           multiTerms += MultiTerm(0, base(0), 0, occInt(occur), boost)
+        return
+      }
+      // general wildcard: `?` single char, `*` any run, anywhere in the
+      // term (SolrQueryParserBase getWildcardQuery → Lucene WildcardQuery).
+      // The glob bypasses the analyzer (Lucene does not analyze wildcard
+      // terms); it is lowercased like the reference's
+      // lowercaseOperators/analyzeWildcard rendering. Wildcard-only bodies
+      // (`*`, `?`) are rejected like a leading-* query without
+      // allowLeadingWildcard... which we DO allow, matching Lucene when
+      // enabled — but a body with no literal char at all stays invalid.
+      if (core.exists(c => c == '*' || c == '?')) {
+        val glob = core.toLowerCase(java.util.Locale.ROOT)
+        if (glob.exists(c => c != '*' && c != '?'))
+          multiTerms += MultiTerm(2, glob, 0, occInt(occur), boost)
         return
       }
       clauses += Clause(occur, core, phrase = false, boost)

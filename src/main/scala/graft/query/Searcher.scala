@@ -174,6 +174,18 @@ final class Searcher(
           vocab.where($"term".startsWith(mt.body))
             .orderBy($"term").limit(Searcher.MaxExpansions)
             .select($"term").as[String].collect()
+        case 2 =>
+          // general wildcard (Lucene WildcardQuery rewrite): a literal
+          // prefix up to the first wildcard char narrows the vocabulary
+          // scan to a range read (Lucene's compiled-automaton commonPrefix
+          // role); a leading wildcard degrades to a full vocabulary scan —
+          // distributed, but documented as the expensive shape, exactly
+          // like the reference without ReversedWildcardFilter
+          val prefix = mt.body.takeWhile(c => c != '*' && c != '?')
+          val base = if (prefix.isEmpty) vocab else vocab.where($"term".startsWith(prefix))
+          base.where($"term".rlike(Searcher.globRegex(mt.body)))
+            .orderBy($"term").limit(Searcher.MaxExpansions)
+            .select($"term").as[String].collect()
         case _ =>
           val (body, maxE) = (mt.body, mt.maxEdits)
           vocab.select($"term").as[String]
@@ -301,8 +313,21 @@ final class Searcher(
     *                         termination with best-so-far (the reference's
     *                         query-limit surface, QueryLimits.java /
     *                         EarlyTerminatingCollector.java — a doc budget
-    *                         is the deterministic rendering of timeAllowed) */
-  def topKHits(parsed0: ParsedQuery, k: Int, segmentDocBudget: Int = Int.MaxValue): Dataset[Hit] = {
+    *                         is the deterministic rendering of timeAllowed)
+    * @param timeAllowedMs    wall-clock scoring limit per segment, measured
+    *                         from the segment's scoring start (the
+    *                         per-shard timer of search/TimeAllowedLimit
+    *                         .java; `timeAllowed` request param) — returns
+    *                         best-so-far on expiry, non-deterministic by
+    *                         nature like the reference's partialResults
+    * @param afterScore/afterDoc searchAfter cursor: only hits strictly
+    *                         after this (score desc, docId asc) rank
+    *                         position are returned — cursorMark deep paging
+    *                         (CursorMark.java:46-63) with a constant-size
+    *                         heap per page. afterScore = NaN disables. */
+  def topKHits(parsed0: ParsedQuery, k: Int, segmentDocBudget: Int = Int.MaxValue,
+      timeAllowedMs: Long = Long.MaxValue,
+      afterScore: Float = Float.NaN, afterDoc: Long = -1L): Dataset[Hit] = {
     if (k <= 0) return spark.emptyDataset[Hit]
     prepare(parsed0) match {
       case None => spark.emptyDataset[Hit]
@@ -315,7 +340,8 @@ final class Searcher(
             // segment, which is the plan a 10^12-doc cluster wants for a
             // match-half-the-corpus fq.
             rowsWithFq(rows, fqDs).groupByKey(_.segment_id).flatMapGroups { (_, rs) =>
-              Searcher.scoreGroup(rs.toArray, bcMeta.value, k, segmentDocBudget)
+              Searcher.scoreGroup(rs.toArray, bcMeta.value, k, segmentDocBudget,
+                timeAllowedMs, afterScore, afterDoc)
             }
           case _ if colocated =>
             // one narrow stage over the cached scan: group the partition's
@@ -324,17 +350,35 @@ final class Searcher(
             // merges on the driver
             rows.mapPartitions { it =>
               it.toArray.groupBy(_.segment_id).iterator.flatMap { case (_, rs) =>
-                Searcher.scoreGroup(rs, bcMeta.value, k, segmentDocBudget)
+                Searcher.scoreGroup(rs, bcMeta.value, k, segmentDocBudget,
+                  timeAllowedMs, afterScore, afterDoc)
               }
             }
           case _ =>
             rows.groupByKey(_.segment_id).flatMapGroups { (_, rs) =>
-              Searcher.scoreGroup(rs.toArray, bcMeta.value, k, segmentDocBudget)
+              Searcher.scoreGroup(rs.toArray, bcMeta.value, k, segmentDocBudget,
+                timeAllowedMs, afterScore, afterDoc)
             }
         }
         hits.orderBy($"score".desc, $"doc_id".asc).limit(k)
     }
   }
+
+  /** cursorMark deep paging on the scoring path: the next page of k hits
+    * strictly after the cursor (the last hit of the previous page) in
+    * (score desc, docId asc) rank order — CursorMark.java:46-63 semantics
+    * over the totally-ordered (score, docId) sort key. Unlike offset
+    * paging, page n+1 scores with the same k-sized heap as page 1; the
+    * cursor rides with the query metadata, so the plan is identical to
+    * [[topKHits]]. None = first page. */
+  def searchAfter(parsed: ParsedQuery, k: Int, after: Option[Hit]): Dataset[Hit] =
+    after match {
+      case None => topKHits(parsed, k)
+      case Some(h) => topKHits(parsed, k, afterScore = h.score, afterDoc = h.doc_id)
+    }
+
+  def searchAfter(q: String, k: Int, after: Option[Hit]): Dataset[Hit] =
+    searchAfter(QueryParser.parse(q, analyzer), k, after)
 
   /** Top-k with a hit count — the numFound / minExactCount response surface
     * (`solr/core/src/java/org/apache/solr/search/QueryCommand.java:43`,
@@ -596,16 +640,30 @@ object Searcher {
 
   /** Score one segment's rows (sidecar row + queried-term rows) — the
     * shared body of the no-shuffle mapPartitions path and the groupByKey
-    * fallback. Static so task closures don't capture the Searcher. */
+    * fallback. Static so task closures don't capture the Searcher.
+    *
+    * @param timeAllowedMs wall-clock scoring limit PER SEGMENT, measured
+    *                      from this segment's scoring start (the per-shard
+    *                      timer of search/TimeAllowedLimit.java); best-
+    *                      so-far results on expiry, like the reference's
+    *                      partialResults
+    * @param afterScore/afterDoc searchAfter cursor (NaN = none) — see TopK */
   private[query] def scoreGroup(
-      rs: Array[PostingRow], qm: QueryMeta, k: Int, docBudget: Int): Iterator[Hit] =
-    scoreGroupCounted(rs, qm, k, docBudget, prune = true)._1.iterator
+      rs: Array[PostingRow], qm: QueryMeta, k: Int, docBudget: Int,
+      timeAllowedMs: Long = Long.MaxValue,
+      afterScore: Float = Float.NaN, afterDoc: Long = -1L): Iterator[Hit] =
+    scoreGroupCounted(rs, qm, k, docBudget, prune = true,
+      timeAllowedMs, afterScore, afterDoc)._1.iterator
 
   /** [[scoreGroup]] plus the segment's scored-doc count; prune = false
     * disables WAND pruning so the count is the segment's exact numFound. */
   private[query] def scoreGroupCounted(
       rs: Array[PostingRow], qm: QueryMeta, k: Int, docBudget: Int,
-      prune: Boolean): (Array[Hit], Long) = {
+      prune: Boolean, timeAllowedMs: Long = Long.MaxValue,
+      afterScore: Float = Float.NaN, afterDoc: Long = -1L): (Array[Hit], Long) = {
+    val deadlineNs =
+      if (timeAllowedMs == Long.MaxValue) Long.MaxValue
+      else System.nanoTime() + timeAllowedMs * 1000000L
     val sidecarIdx = rs.indexWhere(_.term.isEmpty)
     if (sidecarIdx < 0) return (Array.empty, 0L) // no sidecar ⇒ nothing to score
     val sc = rs(sidecarIdx)
@@ -673,8 +731,21 @@ object Searcher {
         shouldCur.sortBy(_.queryPos).toArray,
         mustCur.sortBy(_.queryPos).toArray,
         notCur.toArray,
-        sc.norms, sc.first_doc, filter, k, docBudget, prune)
+        sc.norms, sc.first_doc, filter, k, docBudget, prune,
+        deadlineNs, afterScore, afterDoc)
     }
+  }
+
+  /** Anchored Java regex equivalent of a Lucene wildcard glob: `*` = any
+    * run, `?` = any single char, everything else literal. */
+  def globRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    sb.append('$').toString
   }
 
   /** Banded Levenshtein: true iff editDistance(a, b) <= maxEdits. Standard

@@ -356,8 +356,16 @@ final case class Hit(doc_id: Long, score: Float)
   * root is the current k-th hit; ties broken by ascending docId exactly like
   * a single Lucene index (SURVEY.md §7.3 item 5 — deterministic, strictly
   * stronger than Solr's shard-name tie-break,
-  * `solr/core/src/java/org/apache/solr/handler/component/ShardFieldSortedHitQueue.java:82-107`). */
-final class TopK(k: Int) {
+  * `solr/core/src/java/org/apache/solr/handler/component/ShardFieldSortedHitQueue.java:82-107`).
+  *
+  * An (afterScore, afterDoc) cursor (non-NaN afterScore) makes this a
+  * searchAfter collector (Lucene PagingTopScoreDocCollector /
+  * `solr/core/src/java/org/apache/solr/search/CursorMark.java:46-63`): hits
+  * at or before the cursor in (score desc, docId asc) rank order are
+  * rejected before entering the heap, so page n+1 costs the same heap as
+  * page 1 instead of an offset-sized one. */
+final class TopK(k: Int, afterScore: Float = Float.NaN, afterDoc: Long = -1L) {
+  private val hasAfter = !afterScore.isNaN
   private val heap = new java.util.PriorityQueue[Hit](
     math.max(1, k),
     (a: Hit, b: Hit) =>
@@ -368,6 +376,8 @@ final class TopK(k: Int) {
     if (heap.size < k) Float.NegativeInfinity else heap.peek().score
 
   def insert(doc: Long, score: Float): Unit = {
+    if (hasAfter && (score > afterScore || (score == afterScore && doc <= afterDoc)))
+      return // at or before the page cursor in rank order
     if (heap.size < k) heap.add(Hit(doc, score))
     else {
       val w = heap.peek()
@@ -425,7 +435,20 @@ object Wand {
     * is the number of docs actually scored — a lower bound, which is the
     * trade minExactCount buys (Lucene's GREATER_THAN_OR_EQUAL_TO relation).
     * Conjunctions evaluate their full match set either way, so their count
-    * is always exact (modulo docBudget). */
+    * is always exact (modulo docBudget).
+    *
+    * @param deadlineNs absolute System.nanoTime() deadline — the wall-clock
+    *                   `timeAllowed` limit (search/TimeAllowedLimit.java):
+    *                   scoring stops with best-so-far once the clock passes
+    *                   it; Long.MaxValue = unlimited (never reads the clock
+    *                   on the fast path). Non-deterministic by nature, like
+    *                   the reference's partialResults responses.
+    * @param afterScore with afterDoc, the searchAfter cursor (CursorMark.java:
+    *                   46-63): only hits STRICTLY after (afterScore desc,
+    *                   afterDoc asc) in rank order enter the heap — deep
+    *                   paging without a growing offset. NaN = no cursor.
+    *                   The scored-doc counter is cursor-independent
+    *                   (numFound does not change while paging). */
   def scoreSegmentCounted(
       should: Array[Cursor],
       must: Array[Cursor],
@@ -435,17 +458,24 @@ object Wand {
       filter: Option[RoaringBitmap],
       k: Int,
       docBudget: Int = Int.MaxValue,
-      prune: Boolean = true): (Array[Hit], Long) = {
-    val top = new TopK(k)
-    val budget = new Budget(docBudget)
+      prune: Boolean = true,
+      deadlineNs: Long = Long.MaxValue,
+      afterScore: Float = Float.NaN,
+      afterDoc: Long = -1L): (Array[Hit], Long) = {
+    val top = new TopK(k, afterScore, afterDoc)
+    val budget = new Budget(docBudget, deadlineNs)
     val counter = new Counter
     if (must.nonEmpty) conjunction(must, should, mustNot, norms, firstDoc, filter, top, budget, counter)
     else if (should.nonEmpty) bmw(should, mustNot, norms, firstDoc, filter, top, budget, counter, prune)
     (top.results, counter.n)
   }
 
-  private final class Budget(var left: Int) {
-    def spend(): Boolean = { left -= 1; left >= 0 }
+  private final class Budget(var left: Int, deadlineNs: Long = Long.MaxValue) {
+    def spend(): Boolean = {
+      left -= 1
+      left >= 0 &&
+        (deadlineNs == Long.MaxValue || System.nanoTime() < deadlineNs)
+    }
   }
 
   private final class Counter { var n = 0L }

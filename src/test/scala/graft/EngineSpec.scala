@@ -398,6 +398,67 @@ class EngineSpec extends AnyFunSuite {
     } finally forced.close()
   }
 
+  test("general wildcard: ?/infix-*/leading-* expansion matches brute force; rank-identical") {
+    val anal = graft.analysis.Analyzer.default
+    val analyzeUdf = udf((s: String) => anal.analyze(s))
+    val vocab = corpus.select(explode(analyzeUdf($"text")).as("t")).distinct()
+      .as[String].collect().toSet
+    def brute(glob: String): Set[String] = {
+      val rx = graft.query.Searcher.globRegex(glob).r
+      vocab.filter(t => rx.matches(t)).toSeq.sorted.take(Searcher.MaxExpansions).toSet
+    }
+    for (glob <- Seq("pa?quet", "err*r", "*tion", "s??rk", "?he", "d*a")) {
+      val p = searcher.expand(QueryParser.parse(glob))
+      assert(p.multiTerms.isEmpty, s"[$glob] unexpanded multi-term left")
+      assert(p.should.toSet == brute(glob), s"[$glob] expansion: ${p.should}")
+      assert(brute(glob).nonEmpty, s"[$glob] test glob matched nothing in the corpus")
+    }
+    // occur classes: MUST wildcard becomes a grouped disjunction,
+    // MUST_NOT excludes every expansion
+    val m = searcher.expand(QueryParser.parse("+err*r data"))
+    assert(m.groups.exists(_.terms.contains("error")))
+    val n = searcher.expand(QueryParser.parse("data -err*r"))
+    assert(n.mustNot.contains("error"))
+    // trailing-star with an embedded ? routes through the general path
+    val g = searcher.expand(QueryParser.parse("pa?q*"))
+    assert(g.should.contains("parquet"), s"got ${g.should}")
+    // end-to-end rank identity via the oracle on wildcard-bearing queries
+    Seq("err*r data", "*tion the", "s??rk shuffle").foreach(q => assertRankIdentical(q, 10))
+  }
+
+  test("searchAfter cursor paging: concatenated pages == one-shot top-k") {
+    for (q <- Seq("the data", "error failed retry timeout commit", "the a to",
+        "role:user spark index", "+query merge", "\"the data\" query")) {
+      val parsed = searcher.expand(QueryParser.parse(q))
+      val full = searcher.topKHits(parsed, 20).collect().toSeq
+      var pages = Vector.empty[graft.query.Hit]
+      var after: Option[graft.query.Hit] = None
+      var continue = true
+      while (continue && pages.length < 20) {
+        val page = searcher.searchAfter(parsed, 5, after).collect().toSeq
+        assert(page.length <= 5, s"[$q] page overflow")
+        if (page.isEmpty) continue = false
+        else { pages ++= page; after = Some(page.last) }
+      }
+      assert(pages.map(h => (h.doc_id, h.score)) == full.map(h => (h.doc_id, h.score)),
+        s"[$q] cursor pages diverged from one-shot ranking")
+    }
+  }
+
+  test("timeAllowed: generous deadline == exact; expired deadline yields a valid partial") {
+    val parsed = QueryParser.parse("the data error")
+    val exact = searcher.topKHits(parsed, 10).collect().map(h => (h.doc_id, h.score)).toSeq
+    val generous = searcher.topKHits(parsed, 10, timeAllowedMs = 60000L)
+      .collect().map(h => (h.doc_id, h.score)).toSeq
+    assert(generous == exact, "a 60s deadline must not alter results on a 5k-turn corpus")
+    // expired-at-start deadline: best-so-far (usually empty) partials, no error
+    val expired = searcher.topKHits(parsed, 10, timeAllowedMs = 0L).collect()
+    assert(expired.length <= 10)
+    val full = searcher.topKHits(parsed, 100000).collect().map(h => h.doc_id -> h.score).toMap
+    expired.foreach(h => assert(full.get(h.doc_id).contains(h.score),
+      s"partial hit ${h.doc_id} not a genuine scored doc"))
+  }
+
   test("randomized queries: engine == oracle on 40 seeded random term sets") {
     val rnd = new scala.util.Random(4242)
     val terms = spark.read.parquet(s"$indexDir/terms")
