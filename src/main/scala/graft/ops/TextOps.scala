@@ -136,13 +136,32 @@ object TextOps {
       .orElse(sys.env.get("GRAFT_JACCARD_BCAST_MAX"))
       .map(_.toLong).getOrElse(4000000L)
 
+  /** Representative-shingle df table, memoized per (session, dir) like the
+    * shingle/collapse tables: it is consumed twice per call (size gate +
+    * attach) and by repeated sweep invocations — one aggregation pass,
+    * session-epoch lifetime. */
+  private val dfsCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  private def shingleDfs(s: SparkSession, reps: DataFrame, dir: String): DataFrame =
+    synchronized {
+      dfsCache.get(dir) match {
+        case Some(df) if df.sparkSession eq s => df
+        case old =>
+          old.foreach(_.unpersist())
+          val df = reps.select(explode(col("sh")).as("s"))
+            .groupBy(col("s")).agg(count(lit(1)).as("df"))
+            .persist()
+          dfsCache(dir) = df
+          df
+      }
+    }
+
   private def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
     import s.implicits._
     // exact-dup pre-collapse: PPJoin runs over representatives only
     val (mem, reps) = collapsed(s, dir)
     val docs = reps // (doc_id, sh: array<string>), one row per distinct set
-    val dfs = docs.select(explode(col("sh")).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val dfs = shingleDfs(s, docs, dir)
     // Global df order: df is only the PREFIX-SELECTION heuristic (any fixed
     // global order keeps AllPairs exact; ascending df minimizes candidates).
     // Two ways to attach it, picked by vocabulary size (VERDICT r2 task #4):

