@@ -15,6 +15,13 @@ import graft.analysis.Analyzer
   * (stopword) vanishes from the query, like the reference.
   *
   * Term lists preserve query order — scoring accumulates in this order.
+  *
+  * Documented divergence: a term that appears in several clauses is scored
+  * ONCE (occur classes resolve must-wins; see Searcher.prepare), and its
+  * boost is the last clause's (`boosts` is keyed by term). Lucene keeps
+  * per-clause boosts and sums the duplicate clauses — queries like
+  * `data data^2` score 1+2 = 3x there, 2x here. The in-repo oracle
+  * mirrors the once-per-term model, so engine == oracle by construction.
   */
 
 /** A phrase clause `"a b"~slop`: slop 0 = exact (terms at consecutive
