@@ -123,7 +123,13 @@ object Bench {
       if (new java.io.File("/usr/bin/taskset").exists())
         Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
       else Seq.empty
-    val heapMb = (512 * cores).max(2048)
+    // 768 MiB/core (was 512): ParallelGC stop-the-world idles ALL slots, so
+    // collection frequency hurts quadratically with cores — measured at 16c
+    // in one quiet window: 35.2s/434 cpu-s at 12g vs 43.6s/536 cpu-s at 8g,
+    // 4c side neutral (140-144s at both). Still fixed + pre-touched; per-
+    // core memory stays constant across levels (the honest N -> 4N shape),
+    // and far below the 16 GiB lazy-page pathology (BASELINE.md §6.2).
+    val heapMb = (768 * cores).max(2048)
     val cmd = (pin ++ Seq(javaBin, s"-Xms${heapMb}m", s"-Xmx${heapMb}m",
       "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false",
@@ -173,7 +179,7 @@ object Bench {
       if (new java.io.File("/usr/bin/taskset").exists())
         Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
       else Seq.empty
-    val heapMb = (512 * cores).max(2048)
+    val heapMb = (768 * cores).max(2048) // match childBuild (GC-share fix)
     val cmd = (pin ++ Seq(javaBin, s"-Xms${heapMb}m", s"-Xmx${heapMb}m",
       "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false",
