@@ -221,6 +221,73 @@ object ExtendedOps {
           .orderBy(col("dist"))
         bi.unpersist()
         out
-      })
+      }),
+
+    Op("eval_scalar_surface",
+      "core tier of the 310 streaming-expression evaluators mapped 1:1 to " +
+        "Spark built-ins (solrj-streaming .../io/eval/ — AddEvaluator, " +
+        "ModuloEvaluator, AbsoluteValueEvaluator, RoundEvaluator, " +
+        "CeilingEvaluator, FloorEvaluator, SquareRootEvaluator, " +
+        "NaturalLogEvaluator, PowerEvaluator, UpperEvaluator, " +
+        "ConcatEvaluator, SubstringEvaluator, ReplaceEvaluator, " +
+        "LengthEvaluator, PadLeftEvaluator via lpad, temporal evaluators " +
+        "TemporalEvaluatorYear/Month/Day/Hour, IfThenElseEvaluator, " +
+        "CoalesceEvaluator, GreaterThanEvaluator composed in CASE, " +
+        "greatest/least): every value integer/string-exact or IEEE " +
+        "same-shape doubles rounded 6dp (ln's 1-ulp libm skew)",
+      Some("""SELECT o_orderkey,
+             |  o_orderkey + 7 AS add_v,
+             |  o_orderkey * 3 AS mul_v,
+             |  o_orderkey % 5 AS mod_v,
+             |  abs(o_custkey - 500) AS abs_v,
+             |  round(o_totalprice * 1.1, 2) AS round_v,
+             |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_v,
+             |  CAST(floor(o_totalprice) AS BIGINT) AS floor_v,
+             |  round(sqrt(o_totalprice), 6) AS sqrt_v,
+             |  round(ln(o_totalprice), 6) AS ln_v,
+             |  power(2, o_orderkey % 10) AS pow_v,
+             |  upper(o_orderstatus) AS upper_v,
+             |  o_orderpriority || '-' || o_orderstatus AS concat_v,
+             |  substr(o_orderpriority, 1, 3) AS substr_v,
+             |  replace(o_orderpriority, '-', '_') AS replace_v,
+             |  length(o_orderpriority) AS len_v,
+             |  lpad(o_orderstatus, 3, 'x') AS lpad_v,
+             |  year(o_orderdate) AS year_v,
+             |  month(o_orderdate) AS month_v,
+             |  day(o_orderdate) AS day_v,
+             |  hour(o_orderdate) AS hour_v,
+             |  CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS if_v,
+             |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS coalesce_v,
+             |  greatest(o_orderkey % 7, o_custkey % 7) AS greatest_v,
+             |  least(o_orderkey % 7, o_custkey % 7) AS least_v
+             |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_orderkey") + 7).as("add_v"),
+          (col("o_orderkey") * 3).as("mul_v"),
+          (col("o_orderkey") % 5).as("mod_v"),
+          abs(col("o_custkey") - 500).as("abs_v"),
+          round(col("o_totalprice") * 1.1, 2).as("round_v"),
+          ceil(col("o_totalprice")).cast("long").as("ceil_v"),
+          floor(col("o_totalprice")).cast("long").as("floor_v"),
+          round(sqrt(col("o_totalprice")), 6).as("sqrt_v"),
+          round(log(col("o_totalprice")), 6).as("ln_v"),
+          pow(lit(2), col("o_orderkey") % 10).as("pow_v"),
+          upper(col("o_orderstatus")).as("upper_v"),
+          concat(col("o_orderpriority"), lit("-"), col("o_orderstatus")).as("concat_v"),
+          substring(col("o_orderpriority"), 1, 3).as("substr_v"),
+          regexp_replace(col("o_orderpriority"), "-", "_").as("replace_v"),
+          length(col("o_orderpriority")).cast("long").as("len_v"),
+          lpad(col("o_orderstatus"), 3, "x").as("lpad_v"),
+          year(col("o_orderdate")).cast("long").as("year_v"),
+          month(col("o_orderdate")).cast("long").as("month_v"),
+          dayofmonth(col("o_orderdate")).cast("long").as("day_v"),
+          hour(col("o_orderdate")).cast("long").as("hour_v"),
+          when(col("o_totalprice") > 100000, "big").otherwise("small").as("if_v"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("coalesce_v"),
+          greatest(col("o_orderkey") % 7, col("o_custkey") % 7).as("greatest_v"),
+          least(col("o_orderkey") % 7, col("o_custkey") % 7).as("least_v"))
+        .orderBy(col("o_orderkey"))
+        .limit(100))
   )
 }
