@@ -148,26 +148,30 @@ object SearchOps {
       (s, dir) => {
         import s.implicits._
         val input = Seq("qery", "fast", "dta")
-        val toks = t(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        val v = toks.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
-          .persist()
-        // per-query-term suggestion pick: a distributed candidate filter +
-        // top-1 TakeOrdered per term — bounded by QUERY length, not data
+        val sr = FtsOps.searcherPublic(s, dir, "documents")
+        // vocabulary = the INDEX terms dictionary, exactly what
+        // DirectSolrSpellChecker consults (no corpus re-aggregation); its
+        // df parity with the raw table is pinned by fts_index_termstats.
+        // The documents text is plain [a-z0-9 ], so the analyzer vocabulary
+        // equals the oracle's whitespace split.
+        val vocab = s.read
+          .parquet(s"${FtsOps.index(s, dir, "documents")}/terms")
+          .where(!col("term").contains(":")) // field postings aren't vocabulary
+        val dfs = sr.termStats(input) // memoized point reads; absent -> no entry
+        // per missing term: a distributed candidate filter + top-1
+        // TakeOrdered over the (vocabulary-sized) terms table — bounded by
+        // QUERY length, not data
         val corrected = input.map { term =>
-          val exact = v.where(col("w") === term).limit(1).count() > 0
-          if (exact) term
-          else v.withColumn("dist", levenshtein(col("w"), lit(term)))
+          if (dfs.getOrElse(term, 0L) > 0) term
+          else vocab.withColumn("dist", levenshtein(col("term"), lit(term)))
             .where(col("dist") <= 2)
-            .orderBy(col("dist"), col("df").desc, col("w"))
-            .limit(1).select(col("w")).as[String]
+            .orderBy(col("dist"), col("df").desc, col("term"))
+            .limit(1).select(col("term")).as[String]
             .collect().headOption.getOrElse(term)
         }
-        v.unpersist()
         val collation = corrected.mkString(" ")
         // verify the collation by running it — exact hit count through the
         // engine's numFound (minExactCount = infinity) path
-        val sr = FtsOps.searcherPublic(s, dir, "documents")
         val hits = sr.numFound(corrected.map("+" + _).mkString(" "))
         Seq((collation, hits)).toDF("collation", "num_found")
       }),
