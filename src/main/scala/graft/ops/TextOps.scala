@@ -582,6 +582,56 @@ object TextOps {
             (lit(64) + (nb * 3) % 512).as("height"))
           .orderBy(col("doc_id"))
           .limit(100)
+      }),
+
+    Op("multimodal_batch_decode",
+      "multimodal decode/feature/resize/frame-sample with the REAL " +
+        "vectorized-UDF execution shape: opaque binary payload + typed " +
+        "mime metadata, repartitioned by key so decode tasks balance " +
+        "(decode dominates at 100TB), then mapPartitions with a " +
+        "per-partition codec handle and fixed 64-row batches — the Scala " +
+        "rendering of mapInPandas (one codec call per batch, init " +
+        "amortized per partition). The DECODE ITSELF is the declared stub " +
+        "(media codecs are out of this container): a deterministic pure " +
+        "function of the bytes, which is what makes the oracle possible",
+      Some("""WITH m AS (SELECT doc_id,
+             |    'image/px-' || CAST(doc_id % 3 AS VARCHAR) AS mime,
+             |    octet_length(encode(text)) AS n_bytes FROM documents)
+             |SELECT doc_id, mime, n_bytes,
+             |  64 + n_bytes % 512 AS width,
+             |  64 + (n_bytes * 3) % 512 AS height,
+             |  1 + n_bytes % 7 AS frames,
+             |  (1 + n_bytes % 7 + 1) // 2 AS n_sampled,
+             |  least(64 + n_bytes % 512, 224) AS resized_w,
+             |  least(64 + (n_bytes * 3) % 512, 224) AS resized_h
+             |FROM m ORDER BY doc_id LIMIT 100""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents")
+          .select(col("doc_id"),
+            encode(col("text"), "utf-8").as("payload"), // opaque binary column
+            concat(lit("image/px-"), col("doc_id") % 3).as("mime"))
+          .repartition(col("doc_id"))
+          .as[(Long, Array[Byte], String)]
+        val decoded = rows.mapPartitions { it =>
+          // per-partition "codec" construction — the expensive init the
+          // batch shape exists to amortize (a real decoder/model handle)
+          val codec = new java.util.concurrent.atomic.AtomicLong() // stub handle
+          it.grouped(64).flatMap { batch => // one decode call per 64-row batch
+            codec.incrementAndGet()
+            batch.iterator.map { case (id, bytes, mime) =>
+              val n = bytes.length.toLong
+              val w = 64 + n % 512
+              val h = 64 + (n * 3) % 512
+              val frames = 1 + n % 7
+              // frame-sample: every 2nd frame; resize: cap at 224
+              (id, mime, n, w, h, frames, (frames + 1) / 2,
+                math.min(w, 224), math.min(h, 224))
+            }
+          }
+        }.toDF("doc_id", "mime", "n_bytes", "width", "height", "frames",
+          "n_sampled", "resized_w", "resized_h")
+        decoded.orderBy(col("doc_id")).limit(100)
       })
   )
 }
