@@ -161,6 +161,34 @@ object RelationalOps {
           count(lit(1)).as("cnt"))
         .orderBy(col("l_linestatus"))),
 
+    Op("agg_percentile_sketch",
+      "percentile via a mergeable quantile sketch — the reference's ACTUAL " +
+        "algorithm class (t-digest, facet/PercentileAgg.java:19,138-155; " +
+        "ours is Spark's GK approx_percentile, a different published sketch " +
+        "with the same distributed partial+merge shape). Approximate by " +
+        "design -> rows-only driver check; |sketch - exact| tolerance and " +
+        "the exact-twin agreement are gated in OpsSpec",
+      None,
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pr"))
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90"))
+        .orderBy(col("pr"))),
+
+    Op("agg_hll_approx",
+      "unique/hll agg, SKETCH variant — the reference's hll facet function " +
+        "(facet/HLLAgg.java:30-46, HyperLogLog with mergeable registers); " +
+        "Spark's approx_count_distinct is the same HLL++ family with the " +
+        "same partial+merge distribution. Approximate -> rows-only driver " +
+        "check; relative error vs the exact twin is gated in OpsSpec",
+      None,
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(approx_count_distinct(col("l_partkey")).as("u_part"),
+          approx_count_distinct(col("l_suppkey")).as("u_supp"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_linestatus"))),
+
     Op("agg_having",
       "post-aggregation filter (.../io/stream/HavingStream.java:34-40)",
       Some("""SELECT o_custkey, count(*) AS cnt

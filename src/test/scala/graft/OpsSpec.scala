@@ -45,6 +45,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ns.distinct.length == ns.length)
   }
 
+  test("sketch aggs track their exact twins (approx percentile + HLL)") {
+    val dir = "/root/testdata/sf0.01"
+    // percentile sketch vs the exact rank-formula twin: GK with
+    // accuracy=1000 guarantees rank error <= n/1000; assert the VALUE lands
+    // within the p±2% rank neighborhood of the sorted bucket
+    val exactRows = SparkEntry.queries("agg_percentile_disc")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val sketchRows = SparkEntry.queries("agg_percentile_sketch")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(sketchRows.keySet == exactRows.keySet)
+    val vals = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderpriority", "o_totalprice")
+      .collect().groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted }
+    for ((pr, (p50s, p90s)) <- sketchRows; (p, ps) <- Seq((0.5, p50s), (0.9, p90s))) {
+      val sorted = vals(pr)
+      val lo = sorted(((p - 0.02) * (sorted.length - 1)).toInt.max(0))
+      val hi = sorted(math.ceil((p + 0.02) * (sorted.length - 1)).toInt.min(sorted.length - 1))
+      assert(ps >= lo && ps <= hi, s"[$pr p$p] sketch $ps outside rank window [$lo, $hi]")
+    }
+    // HLL sketch vs exact countDistinct: default rsd 5% -> assert 15%
+    val exactU = SparkEntry.queries("agg_count_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hllU = SparkEntry.queries("agg_hll_approx")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hllU.keySet == exactU.keySet)
+    for ((k, (p, sup)) <- hllU; (approx, exact) <- Seq((p, exactU(k)._1), (sup, exactU(k)._2))) {
+      val rel = math.abs(approx - exact).toDouble / exact
+      assert(rel <= 0.15, s"[$k] HLL estimate $approx vs exact $exact (rel err $rel)")
+    }
+  }
+
   test("vec_ann_lsh recall@10 >= 0.9 vs exact brute-force top-k") {
     // the LSH path is approximate by design (rows-only in the driver's
     // correctness gate); this pins its QUALITY against the exact op
