@@ -581,6 +581,20 @@ object FtsOps {
           .orderBy(col("score").desc, col("doc_id"))
       }),
 
+    Op("fts_result_cache",
+      "queryResultCache: repeated top-k of the same query served from the " +
+        "searcher-epoch result cache with queryResultWindowSize page " +
+        "rounding (SolrIndexSearcher.java:164-165 queryResultCache; " +
+        "solrconfig.xml queryResultWindowSize) — a hit runs zero Spark " +
+        "jobs, pinned in EngineSpec. Float scores -> rows-only check",
+      None,
+      (s, dir) => {
+        import s.implicits._
+        val sr = searcher(s, dir, "documents")
+        sr.topKCached("data query fast window", 10) // prime
+        sr.topKCached("data query fast window", 10).toSeq.toDF("doc_id", "score")
+      }),
+
     Op("fts_count",
       "numFound / minExactCount surface: EXACT hit counts computed in the " +
         "same per-segment scoring pass with WAND pruning disabled — the " +

@@ -122,6 +122,7 @@ final class Searcher(
       case _ =>
     }
     fqCache.clear()
+    queryResultCache.clear()
   }
 
   // segment_id -> first_doc, for rebasing filter bitmaps (tiny; sidecar
@@ -364,6 +365,35 @@ final class Searcher(
     }
   }
 
+  /** queryResult cache: raw query string + k-window -> materialized top
+    * hits, the searcher-epoch queryResultCache role
+    * (`solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:164-165`;
+    * windowing = queryResultWindowSize, solrconfig.xml): k rounds up to a
+    * window multiple so a k=10 page and a k=18 page share one entry, and a
+    * cache hit answers WITHOUT parsing, planning, or running any Spark job
+    * (EngineSpec pins zero jobs on the hit path). Bounded like the fq
+    * cache; lives for the searcher epoch. */
+  private val queryResultCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Hit]]()
+
+  def topKCached(q: String, k: Int): Array[Hit] = {
+    if (k <= 0) return Array.empty
+    if (!cacheEnabled) return topKHits(q, k).collect()
+    val w = Searcher.QueryResultWindow
+    val window = ((k + w - 1) / w) * w
+    val key = (q, window)
+    var hits = queryResultCache.get(key)
+    if (hits == null) {
+      hits = topKHits(QueryParser.parse(q, analyzer), window).collect()
+      if (queryResultCache.size >= Searcher.FqCacheMax) {
+        val it = queryResultCache.entrySet().iterator()
+        if (it.hasNext) { it.next(); it.remove() }
+      }
+      queryResultCache.put(key, hits)
+    }
+    hits.take(k)
+  }
+
   /** cursorMark deep paging on the scoring path: the next page of k hits
     * strictly after the cursor (the last hit of the previous page) in
     * (score desc, docId asc) rank order — CursorMark.java:46-63 semantics
@@ -588,6 +618,9 @@ object Searcher {
   /** Multi-term expansion cap (the reference's BooleanQuery clause limit
     * role, solrconfig.xml maxBooleanClauses). */
   val MaxExpansions = 128
+
+  /** queryResultCache page-rounding granularity (queryResultWindowSize). */
+  val QueryResultWindow = 20
 
   /** Top-k result page with its hit count — the numFound surface.
     * totalHits is exact when isExact, else a lower bound (Lucene's

@@ -459,6 +459,28 @@ class EngineSpec extends AnyFunSuite {
       s"partial hit ${h.doc_id} not a genuine scored doc"))
   }
 
+  test("queryResultCache: hit == miss results; the hit path runs ZERO Spark jobs") {
+    val q = "error retry data"
+    val direct = searcher.topKHits(q, 10).collect().map(h => (h.doc_id, h.score)).toSeq
+    val miss = searcher.topKCached(q, 10).map(h => (h.doc_id, h.score)).toSeq
+    assert(miss == direct)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val hit = searcher.topKCached(q, 10).map(h => (h.doc_id, h.score)).toSeq
+      // k=18 shares the k<=20 window entry (queryResultWindowSize rounding)
+      val hit18 = searcher.topKCached(q, 18).map(h => (h.doc_id, h.score)).toSeq
+      Thread.sleep(1000) // let any (unexpected) job-start events drain
+      assert(hit == direct)
+      assert(hit18.take(10) == direct)
+      assert(jobs.get() == 0, s"cache hit ran ${jobs.get()} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("randomized queries: engine == oracle on 40 seeded random term sets") {
     val rnd = new scala.util.Random(4242)
     val terms = spark.read.parquet(s"$indexDir/terms")
