@@ -621,6 +621,50 @@ object FtsOps {
           .toDF("q", "num_found").orderBy($"q")
       }),
 
+    Op("fts_facet_on_query",
+      "FacetComponent over the query's DocSet: facet.field counts computed " +
+        "on the MATCH SET of q=+data -slow (SolrIndexSearcher.getDocSet -> " +
+        "SimpleFacets — faceting runs on the DocSet, not the top-k page). " +
+        "The match set comes from the same per-segment cursor walk as " +
+        "scoring (unscored enumeration), stays distributed, and feeds a " +
+        "plain groupBy — integer counts, SQL-exact oracle",
+      Some("""SELECT source, count(*) AS cnt FROM documents
+             |WHERE list_contains(string_split(text, ' '), 'data')
+             |  AND NOT list_contains(string_split(text, ' '), 'slow')
+             |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val idx = index(s, dir, "documents")
+        val sr = searcher(s, dir, "documents")
+        val ids = sr.matchingDocIds("+data -slow").toDF("did")
+        s.read.parquet(s"$idx/docs")
+          .select(col("doc_id").as("did"), col("role").as("source"))
+          .join(ids, "did")
+          .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("source"))
+      }),
+
+    Op("fts_stats_on_query",
+      "StatsComponent over the query's DocSet: count/min/max/sum of a " +
+        "field across every doc matching q=query window (StatsComponent " +
+        "runs on the DocSet like faceting; stats.field semantics). " +
+        "Integer stats over stored-field lengths — SQL-exact oracle",
+      Some("""SELECT count(*) AS n, min(length(text)) AS min_len,
+             |  max(length(text)) AS max_len,
+             |  CAST(sum(length(text)) AS BIGINT) AS sum_len
+             |FROM documents
+             |WHERE list_contains(string_split(text, ' '), 'query')
+             |   OR list_contains(string_split(text, ' '), 'window')""".stripMargin),
+      (s, dir) => {
+        val idx = index(s, dir, "documents")
+        val sr = searcher(s, dir, "documents")
+        val ids = sr.matchingDocIds("query window").toDF("did")
+        s.read.parquet(s"$idx/docs")
+          .select(col("doc_id").as("did"), length(col("text")).cast("long").as("len"))
+          .join(ids, "did")
+          .agg(count(lit(1)).as("n"), min(col("len")).as("min_len"),
+            max(col("len")).as("max_len"), sum(col("len")).as("sum_len"))
+      }),
+
     Op("fts_phrase_slop",
       "sloppy phrase \"merge group\"~2: per-doc frequency of ordered " +
         "greedy-chain matches within a slop-2 window, from positional " +

@@ -457,6 +457,38 @@ final class Searcher(
     }
   }
 
+  /** The query's match set (DocSet, SolrIndexSearcher.getDocSet): every
+    * internal docId matching the boolean + filter semantics, unscored — the
+    * input the facet / stats / grouping components run over. Same plan
+    * shapes as [[topKHits]] (one narrow stage when colocated); per-segment
+    * enumeration, so the result stays distributed for the downstream
+    * groupBy/agg. */
+  def matchingDocIds(parsed0: ParsedQuery): Dataset[Long] = {
+    prepare(parsed0) match {
+      case None => spark.emptyDataset[Long]
+      case Some((bcMeta, rows, fqEntry)) =>
+        fqEntry match {
+          case Right(fqDs) =>
+            rowsWithFq(rows, fqDs).groupByKey(_.segment_id).flatMapGroups { (_, rs) =>
+              Searcher.matchGroup(rs.toArray, bcMeta.value)
+            }
+          case _ if colocated =>
+            rows.mapPartitions { it =>
+              it.toArray.groupBy(_.segment_id).iterator.flatMap { case (_, rs) =>
+                Searcher.matchGroup(rs, bcMeta.value)
+              }
+            }
+          case _ =>
+            rows.groupByKey(_.segment_id).flatMapGroups { (_, rs) =>
+              Searcher.matchGroup(rs.toArray, bcMeta.value)
+            }
+        }
+    }
+  }
+
+  def matchingDocIds(q: String): Dataset[Long] =
+    matchingDocIds(QueryParser.parse(q, analyzer))
+
   /** Exact hit count of a query (numFound with minExactCount = infinity). */
   def numFound(parsed: ParsedQuery): Long =
     topKWithCount(parsed, 1, Int.MaxValue).totalHits
@@ -690,15 +722,14 @@ object Searcher {
 
   /** [[scoreGroup]] plus the segment's scored-doc count; prune = false
     * disables WAND pruning so the count is the segment's exact numFound. */
-  private[query] def scoreGroupCounted(
-      rs: Array[PostingRow], qm: QueryMeta, k: Int, docBudget: Int,
-      prune: Boolean, timeAllowedMs: Long = Long.MaxValue,
-      afterScore: Float = Float.NaN, afterDoc: Long = -1L): (Array[Hit], Long) = {
-    val deadlineNs =
-      if (timeAllowedMs == Long.MaxValue) Long.MaxValue
-      else System.nanoTime() + timeAllowedMs * 1000000L
+  /** Cursor construction shared by the scoring path and the DocSet
+    * (match-enumeration) path: (should, must, not, sidecar, filter), or
+    * None when the segment provably matches nothing (no sidecar, or a MUST
+    * clause absent here). */
+  private[query] def buildCursors(rs: Array[PostingRow], qm: QueryMeta):
+      Option[(Array[Cursor], Array[Cursor], Array[Cursor], PostingRow, Option[RoaringBitmap])] = {
     val sidecarIdx = rs.indexWhere(_.term.isEmpty)
-    if (sidecarIdx < 0) return (Array.empty, 0L) // no sidecar ⇒ nothing to score
+    if (sidecarIdx < 0) return None // no sidecar ⇒ nothing to score
     val sc = rs(sidecarIdx)
     def wIdf(t: String): Float = qm.boosts.getOrElse(t, 1f) * qm.idfs(t)
     val byTerm = rs.iterator
@@ -748,7 +779,7 @@ object Searcher {
         mustCur += new DisjunctionCursor(members, qpos)
       }
     }
-    if (missingMust) (Array.empty, 0L) // a MUST clause can't match here
+    if (missingMust) None // a MUST clause can't match here
     else {
       val filter: Option[RoaringBitmap] =
         if (!qm.hasFilter) None
@@ -760,14 +791,38 @@ object Searcher {
           case Some(r) => Some(bitmapFrom(r.norms))
           case None => Some(new RoaringBitmap()) // filter matches nothing here
         }
-      Wand.scoreSegmentCounted(
-        shouldCur.sortBy(_.queryPos).toArray,
+      Some((shouldCur.sortBy(_.queryPos).toArray,
         mustCur.sortBy(_.queryPos).toArray,
-        notCur.toArray,
-        sc.norms, sc.first_doc, filter, k, docBudget, prune,
-        deadlineNs, afterScore, afterDoc)
+        notCur.toArray, sc, filter))
     }
   }
+
+  /** [[scoreGroup]] plus the segment's scored-doc count; prune = false
+    * disables WAND pruning so the count is the segment's exact numFound. */
+  private[query] def scoreGroupCounted(
+      rs: Array[PostingRow], qm: QueryMeta, k: Int, docBudget: Int,
+      prune: Boolean, timeAllowedMs: Long = Long.MaxValue,
+      afterScore: Float = Float.NaN, afterDoc: Long = -1L): (Array[Hit], Long) =
+    buildCursors(rs, qm) match {
+      case None => (Array.empty, 0L)
+      case Some((should, must, not, sc, filter)) =>
+        val deadlineNs =
+          if (timeAllowedMs == Long.MaxValue) Long.MaxValue
+          else System.nanoTime() + timeAllowedMs * 1000000L
+        Wand.scoreSegmentCounted(should, must, not,
+          sc.norms, sc.first_doc, filter, k, docBudget, prune,
+          deadlineNs, afterScore, afterDoc)
+    }
+
+  /** The segment's match set (DocSet): every docId matching the boolean +
+    * filter semantics, unscored — what facet/stats/grouping components
+    * consume (SolrIndexSearcher.getDocSet). */
+  private[query] def matchGroup(rs: Array[PostingRow], qm: QueryMeta): Iterator[Long] =
+    buildCursors(rs, qm) match {
+      case None => Iterator.empty
+      case Some((should, must, not, sc, filter)) =>
+        Wand.enumerateMatches(should, must, not, sc.first_doc, filter)
+    }
 
   /** Anchored Java regex equivalent of a Lucene wildcard glob: `*` = any
     * run, `?` = any single char, everything else literal. */

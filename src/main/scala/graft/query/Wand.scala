@@ -470,6 +470,64 @@ object Wand {
     (top.results, counter.n)
   }
 
+  /** Enumerate every docId matching the boolean + filter semantics — the
+    * DocSet of a query (SolrIndexSearcher.getDocSet), which the facet /
+    * stats / grouping components consume. No scoring, no heap: a cursor
+    * walk identical in match semantics to scoreSegmentCounted with
+    * prune=false (EngineSpec pins count equality). */
+  def enumerateMatches(
+      should: Array[Cursor],
+      must: Array[Cursor],
+      mustNot: Array[Cursor],
+      firstDoc: Long,
+      filter: Option[RoaringBitmap]): Iterator[Long] = {
+    // materialized per segment, like the reference's DocSet (a RoaringBitmap
+    // over doc-first would be the compressed variant; plain longs keep the
+    // downstream join typed)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (must.nonEmpty) {
+      var target = must.map(_.doc).max
+      var done = false
+      while (!done && target != Long.MaxValue) {
+        var agreed = true
+        var i = 0
+        while (i < must.length) {
+          val d = must(i).advanceTo(target)
+          if (d != target) { agreed = false; target = d; i = must.length }
+          else i += 1
+        }
+        if (agreed) {
+          if (allowed(target, firstDoc, filter, mustNot)) out += target
+          target += 1
+        }
+        if (target == Long.MaxValue) done = true
+      }
+    } else if (should.nonEmpty) {
+      val dis = new DisjunctionView(should)
+      var d = dis.doc
+      while (d != Long.MaxValue) {
+        if (allowed(d, firstDoc, filter, mustNot)) out += d
+        d = dis.next()
+      }
+    }
+    out.iterator
+  }
+
+  /** Minimal min-doc disjunction walker over arbitrary cursors. */
+  private final class DisjunctionView(members: Array[Cursor]) {
+    def doc: Long = {
+      var m = Long.MaxValue
+      members.foreach(c => if (c.doc < m) m = c.doc)
+      m
+    }
+    def next(): Long = {
+      val d = doc
+      if (d == Long.MaxValue) return d
+      members.foreach(c => if (c.doc == d) c.next())
+      doc
+    }
+  }
+
   private final class Budget(var left: Int, deadlineNs: Long = Long.MaxValue) {
     def spend(): Boolean = {
       left -= 1

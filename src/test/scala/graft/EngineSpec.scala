@@ -459,6 +459,19 @@ class EngineSpec extends AnyFunSuite {
       s"partial hit ${h.doc_id} not a genuine scored doc"))
   }
 
+  test("DocSet enumeration: matchingDocIds == oracle match set; |DocSet| == numFound") {
+    for (q <- Seq("the data", "+query merge", "error -timeout", "role:user spark index",
+        "\"the data\"", "+(error retry) the", "data -\"merge shuffle\"")) {
+      val parsed = searcher.expand(QueryParser.parse(q))
+      val got = searcher.matchingDocIds(parsed).collect().toSet
+      val oracle = Oracle.topK(spark,
+        searcher.docs.select($"doc_id", $"text", $"role", $"tool"), parsed, 1000000)
+        .collect().map(_.doc_id).toSet
+      assert(got == oracle, s"[$q] DocSet diverged from oracle match set")
+      assert(got.size.toLong == searcher.numFound(parsed), s"[$q] |DocSet| vs numFound")
+    }
+  }
+
   test("queryResultCache: hit == miss results; the hit path runs ZERO Spark jobs") {
     val q = "error retry data"
     val direct = searcher.topKHits(q, 10).collect().map(h => (h.doc_id, h.score)).toSeq
