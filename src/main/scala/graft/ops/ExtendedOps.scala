@@ -191,12 +191,16 @@ object ExtendedOps {
              |SELECT dist, count(*) AS nodes FROM d GROUP BY dist ORDER BY dist""".stripMargin),
       (s, dir) => {
         import s.implicits._
+        // internal node ids are LONGS (part k -> 2k, supplier k -> 2k+1):
+        // the oracle's "p123"/"s45" strings are presentation — long join
+        // keys halve the per-iteration shuffle compare/hash cost, and the
+        // output below is (dist, count), id-representation-free
         val e = t(s, dir, "lineitem")
-          .select(concat(lit("p"), col("l_partkey")).as("a"),
-            concat(lit("s"), col("l_suppkey")).as("b"))
+          .select((col("l_partkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
           .distinct()
         val bi = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
-        var visited = Seq(("p0", 0)).toDF("node", "dist")
+        var visited = Seq((0L, 0)).toDF("node", "dist")
         var frontier = visited
         var depth = 0
         while (depth < 3 && !frontier.isEmpty) {

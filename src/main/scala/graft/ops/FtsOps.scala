@@ -643,6 +643,30 @@ object FtsOps {
           .orderBy(col("source"))
       }),
 
+    Op("fts_group_on_query",
+      "result grouping over the query's DocSet: group.field=source on the " +
+        "match set of q=data, one representative doc per group with the " +
+        "group's hit count (Grouping.java / CollapsingQParserPlugin " +
+        "semantics on a DocSet; representative = min docId, the " +
+        "deterministic integer rendering — score-ordered heads live on the " +
+        "float path, gated by EngineSpec's collapse coverage)",
+      Some("""WITH m AS (SELECT doc_id, source FROM documents
+             |  WHERE list_contains(string_split(text, ' '), 'data'))
+             |SELECT source, min(doc_id) AS head_doc, count(*) AS group_hits
+             |FROM m GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val idx = index(s, dir, "documents")
+        val sr = searcher(s, dir, "documents")
+        val ids = sr.matchingDocIds("data").toDF("did")
+        s.read.parquet(s"$idx/docs")
+          .select(col("doc_id").as("did"), col("role").as("source"),
+            regexp_extract(col("conv_id"), "(\\d+)", 1).cast("long").as("ext"))
+          .join(ids, "did")
+          .groupBy(col("source"))
+          .agg(min(col("ext")).as("head_doc"), count(lit(1)).as("group_hits"))
+          .orderBy(col("source"))
+      }),
+
     Op("fts_stats_on_query",
       "StatsComponent over the query's DocSet: count/min/max/sum of a " +
         "field across every doc matching q=query window (StatsComponent " +
