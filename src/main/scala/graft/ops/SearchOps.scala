@@ -229,6 +229,76 @@ object SearchOps {
           .limit(10)
       }),
 
+    Op("suggest_autocomplete",
+      "suggester component: prefix autocomplete from the index terms " +
+        "dictionary ranked by document frequency " +
+        "(suggest/SolrSuggester.java + lucene suggest Lookup weights — " +
+        "distinct from spellcheck: prefix match, weight-ordered). The " +
+        "engine reads the terms table (a pushed-down range read on the " +
+        "sorted dictionary); the oracle re-derives the dictionary from " +
+        "the raw corpus",
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |v AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w)
+             |SELECT w AS suggestion, df AS weight FROM v WHERE w LIKE 'd%'
+             |ORDER BY df DESC, w LIMIT 10""".stripMargin),
+      (s, dir) => s.read
+        .parquet(s"${FtsOps.index(s, dir, "documents")}/terms")
+        .where(!col("term").contains(":") && col("term").startsWith("d"))
+        .select(col("term").as("suggestion"), col("df").as("weight"))
+        .orderBy(col("weight").desc, col("suggestion"))
+        .limit(10)),
+
+    Op("highlight_query_terms",
+      "highlighting driven by the PARSED query over its match set: the " +
+        "lucene-grammar query's analyzed positive terms are located in " +
+        "each matching doc's stored text, the earliest occurrence wins, " +
+        "and a fragment around it gets <em> markers — the " +
+        "DefaultSolrHighlighter pipeline (parse -> extract terms -> " +
+        "fragment -> markup) with integer offsets, SQL-exact",
+      Some("""WITH pos AS (SELECT doc_id, text,
+             |    CASE WHEN strpos(text, 'data') > 0 AND (strpos(text, 'merge') = 0 OR strpos(text, 'data') <= strpos(text, 'merge')) THEN strpos(text, 'data')
+             |         WHEN strpos(text, 'merge') > 0 THEN strpos(text, 'merge') ELSE 0 END AS p,
+             |    CASE WHEN strpos(text, 'data') > 0 AND (strpos(text, 'merge') = 0 OR strpos(text, 'data') <= strpos(text, 'merge')) THEN 'data'
+             |         WHEN strpos(text, 'merge') > 0 THEN 'merge' ELSE NULL END AS hit
+             |  FROM documents
+             |  WHERE list_contains(string_split(text, ' '), 'data')
+             |     OR list_contains(string_split(text, ' '), 'merge'))
+             |SELECT doc_id, p, replace(substr(text, greatest(1, p - 20), 50), hit, '<em>' || hit || '</em>') AS snippet
+             |FROM pos ORDER BY doc_id LIMIT 50""".stripMargin),
+      (s, dir) => {
+        // parse -> analyzed positive terms (the real query-analysis path)
+        val parsed = graft.query.QueryParser.parse("data merge")
+        val terms = parsed.should // query order: data, merge
+        val sr = FtsOps.searcherPublic(s, dir, "documents")
+        val idx = FtsOps.index(s, dir, "documents")
+        val ids = sr.matchingDocIds(parsed).toDF("did")
+        val docs = s.read.parquet(s"$idx/docs")
+          .select(col("doc_id").as("did"),
+            regexp_extract(col("conv_id"), "(\\d+)", 1).cast("long").as("doc_id"),
+            col("text"))
+          .join(ids, "did")
+        // earliest-occurrence term wins (ties -> first in query order)
+        val pos = terms.map(t => locate(t, col("text")))
+        val p = terms.indices.foldRight(lit(0)) { (i, acc) =>
+          // earlier query terms win position ties (strict < against later)
+          val isMin = terms.indices.filter(_ != i).map { j =>
+            pos(j) === 0 || (if (j < i) pos(i) < pos(j) else pos(i) <= pos(j))
+          }.reduce(_ && _)
+          when(pos(i) > 0 && isMin, pos(i)).otherwise(acc)
+        }
+        val hit = terms.indices.foldRight(lit(null).cast("string")) { (i, acc) =>
+          val isMin = terms.indices.filter(_ != i).map { j =>
+            pos(j) === 0 || (if (j < i) pos(i) < pos(j) else pos(i) <= pos(j))
+          }.reduce(_ && _)
+          when(pos(i) > 0 && isMin, terms(i)).otherwise(acc)
+        }
+        docs.select(col("doc_id"), p.as("p"),
+            regexp_replace(substring(col("text"), greatest(lit(1), p - 20), lit(50)),
+              hit, concat(lit("<em>"), hit, lit("</em>"))).as("snippet"))
+          .orderBy(col("doc_id"))
+          .limit(50)
+      }),
+
     Op("terms_enum",
       "terms component: enumerate index terms by prefix with df/ttf " +
         "(handler/component/TermsComponent.java)",
