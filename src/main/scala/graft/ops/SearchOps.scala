@@ -315,6 +315,55 @@ object SearchOps {
         .orderBy(col("term"))
         .limit(30)),
 
+    Op("termvectors_doc",
+      "TermVectorComponent: per-doc term vector (term, tf, first position) " +
+        "for one document (handler/component/TermVectorComponent.java); " +
+        "recomputed from the stored field through the analysis chain — the " +
+        "termVectors=false fallback path the reference also takes",
+      Some("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id = 0),
+             |t AS (SELECT ws[i] AS term, i AS pos FROM w, unnest(generate_series(1, len(ws))) u(i))
+             |SELECT term, count(*) AS tf, CAST(min(pos) - 1 AS BIGINT) AS first_pos
+             |FROM t GROUP BY term ORDER BY term""".stripMargin),
+      (s, dir) => {
+        val anal = graft.analysis.Analyzer.default
+        val tvUdf = udf((text: String) => {
+          val (ts, ps) = anal.analyzeWithPositions(text)
+          ts.zip(ps).toSeq
+        })
+        t(s, dir, "documents").where(col("doc_id") === 0)
+          .select(explode(tvUdf(col("text"))).as("tp"))
+          .select(col("tp._1").as("term"), col("tp._2").as("pos"))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("tf"), min(col("pos")).cast("long").as("first_pos"))
+          .orderBy(col("term"))
+      }),
+
+    Op("update_atomic_modifiers",
+      "atomic update modifiers over a base table: set (replace a field), " +
+        "inc (numeric increment), add / remove on a multivalued field — " +
+        "update/processor/AtomicUpdateDocumentMerger.java:117-180 " +
+        "(doSet/doInc/doAdd/doRemove); the merged doc is the oracle",
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_custkey % 7 = 0 THEN 'SET-' || CAST(c_custkey AS VARCHAR) ELSE c_name END AS name,
+             |  c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 100 ELSE 0 END AS acctbal,
+             |  CASE WHEN c_custkey % 3 = 0
+             |    THEN list_filter(CASE WHEN c_custkey % 5 = 0 THEN list_append(list_value(c_mktsegment, 'base'), 'vip') ELSE list_value(c_mktsegment, 'base') END, x -> x <> 'base')
+             |    ELSE CASE WHEN c_custkey % 5 = 0 THEN list_append(list_value(c_mktsegment, 'base'), 'vip') ELSE list_value(c_mktsegment, 'base') END
+             |  END AS tags
+             |FROM customer WHERE c_custkey < 60 ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val k = col("c_custkey")
+        val tags0 = array(col("c_mktsegment"), lit("base"))
+        val tags1 = when(k % 5 === 0, array_append(tags0, lit("vip"))).otherwise(tags0)
+        val tags2 = when(k % 3 === 0, array_remove(tags1, "base")).otherwise(tags1)
+        t(s, dir, "customer").where(k < 60)
+          .select(k.as("c_custkey"),
+            when(k % 7 === 0, concat(lit("SET-"), k)).otherwise(col("c_name")).as("name"),
+            (col("c_acctbal") + when(k % 10 === 0, 100.0).otherwise(0.0)).as("acctbal"),
+            tags2.as("tags"))
+          .orderBy(k)
+      }),
+
     Op("ingest_upsert",
       "overwrite-by-uniqueKey ingest: last-writer-wins merge of a delta " +
         "against the base table (update/DirectUpdateHandler2.java:481-526 " +
