@@ -364,6 +364,63 @@ object SearchOps {
           .orderBy(k)
       }),
 
+    Op("update_delete_by_query",
+      "delete-by-query: the engine's DocSet for q=data names the victims; " +
+        "surviving docs counted per source " +
+        "(update/DirectUpdateHandler2.java:481-526 deleteByQuery builds the " +
+        "same query DocSet; here the delete is expressed as an anti-join, " +
+        "which is how an immutable-segment store tombstones)",
+      Some("""SELECT source, count(*) AS remaining FROM documents
+             |WHERE NOT list_contains(string_split(text, ' '), 'data')
+             |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val idx = FtsOps.index(s, dir, "documents")
+        val sr = FtsOps.searcherPublic(s, dir, "documents")
+        val victims = sr.matchingDocIds("data").toDF("did")
+        s.read.parquet(s"$idx/docs")
+          .select(col("doc_id").as("did"), col("role").as("source"))
+          .join(victims, Seq("did"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("remaining"))
+          .orderBy(col("source"))
+      }),
+
+    Op("update_optimistic_concurrency",
+      "optimistic concurrency on _version_: an update applies only when " +
+        "the supplied version matches the stored one, else it is rejected " +
+        "with a conflict (DistributedUpdateProcessor.java:312-330 " +
+        "version-check path; 409 semantics). Base versions are " +
+        "deterministic; the delta carries half stale versions",
+      Some("""WITH base AS (SELECT c_custkey, c_acctbal, 1 + c_custkey % 3 AS ver FROM customer),
+             |delta AS (SELECT c_custkey, c_acctbal + 500 AS new_bal,
+             |    CASE WHEN c_custkey % 2 = 0 THEN 1 + c_custkey % 3 ELSE 99 END AS req_ver
+             |  FROM customer WHERE c_custkey % 4 = 0)
+             |SELECT b.c_custkey,
+             |  CASE WHEN d.req_ver = b.ver THEN d.new_bal ELSE b.c_acctbal END AS c_acctbal,
+             |  CASE WHEN d.req_ver = b.ver THEN b.ver + 1 ELSE b.ver END AS ver,
+             |  CASE WHEN d.c_custkey IS NULL THEN 'untouched'
+             |       WHEN d.req_ver = b.ver THEN 'applied' ELSE 'conflict' END AS outcome
+             |FROM base b LEFT JOIN delta d USING (c_custkey)
+             |WHERE b.c_custkey < 60 ORDER BY b.c_custkey""".stripMargin),
+      (s, dir) => {
+        val k = col("c_custkey")
+        val base = t(s, dir, "customer")
+          .select(k, col("c_acctbal"), (lit(1) + k % 3).as("ver"))
+        val delta = t(s, dir, "customer").where(k % 4 === 0)
+          .select(k, (col("c_acctbal") + 500).as("new_bal"),
+            when(k % 2 === 0, lit(1) + k % 3).otherwise(99).as("req_ver"))
+        base.as("b").join(delta.as("d"), Seq("c_custkey"), "left_outer")
+          .where(col("c_custkey") < 60)
+          .select(col("c_custkey"),
+            when(col("req_ver") === col("ver"), col("new_bal"))
+              .otherwise(col("c_acctbal")).as("c_acctbal"),
+            when(col("req_ver") === col("ver"), col("ver") + 1)
+              .otherwise(col("ver")).as("ver"),
+            when(col("new_bal").isNull, "untouched")
+              .when(col("req_ver") === col("ver"), "applied")
+              .otherwise("conflict").as("outcome"))
+          .orderBy(col("c_custkey"))
+      }),
+
     Op("ingest_upsert",
       "overwrite-by-uniqueKey ingest: last-writer-wins merge of a delta " +
         "against the base table (update/DirectUpdateHandler2.java:481-526 " +
