@@ -227,6 +227,63 @@ object ExtendedOps {
         out
       }),
 
+    Op("join_block_child",
+      "{!child of=...}: children of matching parents — the inverse of the " +
+        "{!parent} block join (search/join/BlockJoinChildQParser.java, " +
+        "ChildDocTransformerFactory): parents selected by their own " +
+        "predicate, their lineitem children returned",
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey < 2000
+             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin),
+      (s, dir) => {
+        val parents = t(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") < 2000)
+          .select(col("o_orderkey"))
+        t(s, dir, "lineitem")
+          .join(broadcast(parents), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      }),
+
+    Op("facet_join_dim",
+      "cross-collection {!join} + facet: orders filtered, joined to their " +
+        "customers, faceted by the customer's nation — the join-then-facet " +
+        "combination (search/JoinQParserPlugin.java feeding SimpleFacets); " +
+        "dim side broadcast",
+      Some("""SELECT n.n_name, count(*) AS cnt
+             |FROM orders o
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |WHERE o.o_orderpriority = '1-URGENT'
+             |GROUP BY n.n_name ORDER BY cnt DESC, n.n_name LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val nation = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        t(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("n_name"))
+          .limit(10)
+      }),
+
+    Op("func_query_sort",
+      "function-query ordering: documents ranked by a computed function " +
+        "of their fields — the {!func} / sort-by-function surface " +
+        "(search/FunctionQParser.java, ValueSource chain); recip form " +
+        "a/(m*x+b) over doc age with a FIXED reference instant " +
+        "(deterministic stand-in for NOW), double math rounded 6dp",
+      Some("""SELECT doc_id,
+             |  round(1000.0 / (1.0 * (5000 - doc_id) + 1000.0), 6) AS boost
+             |FROM documents ORDER BY boost DESC, doc_id LIMIT 25""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(lit(1000.0) / (lit(1.0) * (lit(5000) - col("doc_id")) + lit(1000.0)), 6).as("boost"))
+        .orderBy(col("boost").desc, col("doc_id"))
+        .limit(25)),
+
     Op("eval_scalar_surface",
       "core tier of the 310 streaming-expression evaluators mapped 1:1 to " +
         "Spark built-ins (solrj-streaming .../io/eval/ — AddEvaluator, " +
