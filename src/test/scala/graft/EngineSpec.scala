@@ -61,7 +61,10 @@ class EngineSpec extends AnyFunSuite {
     "+data -data query",       // occur collision: unsatisfiable MUST/NOT
     "\"error retry\"~2 timeout", // sloppy phrase, SHOULD
     "+\"the data\"~1",         // sloppy phrase, MUST
-    "data -\"merge shuffle\"~3" // sloppy phrase, MUST_NOT
+    "data -\"merge shuffle\"~3", // sloppy phrase, MUST_NOT
+    "err*r data",              // general wildcard: infix *
+    "s??rk shuffle",           // general wildcard: ?
+    "*tion the"                // general wildcard: leading *
   )
 
   private def assertRankIdentical(q: String, k: Int): Unit = {
