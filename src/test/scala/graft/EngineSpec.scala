@@ -497,6 +497,29 @@ class EngineSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("concurrent queries on one searcher epoch == sequential (8 threads, mixed shapes)") {
+    // the reference's SolrIndexSearcher is shared by all request threads;
+    // our epoch caches (postings persist, fqCache, dfMemo, queryResultCache)
+    // must tolerate the same concurrency
+    val qs = Seq("the data", "+query merge", "error -timeout", "role:user spark index",
+      "\"the data\"", "par* data", "errer~1 data", "timeout retry commit")
+    val expected = qs.map(q => q ->
+      searcher.topKHits(searcher.expand(QueryParser.parse(q)), 10)
+        .collect().map(h => (h.doc_id, h.score)).toSeq).toMap
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(java.util.concurrent.Executors.newFixedThreadPool(8))
+    val futs = (1 to 3).flatMap(_ => qs).map { q =>
+      Future(q -> searcher.topKHits(searcher.expand(QueryParser.parse(q)), 10)
+        .collect().map(h => (h.doc_id, h.score)).toSeq)
+    }
+    val results = Await.result(Future.sequence(futs), 120.seconds)
+    results.foreach { case (q, got) =>
+      assert(got == expected(q), s"[$q] concurrent result diverged")
+    }
+  }
+
   test("randomized queries: engine == oracle on 40 seeded random term sets") {
     val rnd = new scala.util.Random(4242)
     val terms = spark.read.parquet(s"$indexDir/terms")
