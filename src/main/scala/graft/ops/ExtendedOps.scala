@@ -227,6 +227,38 @@ object ExtendedOps {
         out
       }),
 
+    Op("time_routed_partitions",
+      "time-routed alias: events stored day-partitioned, a ts-range query " +
+        "touches only the routed partitions (the TimeRoutedAlias role, " +
+        "solr/core/src/java/org/apache/solr/cloud/api/collections/" +
+        "TimeRoutedAlias.java — time-bucketed collections + router) " +
+        "rendered as hive-style day partitioning + Catalyst partition " +
+        "pruning (PartitionFilters on the scan; at 100 TB the range query " +
+        "reads 3 of N day directories, not the corpus). Oracle = the same " +
+        "range over the unpartitioned table",
+      Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, count(*) AS cnt
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-13 00:00:00'
+             |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin),
+      (s, dir) => {
+        // one-time day-partitioned copy (the alias's routed collections)
+        val part = s"${System.getProperty("java.io.tmpdir")}/graft-tra/events-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+        if (!new java.io.File(s"$part/_SUCCESS").exists())
+          t(s, dir, "events")
+            .withColumn("day", col("ts").cast("date").cast("string"))
+            .write.mode("overwrite").partitionBy("day").parquet(part)
+        val pruned = s.read.parquet(part)
+          .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+        // partition pruning must actually engage: the day filter below is
+        // derivable from the ts range, but Catalyst only prunes on the
+        // PARTITION column — route explicitly like the alias's router does
+        pruned
+          .where(col("day") >= "2024-01-10" && col("day") <= "2024-01-13")
+          .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("day"), col("event_type"))
+      }),
+
     Op("join_block_child",
       "{!child of=...}: children of matching parents — the inverse of the " +
         "{!parent} block join (search/join/BlockJoinChildQParser.java, " +
