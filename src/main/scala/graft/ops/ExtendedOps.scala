@@ -246,6 +246,7 @@ object ExtendedOps {
         if (!new java.io.File(s"$part/_SUCCESS").exists())
           t(s, dir, "events")
             .withColumn("day", col("ts").cast("date").cast("string"))
+            .repartition(col("day")) // one file per day dir, not tasks x days
             .write.mode("overwrite").partitionBy("day").parquet(part)
         val pruned = s.read.parquet(part)
           .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
