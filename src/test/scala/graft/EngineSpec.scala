@@ -497,6 +497,27 @@ class EngineSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("parser fuzz: 150 seeded random query strings never crash parse -> expand -> topK") {
+    // the reference survives arbitrary user query strings (SyntaxError ->
+    // 400, not a crash); our parser is total — worst case an empty result
+    val rnd = new scala.util.Random(777)
+    val atoms = Seq("the", "data", "spark", "error", "qzx", "role:user", "role:",
+      "\"the data\"", "\"a b\"~2", "par*", "d?t*", "*", "?", "errer~1", "x~9",
+      "+", "-", "AND", "OR", "NOT", "(", ")", "^2", "data^x", "[a TO b]",
+      "role:[a TO", "\"unclosed", "~", "^", ":", "+-", "()", "a:b:c", "東京")
+    for (i <- 0 until 150) {
+      val n = 1 + rnd.nextInt(6)
+      val q = Seq.fill(n)(atoms(rnd.nextInt(atoms.length))).mkString(" ")
+      try {
+        val parsed = searcher.expand(QueryParser.parse(q))
+        val hits = searcher.topKHits(parsed, 5).collect()
+        assert(hits.length <= 5)
+      } catch {
+        case e: Throwable => fail(s"query #$i crashed: <$q> -> ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("concurrent queries on one searcher epoch == sequential (8 threads, mixed shapes)") {
     // the reference's SolrIndexSearcher is shared by all request threads;
     // our epoch caches (postings persist, fqCache, dfMemo, queryResultCache)
