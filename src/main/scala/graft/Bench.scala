@@ -77,6 +77,12 @@ object Bench {
 
   private def sec(ns: Long): Double = ns / 1e9
 
+  /** JSON-safe number: NaN/Inf (a failed child build) must render as null,
+    * not bare NaN — that is not legal JSON and would make the whole
+    * BENCH_DETAIL reps array unparseable. */
+  private def jnum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else f"$d%.1f"
+
   /** Host-health calibration: aggregate iterations of an 8-thread busy
     * float loop over ~800ms. Only RELATIVE values within one bench run are
     * used (storm detection). */
@@ -281,8 +287,8 @@ object Bench {
               val post = calibrate()
               cals += post
               val ok = post >= 0.75 * calRef && t.isDefined
-              repDetail += (s"""{"phase":"scale","lvl":$lvl,"wall_sec":${t.getOrElse(Double.NaN)},""" +
-                f""""cpu_sec":$lastCpuSec%.1f,"pre_cal":$cal%.0f,"post_cal":$post%.0f,""" +
+              repDetail += (s"""{"phase":"scale","lvl":$lvl,"wall_sec":${jnum(t.getOrElse(Double.NaN))},""" +
+                f""""cpu_sec":${jnum(lastCpuSec)},"pre_cal":$cal%.0f,"post_cal":$post%.0f,""" +
                 s""""verdict":"${if (ok) "accepted" else "gated_post"}"}""")
               if (ok) t.foreach { x =>
                 good(lvl) += ((x, lastCpuSec))
@@ -302,7 +308,7 @@ object Bench {
           gated = 0.0
           childBuild(scalePath, lvl).foreach { x =>
             good(lvl) += ((x, lastCpuSec))
-            repDetail += s"""{"phase":"scale","lvl":$lvl,"wall_sec":$x,"cpu_sec":$lastCpuSec,"verdict":"ungated_fallback"}"""
+            repDetail += s"""{"phase":"scale","lvl":$lvl,"wall_sec":${jnum(x)},"cpu_sec":${jnum(lastCpuSec)},"verdict":"ungated_fallback"}"""
           }
         }
       }
@@ -420,7 +426,9 @@ object Bench {
     if (cals.nonEmpty) saveCalBaseline(math.max(calBase0, cals.max))
     val total = sec(System.nanoTime() - t00)
     def fmt(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+      m.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v.isNaN || v.isInfinite) "null" else f"$v%.4f")
+      }.mkString("{", ",", "}")
     // full per-op detail goes to a file (and a non-final stdout line); the
     // FINAL stdout line stays compact — r1's single 3 KB line overflowed the
     // driver's tail-capture window and parsed as null.

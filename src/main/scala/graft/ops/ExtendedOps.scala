@@ -255,7 +255,7 @@ object ExtendedOps {
         // derivable from the ts range, but Catalyst only prunes on the
         // PARTITION column — route explicitly like the alias's router does
         pruned
-          .where(col("day") >= "2024-01-10" && col("day") <= "2024-01-13")
+          .where(col("day") >= "2024-01-10" && col("day") < "2024-01-13")
           .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("cnt"))
           .orderBy(col("day"), col("event_type"))
       }),

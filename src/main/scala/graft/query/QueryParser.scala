@@ -158,16 +158,22 @@ object QueryParser {
       }
       // quoted phrase, with an optional trailing `~slop` suffix
       // (SolrQueryParserBase.java:140,355-362 slop handling; grammar
-      // QueryParser.jj <FUZZY_SLOP> after a quoted term)
+      // QueryParser.jj <FUZZY_SLOP> after a quoted term). Anything glued
+      // past the slop digits is a SEPARATE clause (`"a b"-timeout` is
+      // legal Lucene: the exclusion must not be silently dropped) — it
+      // re-enters emitTerm with its own +/- prefix honored.
       if (core.startsWith("\"")) {
         val close = core.indexOf('"', 1)
         val (body, suffix) =
           if (close > 0) (core.substring(1, close), core.substring(close + 1))
           else (core.substring(1), "")
-        val slop =
-          if (suffix.startsWith("~")) suffix.drop(1).toIntOption.filter(_ >= 0).getOrElse(0)
-          else 0
+        val (slop, rest) =
+          if (suffix.startsWith("~")) {
+            val digits = suffix.drop(1).takeWhile(_.isDigit)
+            (digits.toIntOption.getOrElse(0), suffix.drop(1 + digits.length))
+          } else (0, suffix)
         clauses += Clause(occur, body, phrase = true, boost, slop)
+        if (rest.nonEmpty) emitTerm(rest, Should)
         return
       }
       // fuzzy: term~ or term~N (N in 1..2, Lucene's max)

@@ -165,11 +165,11 @@ final class Searcher(
     * fuzzy runs a distributed edit-distance filter over the vocabulary. */
   def expand(parsed: ParsedQuery): ParsedQuery = {
     if (parsed.multiTerms.isEmpty) return parsed
+    // field postings (role:x / tool:y, layout v3) are NOT text vocabulary:
+    // a fuzzy body like `roles~2` must not expand into `role:x`
+    val vocab = termsDF.where(!$"term".contains(":"))
     var p = parsed
     p.multiTerms.foreach { mt =>
-      // field postings (role:x / tool:y, layout v3) are NOT text vocabulary:
-      // a fuzzy body like `roles~2` must not expand into `role:x`
-      val vocab = termsDF.where(!$"term".contains(":"))
       val expanded: Vector[String] = (mt.kind match {
         case 0 =>
           vocab.where($"term".startsWith(mt.body))
@@ -267,20 +267,38 @@ final class Searcher(
         // canonical key: clause order is irrelevant to the DocSet
         val key = (parsed.filters.map(f => s"eq:${f._1}=${f._2}") ++
           parsed.rangeFilters.map(r => s"rg:${r.field}:${r.lo}:${r.hi}:${r.inclusive}")).sorted
-        fqCache.computeIfAbsent(key, _ => {
+        // NOT computeIfAbsent: the mapping function would run multi-job
+        // Spark work inside the bin lock (blocking same-bin queries for the
+        // job's duration) and the eviction's it.remove() would mutate the
+        // map mid-compute — a CHM-contract violation that can livelock on a
+        // ReservationNode. Compute outside; racing threads may duplicate
+        // the DocSet build, the loser unpersists and adopts the winner's.
+        val cached = fqCache.get(key)
+        if (cached != null) cached
+        else {
+          val entry = resolveFq(parsed.filters, parsed.rangeFilters)
           // bounded like the reference's CaffeineCache filterCache
-          if (fqCache.size >= Searcher.FqCacheMax) {
-            val it = fqCache.entrySet().iterator()
-            if (it.hasNext) {
-              it.next().getValue match {
-                case Right(ds) => ds.unpersist()
-                case _ =>
+          fqCache.synchronized {
+            while (fqCache.size >= Searcher.FqCacheMax) {
+              val it = fqCache.entrySet().iterator()
+              if (it.hasNext) {
+                it.next().getValue match {
+                  case Right(ds) => ds.unpersist()
+                  case _ =>
+                }
+                it.remove()
               }
-              it.remove()
             }
           }
-          resolveFq(parsed.filters, parsed.rangeFilters)
-        })
+          val prev = fqCache.putIfAbsent(key, entry)
+          if (prev != null) {
+            entry match {
+              case Right(ds) => ds.unpersist()
+              case _ =>
+            }
+            prev
+          } else entry
+        }
       }
     val fmap: Map[Int, Array[Byte]] = fqEntry match {
       case Left(m) => m
@@ -385,11 +403,15 @@ final class Searcher(
     var hits = queryResultCache.get(key)
     if (hits == null) {
       hits = topKHits(QueryParser.parse(q, analyzer), window).collect()
-      if (queryResultCache.size >= Searcher.FqCacheMax) {
-        val it = queryResultCache.entrySet().iterator()
-        if (it.hasNext) { it.next(); it.remove() }
+      // enforce the bound under concurrent misses (size-check-then-put
+      // unsynchronized would overshoot and never shrink back)
+      queryResultCache.synchronized {
+        while (queryResultCache.size >= Searcher.FqCacheMax) {
+          val it = queryResultCache.entrySet().iterator()
+          if (it.hasNext) { it.next(); it.remove() }
+        }
+        queryResultCache.put(key, hits)
       }
-      queryResultCache.put(key, hits)
     }
     hits.take(k)
   }

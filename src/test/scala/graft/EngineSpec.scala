@@ -497,6 +497,26 @@ class EngineSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("clauses glued to a closing quote survive (review finding: suffix was dropped)") {
+    // `"a b"-c` is legal Lucene: phrase + MUST_NOT term, no space needed
+    val p1 = QueryParser.parse("\"error retry\"-timeout")
+    assert(p1.phrases == Vector(graft.query.Phrase(Vector("error", "retry"), 1, 0)))
+    assert(p1.mustNot == Vector("timeout"), s"glued exclusion lost: $p1")
+    // glued SHOULD term after slop digits
+    val p2 = QueryParser.parse("\"error retry\"~2data")
+    assert(p2.phrases.head.slop == 2 && p2.should == Vector("data"))
+    // back-to-back phrases in one token
+    val p3 = QueryParser.parse("\"the data\"\"error retry\"")
+    assert(p3.phrases.map(_.terms) ==
+      Vector(Vector("the", "data"), Vector("error", "retry")))
+    // rank identity: glued form == spaced form
+    val a = searcher.topKHits(QueryParser.parse("\"error retry\"-timeout"), 10)
+      .collect().map(h => (h.doc_id, h.score)).toSeq
+    val b = searcher.topKHits(QueryParser.parse("\"error retry\" -timeout"), 10)
+      .collect().map(h => (h.doc_id, h.score)).toSeq
+    assert(a == b)
+  }
+
   test("parser fuzz: 150 seeded random query strings never crash parse -> expand -> topK") {
     // the reference survives arbitrary user query strings (SyntaxError ->
     // 400, not a crash); our parser is total — worst case an empty result
