@@ -273,26 +273,36 @@ object Bench {
         levels.foreach { lvl =>
           if (good(lvl).length < reps) {
             // gate EVERY build, not just the round: steal storms here last
-            // minutes, shorter than one 4c+16c round
-            val cal = calibrate()
-            cals += cal
-            if (cal < 0.75 * calRef) {
-              repDetail += s"""{"phase":"scale","lvl":$lvl,"pre_cal":$cal,"verdict":"gated_pre"}"""
-              Thread.sleep(20000) // storm: cool off
-            } else {
-              val t = childBuild(scalePath, lvl)
-              // post-build gate: a storm that STARTS mid-build passes the
-              // pre-gate but inflates the measurement — discard the rep if
-              // the host is degraded right after it finishes
-              val post = calibrate()
-              cals += post
-              val ok = post >= 0.75 * calRef && t.isDefined
-              repDetail += (s"""{"phase":"scale","lvl":$lvl,"wall_sec":${jnum(t.getOrElse(Double.NaN))},""" +
-                f""""cpu_sec":${jnum(lastCpuSec)},"pre_cal":$cal%.0f,"post_cal":$post%.0f,""" +
-                s""""verdict":"${if (ok) "accepted" else "gated_post"}"}""")
-              if (ok) t.foreach { x =>
-                good(lvl) += ((x, lastCpuSec))
-                thisRound(lvl) = (x, lastCpuSec)
+            // minutes, shorter than one 4c+16c round. A pre-gated level
+            // retries after cool-off (up to 3 attempts) instead of
+            // forfeiting the round — a round with one gated half forms no
+            // PAIR, and the headline efficiency only comes from pairs (a
+            // final-r3 run lost its best 16c rep's pair exactly this way)
+            var attempts = 0
+            var built = false
+            while (!built && attempts < 3) {
+              attempts += 1
+              val cal = calibrate()
+              cals += cal
+              if (cal < 0.75 * calRef) {
+                repDetail += s"""{"phase":"scale","lvl":$lvl,"pre_cal":$cal,"verdict":"gated_pre"}"""
+                Thread.sleep(20000) // storm: cool off, retry this level
+              } else {
+                built = true // one build per round per level
+                val t = childBuild(scalePath, lvl)
+                // post-build gate: a storm that STARTS mid-build passes the
+                // pre-gate but inflates the measurement — discard the rep if
+                // the host is degraded right after it finishes
+                val post = calibrate()
+                cals += post
+                val ok = post >= 0.75 * calRef && t.isDefined
+                repDetail += (s"""{"phase":"scale","lvl":$lvl,"wall_sec":${jnum(t.getOrElse(Double.NaN))},""" +
+                  f""""cpu_sec":${jnum(lastCpuSec)},"pre_cal":$cal%.0f,"post_cal":$post%.0f,""" +
+                  s""""verdict":"${if (ok) "accepted" else "gated_post"}"}""")
+                if (ok) t.foreach { x =>
+                  good(lvl) += ((x, lastCpuSec))
+                  thisRound(lvl) = (x, lastCpuSec)
+                }
               }
             }
           }
