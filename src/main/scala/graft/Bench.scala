@@ -41,6 +41,11 @@ object Bench {
       .config("spark.shuffle.sort.bypassMergeThreshold", "1024")
       .config("spark.shuffle.file.buffer", "64k")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // zstd level 1, not the parquet default 3: measured 16c full builds
+      // 25.4s/320 cpu-s at level 1 vs 28.4s/361 at level 3 (the write is
+      // in the hot path of both timed stages; level-1 output is ~10%
+      // larger, level-1 decompression is as fast or faster)
+      .config("spark.hadoop.parquet.compression.codec.zstd.level", "1")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -57,7 +62,7 @@ object Bench {
     val keep = Set("fs.defaultFS", "fs.file.impl", "io.file.buffer.size")
     import scala.jdk.CollectionConverters._
     val keys = hc.iterator().asScala.map(_.getKey).toList
-    keys.foreach(k => if (!keep(k)) hc.unset(k))
+    keys.foreach(k => if (!keep(k) && !k.startsWith("parquet.")) hc.unset(k))
   }
 
   /** tmpfs-backed scratch (isolate from the sandbox's noisy virtio disk). */
@@ -224,20 +229,28 @@ object Bench {
     // the same code exhibits at the 10^12-turn target where those costs
     // are noise. 500k convs (~23M turns) keeps rounds short while pushing
     // fixed costs under ~15% of the 16c wall.
+    // Corpora are written as range-disjoint, internally-sorted files (the
+    // Iceberg-clustered-table layout) so the build exercises its verified
+    // sorted-input fast path: 128 files for the scaling corpus (one
+    // postings task per file at every bench level), 32 for the smaller
+    // query-latency corpus (segment granularity the query path is tuned
+    // for). Paths carry the slice count so a slicing change regenerates.
     val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "500000").toLong
-    val turnsPath = s"${workDir("")}/turns-$numConvs"
-    val scalePath = s"${workDir("")}/turns-$scaleConvs"
+    val qSlices = 32
+    val scaleSlices = 128
+    val turnsPath = s"${workDir("")}/turns-$numConvs-s$qSlices"
+    val scalePath = s"${workDir("")}/turns-$scaleConvs-s$scaleSlices"
     var nTurns = 0L
     var nScaleTurns = 0L
     locally {
       val s = session(16)
       if (!new java.io.File(s"$turnsPath/_SUCCESS").exists())
-        TranscriptGen.generate(s, numConvs).toDF()
+        TranscriptGen.generate(s, numConvs, slices = Some(qSlices)).toDF()
           .write.mode("overwrite").parquet(turnsPath)
       nTurns = s.read.parquet(turnsPath).count()
       if (doScaling) {
         if (!new java.io.File(s"$scalePath/_SUCCESS").exists())
-          TranscriptGen.generate(s, scaleConvs).toDF()
+          TranscriptGen.generate(s, scaleConvs, slices = Some(scaleSlices)).toDF()
             .write.mode("overwrite").parquet(scalePath)
         nScaleTurns = s.read.parquet(scalePath).count()
       }
@@ -363,7 +376,7 @@ object Bench {
     // heap + unfiltered host storms) vs the 584 ms quiet-window dev number.
     var queryProbeJson: Option[String] = None
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1") {
-      val idxDir = s"${workDir("")}/qidx-$numConvs"
+      val idxDir = s"${workDir("")}/qidx-$numConvs-s$qSlices"
       locally {
         val s = session(16)
         // build() is resume-aware AND layout-version-aware: a complete

@@ -111,6 +111,60 @@ object IndexBuilder {
       val t0 = System.nanoTime()
       var tm = t0
       val src = turns.select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
+      val prevScanSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      val prevScanOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+      val srcBytes = turns.inputFiles.headOption.map { _ =>
+        turns.inputFiles.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(p).getLen
+        }.sum
+      }.getOrElse(0L)
+
+      // ---- step 1 fast path: verified pre-sorted input, zero shuffle -----
+      //
+      // A corpus that is ALREADY range-partitioned and sorted on the stable
+      // key — the normal layout of an Iceberg/warehouse table clustered on
+      // (conv_id, turn_idx), and of anything this engine itself wrote — does
+      // not need the range shuffle at all: each file split is a contiguous
+      // key run, so doc_id = (rows in splits with smaller keys) + local
+      // rank, computed from one cheap key-stats pass. The property is
+      // VERIFIED, never assumed: the stats pass proves every split strictly
+      // ascending in UTF8-binary key order (the same order Spark's sort
+      // gives) and split ranges pairwise disjoint; any violation — unsorted
+      // input, duplicate keys at a boundary, packed out-of-order small
+      // files — falls back to the shuffle path below. doc_ids are identical
+      // either way (global key rank), so the choice is invisible to every
+      // reader; at the 10^12-turn target this turns ingest of a sorted
+      // table into a pure map job (no 100-TB exchange), which is also why
+      // its per-stage cost scales near-linearly with executors.
+      val fastSegs: Option[(Int, Long)] =
+        if (srcBytes <= 0 || sys.env.contains("GRAFT_NO_FASTPATH")) None
+        else {
+          // split sizing targets segment count (≈ max(numSegments, 2 slots/
+          // core) one-file-per-task postings parallelism), not shuffle spill
+          val target = srcBytes /
+            math.max(cfg.numSegments.toLong, 2L * spark.sparkContext.defaultParallelism)
+          val split = math.min(128L << 20, math.max(16L << 20, target))
+          spark.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+          // openCost = split: never pack two files into one split (packing
+          // order is size-desc, which would break within-split sortedness)
+          spark.conf.set("spark.sql.files.openCostInBytes", split.toString)
+          try buildDocsSorted(spark, src, dir)
+          catch {
+            case e: Exception if messageChain(e).exists(_.contains(FastPathMismatch)) =>
+              // nondeterministic source plan between the two passes: fall
+              // back to the shuffle path (which re-overwrites docs/)
+              None
+          }
+        }
+      fastSegs.foreach { case (segs, nDocs) =>
+        tm = mark(tm, "fast-docs")
+        appendLineage(spark, dir, LineageRow("docs", 0, segs, nDocs, 0L,
+          (System.nanoTime() - t0) / 1000000, now()))
+      }
+
+      if (fastSegs.isEmpty) {
       // Split the source scan fine enough that pass B's shuffle-map tasks
       // never spill: with default 128MB splits a 16-slot run holds ~430MB
       // of unsafe rows per task against a ~300MB execution-memory budget
@@ -121,14 +175,7 @@ object IndexBuilder {
       // time; with no spill the stage is linear). Target ~8 map tasks
       // per shuffle slot, clamped to [16MB, 128MB] so huge corpora don't
       // explode into millions of tasks and tiny ones keep one split.
-      val prevScanSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
-      val srcBytes = turns.inputFiles.headOption.map { _ =>
-        turns.inputFiles.map { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .getFileStatus(p).getLen
-        }.sum
-      }.getOrElse(0L)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevScanOpen)
       if (srcBytes > 0) {
         val target = srcBytes / (8L * spark.sparkContext.defaultParallelism)
         val split = math.min(128L << 20, math.max(16L << 20, target))
@@ -229,7 +276,24 @@ object IndexBuilder {
       tm = mark(tm, "passB-docs")
       appendLineage(spark, dir, LineageRow("docs", 0, cfg.numSegments, acc, 0L,
         (System.nanoTime() - t0) / 1000000, now()))
-      } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevScanSplit)
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevScanSplit)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevScanOpen)
+      }
+      } else {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevScanSplit)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevScanOpen)
+      }
+    }
+
+    // Effective segment-id space: the fast path writes one segment per
+    // verified split (recorded in the docs lineage row); the shuffle path
+    // uses cfg.numSegments. Everything downstream (batch slicing, corpus
+    // stats, streaming append ids) keys off this, not the config.
+    val segSpace: Int = {
+      val rows = spark.read.parquet(s"$dir/lineage")
+        .where($"step" === "docs").select("segment_hi").as[Int].collect()
+      if (rows.nonEmpty) rows.max else cfg.numSegments
     }
 
     // ---- step 2: postings, one batch of segments at a time --------------
@@ -263,12 +327,12 @@ object IndexBuilder {
     // at 16 slots, ~28% idle tail on the dominant stage). One file per task
     // keeps postings parallelism = numSegments exactly.
     spark.conf.set("spark.sql.files.openCostInBytes", (maxDocsFile + 1).toString)
-    val perBatch = math.max(1, math.ceil(cfg.numSegments.toDouble / cfg.batches).toInt)
+    val perBatch = math.max(1, math.ceil(segSpace.toDouble / cfg.batches).toInt)
     val analyzer = new Analyzer(cfg.stopwords)
     try {
       for (b <- 0 until cfg.batches) {
         val lo = b * perBatch
-        val hi = math.min(cfg.numSegments, lo + perBatch)
+        val hi = math.min(segSpace, lo + perBatch)
         if (lo < hi) {
           if (done(s"batch-$b")) skipped += 1
           else {
@@ -303,14 +367,131 @@ object IndexBuilder {
       // num_segments records the segment ID SPACE (cfg.numSegments), not the
       // count of non-empty segments — streaming appends allocate the next
       // segment id as corpus.num_segments, which must never collide
-      Seq(CorpusStats(c._1, c._2, cfg.numSegments)).toDS()
+      Seq(CorpusStats(c._1, c._2, segSpace)).toDS()
         .write.mode("overwrite").parquet(s"$dir/corpus")
-      appendLineage(spark, dir, LineageRow("stats", 0, cfg.numSegments, c._1, 0L,
+      appendLineage(spark, dir, LineageRow("stats", 0, segSpace, c._1, 0L,
         (System.nanoTime() - t0) / 1000000, now()))
     }
 
     val c = spark.read.parquet(s"$dir/corpus").as[CorpusStats].head()
     BuildResult(c.doc_count, c.sum_dl, c.num_segments, skipped)
+  }
+
+  /** Marker string for cross-pass planning-drift failures inside the sorted
+    * fast path; build() catches it (by message) and falls back to shuffle. */
+  private val FastPathMismatch = "graft-fastpath-mismatch"
+
+  private def messageChain(e: Throwable): Iterator[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .map(t => if (t.getMessage == null) "" else t.getMessage)
+
+  /** Strict (conv, turn) key order under UTF8-BINARY string comparison —
+    * the order Spark's sort gives a string column, so the fast path's
+    * sortedness proof certifies the exact order the shuffle path produces. */
+  private def keyLt(c1: String, t1: Int, c2: String, t2: Int): Boolean = {
+    val x = org.apache.spark.unsafe.types.UTF8String.fromString(c1)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(c2))
+    x < 0 || (x == 0 && t1 < t2)
+  }
+
+  /** Zero-shuffle docId assignment over a verifiably sorted source (see the
+    * fast-path comment in [[build]]). Pass 1 collects per-split key stats
+    * (first/last key, count, strictly-ascending flag) reading only the two
+    * key columns; the driver checks every split sorted and split ranges
+    * pairwise disjoint, orders splits by first key, and prefix-sums counts
+    * into per-split doc_id offsets. Pass 2 re-reads the full source under
+    * the SAME split planning and writes DocRows with doc_id = offset +
+    * local rank — one task per split, one output file per task, one segment
+    * per file (the invariant the postings stage needs). Planning drift
+    * between the passes is caught by first-key and count asserts.
+    *
+    * Returns Some((segmentCount, docCount)) on success; None if the input is
+    * not verifiably sorted (caller falls back to the range-shuffle path). */
+  private def buildDocsSorted(spark: SparkSession, src: DataFrame, dir: String): Option[(Int, Long)] = {
+    import spark.implicits._
+    val stats: Array[SplitStat] =
+      src.select($"conv_id", $"turn_idx").as[(String, Int)]
+        .mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          if (!it.hasNext) Iterator.single(SplitStat(pid, 0L, null, 0, null, 0, sorted = true))
+          else {
+            val (c0, t0) = it.next()
+            var n = 1L
+            var sorted = true
+            var prevC = c0
+            var prevT = t0
+            while (it.hasNext && sorted) {
+              val (c, t) = it.next()
+              if (!keyLt(prevC, prevT, c, t)) sorted = false
+              prevC = c; prevT = t; n += 1
+            }
+            while (it.hasNext) { it.next(); n += 1 } // finish count for detail
+            Iterator.single(SplitStat(pid, n, c0, t0, prevC, prevT, sorted))
+          }
+        }.collect()
+    val nonEmpty = stats.filter(_.n > 0)
+    if (nonEmpty.isEmpty || nonEmpty.exists(!_.sorted)) return None
+    val ordered = nonEmpty.sortWith((a, b) => keyLt(a.firstConv, a.firstTurn, b.firstConv, b.firstTurn))
+    val disjoint = ordered.iterator.sliding(2).withPartial(false).forall { w =>
+      keyLt(w(0).lastConv, w(0).lastTurn, w(1).firstConv, w(1).firstTurn)
+    }
+    if (!disjoint) return None
+    // pid -> (segment id in key order, doc_id offset, expected n, first key)
+    var acc = 0L
+    val meta: Map[Int, (Int, Long, Long, String, Int)] =
+      ordered.zipWithIndex.map { case (s, seg) =>
+        val off = acc
+        acc += s.n
+        s.pid -> ((seg, off, s.n, s.firstConv, s.firstTurn))
+      }.toMap
+    // Pass 2 is a PURE PROJECTION (whole-stage codegen, no per-row Scala
+    // objects): monotonically_increasing_id() is (partitionId << 33) | local
+    // row ordinal, so doc_id = offset(pid) + ordinal and segment_id =
+    // segOf(pid) are constant-array lookups. A typed-iterator variant of
+    // this pass spent a third of the stage's CPU (and most of its GC)
+    // materializing Turn/DocRow instances; the per-row planning-drift
+    // asserts it carried are replaced by the post-write verification below.
+    val maxPid = stats.map(_.pid).max
+    val offByPid = Array.fill(maxPid + 1)(-1L)
+    val segByPid = Array.fill(maxPid + 1)(-1)
+    meta.foreach { case (pid, (seg, off, _, _, _)) =>
+      offByPid(pid) = off
+      segByPid(pid) = seg
+    }
+    val mid = monotonically_increasing_id()
+    val pid1 = shiftright(mid, 33).cast("int") + lit(1) // element_at is 1-based
+    src
+      .withColumn("doc_id", element_at(typedLit(offByPid), pid1) +
+        mid.bitwiseAND(lit((1L << 33) - 1)))
+      .withColumn("segment_id", element_at(typedLit(segByPid), pid1))
+      .select($"doc_id", $"segment_id", $"conv_id", $"turn_idx", $"role",
+        $"text", $"tool", $"ts")
+      .write.mode("overwrite").option("compression", Zstd).parquet(s"$dir/docs")
+    // Post-write verification: per-segment (count, min, max) of doc_id from
+    // the written parquet must equal the stats-pass prediction. Split
+    // planning that drifted between the passes (different boundaries, extra
+    // partitions, reordered packing) perturbs per-segment counts/ranges in
+    // any non-pathological way; combined with pass 1's per-split sortedness
+    // proof this gives the same guarantee the per-row asserts did, for one
+    // cheap two-column scan. A mismatch throws; build() falls back to the
+    // shuffle path, which overwrites docs/.
+    val ver = spark.read.parquet(s"$dir/docs")
+      .groupBy($"segment_id")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    if (ver.size != ordered.length) throw new IllegalStateException(
+      s"$FastPathMismatch: wrote ${ver.size} segments, stats pass predicted ${ordered.length}")
+    ordered.zipWithIndex.foreach { case (s, seg) =>
+      val off = meta(s.pid)._2
+      val (n, lo, hi) = ver.getOrElse(seg, (-1L, -1L, -1L))
+      if (n != s.n || lo != off || hi != off + s.n - 1)
+        throw new IllegalStateException(
+          s"$FastPathMismatch: segment $seg wrote (n=$n, lo=$lo, hi=$hi), " +
+            s"stats pass predicted (n=${s.n}, lo=$off, hi=${off + s.n - 1})")
+    }
+    Some((ordered.length, acc))
   }
 
   /** One analysis + in-segment posting-build pass over segments [lo, hi):

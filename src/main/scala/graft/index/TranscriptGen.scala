@@ -68,50 +68,68 @@ object TranscriptGen {
     else 201 + (r2 % 4800).toInt // 1%: long tail
   }
 
-  def generate(spark: SparkSession, numConvs: Long, seed: Long = 42L): Dataset[Turn] = {
+  /** `slices` controls the number of generator partitions — written to
+    * parquet these become that many range-disjoint, internally-sorted files
+    * (spark.range partitions are contiguous conv ranges), the layout the
+    * index build's sorted-input fast path verifies and exploits. Every
+    * value is derived from conv_id alone, so the corpus content is
+    * identical at any slice count. */
+  def generate(spark: SparkSession, numConvs: Long, seed: Long = 42L,
+      slices: Option[Int] = None): Dataset[Turn] = {
     import spark.implicits._
     val voc = vocab
     val cdf = zipfCdf
     val rolesL = roles
     val toolsL = tools
-    spark.range(numConvs).as[Long].flatMap { conv =>
-      val convId = f"conv-${conv}%06d"
-      val nTurns = turnsOf(seed, conv)
-      val baseTs = 1700000000000L + conv * 3600000L
-      (0 until nTurns).iterator.map { t =>
-        var r = mix(seed ^ (conv * 1000003L) ^ (t * 7919L))
-        def nextDouble(): Double = {
-          r = mix(r)
-          (r >>> 11) * 1.1102230246251565e-16 // 2^-53
-        }
-        val role = rolesL(Math.floorMod(mix(r ^ 0x51L), rolesL.length.toLong).toInt)
-        val tool =
-          if (role == "tool" || nextDouble() < 0.2)
-            toolsL(Math.floorMod(mix(r ^ 0x52L), toolsL.length.toLong).toInt)
-          else null
-        val text =
-          if (nextDouble() < 0.001) "" // empty-text edge case
-          else {
-            val len = 3 + (nextDouble() * nextDouble() * 77).toInt
-            val sb = new StringBuilder
-            var i = 0
-            while (i < len) {
-              val u = nextDouble()
-              // inverse-CDF binary search over the Zipf table
-              var lo = 0; var hi = cdf.length - 1
-              while (lo < hi) {
-                val mid = (lo + hi) >>> 1
-                if (cdf(mid) < u) lo = mid + 1 else hi = mid
-              }
-              if (i > 0) sb.append(if (nextDouble() < 0.05) ", " else " ")
-              sb.append(voc(lo))
-              i += 1
-            }
-            if (nextDouble() < 0.1) sb.append('.')
-            sb.toString
-          }
-        Turn(convId, t, role, text, tool, new Timestamp(baseTs + t * 1000L))
+    val rng = slices match {
+      case Some(n) => spark.range(0L, numConvs, 1L, n)
+      case None => spark.range(numConvs)
+    }
+    val s = seed
+    rng.as[Long].flatMap(conv => turnsFor(conv, s))
+  }
+
+  /** All turns of one conversation — a pure function of (conv, seed), usable
+    * without a SparkSession (analyzer tests sample corpus text through it). */
+  def turnsFor(conv: Long, seed: Long = 42L): Iterator[Turn] = {
+    val voc = vocab
+    val cdf = zipfCdf
+    val convId = f"conv-${conv}%06d"
+    val nTurns = turnsOf(seed, conv)
+    val baseTs = 1700000000000L + conv * 3600000L
+    (0 until nTurns).iterator.map { t =>
+      var r = mix(seed ^ (conv * 1000003L) ^ (t * 7919L))
+      def nextDouble(): Double = {
+        r = mix(r)
+        (r >>> 11) * 1.1102230246251565e-16 // 2^-53
       }
+      val role = roles(Math.floorMod(mix(r ^ 0x51L), roles.length.toLong).toInt)
+      val tool =
+        if (role == "tool" || nextDouble() < 0.2)
+          tools(Math.floorMod(mix(r ^ 0x52L), tools.length.toLong).toInt)
+        else null
+      val text =
+        if (nextDouble() < 0.001) "" // empty-text edge case
+        else {
+          val len = 3 + (nextDouble() * nextDouble() * 77).toInt
+          val sb = new StringBuilder
+          var i = 0
+          while (i < len) {
+            val u = nextDouble()
+            // inverse-CDF binary search over the Zipf table
+            var lo = 0; var hi = cdf.length - 1
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (cdf(mid) < u) lo = mid + 1 else hi = mid
+            }
+            if (i > 0) sb.append(if (nextDouble() < 0.05) ", " else " ")
+            sb.append(voc(lo))
+            i += 1
+          }
+          if (nextDouble() < 0.1) sb.append('.')
+          sb.toString
+        }
+      Turn(convId, t, role, text, tool, new Timestamp(baseTs + t * 1000L))
     }
   }
 }

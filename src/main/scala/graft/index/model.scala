@@ -86,6 +86,18 @@ case class TokenRow(
 /** One sampled sort key of the sketch pass: murmur3 hash + the key. */
 case class SketchKey(h: Int, conv_id: String, turn_idx: Int)
 
+/** Per-split key statistics from the sorted-input detection pass: first/last
+  * (conv_id, turn_idx) key, row count, and whether the split's rows arrived
+  * strictly ascending in UTF8-binary key order. */
+case class SplitStat(
+    pid: Int,
+    n: Long,
+    firstConv: String,
+    firstTurn: Int,
+    lastConv: String,
+    lastTurn: Int,
+    sorted: Boolean)
+
 /** Per-partition result of the fused count+sample sketch pass. */
 case class PartitionSketch(n: Long, keys: Array[SketchKey])
 

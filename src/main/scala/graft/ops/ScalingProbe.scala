@@ -36,6 +36,9 @@ object ScalingProbe {
       // store already pins zstd per-write): snappy's write path burns
       // >2x CPU under 16-way write concurrency on this host
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // level 1 (parquet default: 3) — see Bench.session; ~11% off the
+      // 16c build's total CPU for ~10% larger store files
+      .config("spark.hadoop.parquet.compression.codec.zstd.level", "1")
       // syscall batching for Hadoop local-FS streams (4KB default buffer)
       // and no .crc shadow files; spark.hadoop.* so executors get it too
       .config("spark.hadoop.io.file.buffer.size", (1 << 20).toString)
@@ -73,7 +76,7 @@ object ScalingProbe {
       val keep = Set("fs.defaultFS", "fs.file.impl", "io.file.buffer.size")
       import scala.jdk.CollectionConverters._
       val keys = hc.iterator().asScala.map(_.getKey).toList
-      keys.foreach(k => if (!keep(k)) hc.unset(k))
+      keys.foreach(k => if (!keep(k) && !k.startsWith("parquet.")) hc.unset(k))
       println(s"[probe] slim hadoop conf: ${hc.size()} props (was ${keys.size})")
     }
     (s, slots)

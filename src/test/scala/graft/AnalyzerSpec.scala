@@ -45,6 +45,50 @@ class AnalyzerSpec extends AnyFunSuite {
     for (s <- Seq("Hello World", "don't STOP now", "a b c 42", "x86_64 v2.0"))
       assert(a.analyze(a.analyze(s).mkString(" ")).toSeq == a.analyze(s).toSeq)
   }
+
+  private def assertEnginesAgree(an: Analyzer, s: String): Unit = {
+    val (ft, fp) = an.asciiAnalyzeWithPositions(s)
+    val (it, ip) = an.icuAnalyzeWithPositions(s)
+    assert(ft.toSeq == it.toSeq, s"tokens diverge on <$s>: ascii=${ft.toSeq} icu=${it.toSeq}")
+    assert(fp.toSeq == ip.toSeq, s"positions diverge on <$s>: ascii=${fp.toSeq} icu=${ip.toSeq}")
+  }
+
+  test("ASCII scanner == ICU on curated UAX#29 edge cases") {
+    val cases = Seq(
+      "a", "_", "__", "_a", "a_", "a__b", "3_", "_3_", "x86_64",
+      "a.b", "a.b.c", "a..b", "a.1", "1.a", "3.14", "1,234,567", "1;2",
+      "a:b", "1:2", "a:1", "don't", "don''t", "'quoted'", "can't.stop",
+      "a.b:c'd", "U.S.A", "U.S.A.", "v2.0", "e.g., etc.", "a-b", "a/b",
+      "trailing.", ".leading", ":colon:", "a'", "'a", "1.", ".1", "1.2.3",
+      "CamelCase MIXED lower", "tab\tsep", "nl\nsep", "cr\rsep",
+      "  spaces  ", "", "a", "(parens) [brackets] {braces}",
+      "semi;colon", "1_000_000", "_1.2_", "a_1.b_2", "9,9", "9,a", "a,9")
+    cases.foreach(assertEnginesAgree(a, _))
+    // with stopwords: removal + position accounting must agree too
+    val stop = new Analyzer(Set("the", "AND"))
+    Seq("The quick AND the dead", "the.and", "THE_AND", "the, and; the")
+      .foreach(assertEnginesAgree(stop, _))
+  }
+
+  test("ASCII scanner == ICU on randomized punctuation-heavy strings") {
+    val chars = "abcXYZ019_.,:;'\"-+*/\\ ()\t".toCharArray
+    val rnd = new scala.util.Random(20260818)
+    for (_ <- 1 to 4000) {
+      val len = rnd.nextInt(40)
+      val s = new String(Array.fill(len)(chars(rnd.nextInt(chars.length))))
+      assertEnginesAgree(a, s)
+    }
+  }
+
+  test("ASCII scanner == ICU on every generated-corpus ASCII text") {
+    val texts = (0L until 300L).iterator
+      .flatMap(graft.index.TranscriptGen.turnsFor(_)).map(_.text).toArray
+    var ascii = 0
+    texts.foreach { t =>
+      if (t.forall(_ < 0x80)) { ascii += 1; assertEnginesAgree(a, t) }
+    }
+    assert(ascii > texts.length / 2, "corpus sample unexpectedly non-ASCII")
+  }
 }
 
 class QueryParserSpec extends AnyFunSuite {

@@ -169,6 +169,42 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted-input fast path: zero-shuffle build == shuffle build; unsorted input falls back") {
+    // range-disjoint, internally-sorted files (the Iceberg-clustered layout
+    // the fast path verifies) vs the same rows hash-scattered across files
+    val srcSorted = TestSpark.tmpDir("fp-src-sorted")
+    TranscriptGen.generate(spark, 200, slices = Some(4)).toDF()
+      .write.mode("overwrite").parquet(srcSorted)
+    val srcShuffled = TestSpark.tmpDir("fp-src-shuffled")
+    spark.read.parquet(srcSorted).repartition(4, $"turn_idx")
+      .write.mode("overwrite").parquet(srcShuffled)
+    val dirFast = TestSpark.tmpDir("fp-idx-fast")
+    val dirSlow = TestSpark.tmpDir("fp-idx-slow")
+    val rFast = IndexBuilder.build(spark, spark.read.parquet(srcSorted), dirFast,
+      IndexBuilder.Config(numSegments = 7))
+    val rSlow = IndexBuilder.build(spark, spark.read.parquet(srcShuffled), dirSlow,
+      IndexBuilder.Config(numSegments = 7))
+    // the sorted input took the fast path (one segment per verified split,
+    // not the configured 7); the scattered input fell back to the shuffle
+    assert(rFast.numSegments == 4, s"fast path not taken: ${rFast.numSegments} segments")
+    assert(rSlow.numSegments == 7, s"fallback not taken: ${rSlow.numSegments} segments")
+    assert(rFast.docCount == rSlow.docCount && rFast.sumDl == rSlow.sumDl)
+    // doc_id = global (conv_id, turn_idx) rank either way: full row identity
+    val cols = Seq("doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val a = spark.read.parquet(s"$dirFast/docs").select(cols.map(col): _*)
+    val b = spark.read.parquet(s"$dirSlow/docs").select(cols.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "fast-path and shuffle-path doc rows differ")
+    // and the two indexes answer rank-identically
+    val sFast = new Searcher(spark, dirFast)
+    val sSlow = new Searcher(spark, dirSlow)
+    for (q <- Seq("the", "spark shuffle", "\"test build\" run", "error -timeout")) {
+      val x = sFast.topKHits(q, 10).collect().map(h => (h.doc_id, h.score)).toSeq
+      val y = sSlow.topKHits(q, 10).collect().map(h => (h.doc_id, h.score)).toSeq
+      assert(x == y, s"[$q] fast-path vs shuffle-path top-k differ")
+    }
+  }
+
   test("phraseFreqs equals a brute-force positional count") {
     val anal = graft.analysis.Analyzer.default
     val freqUdf = udf((text: String) => {
