@@ -91,6 +91,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls.forall(_ >= 0.9), s"recall@10 too low: $recalls")
   }
 
+  test("vec_ann_ivf recall@10 >= 0.9 vs exact brute-force top-k") {
+    // same quality bar as the LSH path for the IVF coarse-quantizer route
+    def ids(name: String, dir: String): Seq[Long] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val recalls = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").map { dir =>
+      val exact = ids("vec_ann_topk", dir).toSet
+      val approx = ids("vec_ann_ivf", dir).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    assert(recalls.forall(_ >= 0.9), s"recall@10 too low: $recalls")
+  }
+
   test("jaccard vocabulary fallback (shuffle join, no driver collect) == broadcast path") {
     val fn = SparkEntry.queries("text_dedup_ngram_jaccard")
     val base = fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
