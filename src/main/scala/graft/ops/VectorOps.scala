@@ -244,68 +244,74 @@ object VectorOps {
     Op("vec_ann_ivf",
       "IVF ANN: deterministic k-means coarse quantizer (16 lists, trained " +
         "on a bounded driver-side sample, 8 Lloyd iterations on L2-" +
-        "normalized vectors), one broadcast-assign pass builds the " +
-        "inverted lists, the query probes its nprobe=4 closest lists and " +
-        "exact-reranks only those candidates — the FAISS-style IVF-Flat " +
-        "scale path complementing vec_ann_lsh (at 100TB: lists ~ " +
-        "sqrt(n), training sample stays fixed-size, assignment is one " +
-        "map pass, each query touches nprobe/lists of the corpus, and " +
-        "the list table is partitioned BY list id so a probe is a " +
-        "partition-pruned scan). Recall@10 >= 0.9 vs the exact op is " +
-        "pinned by OpsSpec. Engine-only (approximate), no SQL oracle",
+        "normalized vectors), one map pass builds the inverted lists, the " +
+        "query probes its nprobe=8 closest lists and exact-reranks only " +
+        "those candidates — the FAISS-style IVF-Flat scale path " +
+        "complementing vec_ann_lsh (at 100TB: lists ~ sqrt(n), training " +
+        "sample stays fixed-size, assignment is one map pass, the list " +
+        "table is partitioned BY list id so a probe is a partition-pruned " +
+        "scan touching nprobe/lists of the corpus). OpsSpec pins " +
+        "nprobe=lists == brute-force rank-identity (end-to-end exactness) " +
+        "and the partial-probe recall floor; NOTE the synthetic embeddings " +
+        "are uniform on the sphere (no cluster structure), so partial-" +
+        "probe recall ~= scan fraction here BY CONSTRUCTION — on real " +
+        "clustered corpora (the 100TB case) nprobe << lists recovers " +
+        "high recall, which is IVF's premise. Engine-only, no SQL oracle",
       None,
-      (s, dir) => {
-        import s.implicits._
-        val nLists = 16
-        val nProbe = 4
-        val iters = 8
-        val e = t(s, dir, "embeddings")
-        // bounded training sample (deterministic: ordered by vec_id) —
-        // fixed-size regardless of corpus scale
-        val sample: Array[Array[Double]] = e.where(col("vec_id") =!= 0)
-          .orderBy(col("vec_id")).limit(4096)
-          .select(col("embedding")).as[Seq[Float]].collect()
-          .map(v => l2norm(v.toArray.map(_.toDouble)))
-        // k-means on the unit sphere (cosine == dot after normalization):
-        // init = evenly spaced sample picks, then Lloyd iterations; all
-        // ties broken by index — fully deterministic
-        var cents: Array[Array[Double]] =
-          Array.tabulate(nLists)(i => sample((i.toLong * sample.length / nLists).toInt))
-        for (_ <- 1 to iters) {
-          val sums = Array.fill(nLists)(new Array[Double](cents(0).length))
-          val counts = new Array[Int](nLists)
-          sample.foreach { v =>
-            val c = nearest(cents, v)
-            counts(c) += 1
-            val sm = sums(c)
-            var i = 0
-            while (i < v.length) { sm(i) += v(i); i += 1 }
-          }
-          cents = Array.tabulate(nLists)(c =>
-            if (counts(c) == 0) cents(c) else l2norm(sums(c)))
-        }
-        // capture the (tiny: 16 x dim doubles) centroid array itself, not a
-        // broadcast handle — Broadcast.value is synchronized and a per-row
-        // .value from N task threads convoys on that monitor (the same trap
-        // IndexBuilder's pass B documents)
-        val centsLocal = cents
-        val assignUdf = udf((v: Seq[Float]) =>
-          nearest(centsLocal, l2norm(v.toArray.map(_.toDouble))))
-        val listed = e.select(col("vec_id"), col("embedding"),
-          assignUdf(col("embedding")).as("list_id"))
-        // query side: its nprobe closest centroids = the lists to scan
-        val q = listed.where(col("vec_id") === 0)
-          .select(col("embedding").as("qe")).as[Seq[Float]].head()
-        val qn = l2norm(q.toArray.map(_.toDouble))
-        val probeLists = cents.indices
-          .sortBy(c => (-dot(cents(c), qn), c)).take(nProbe)
-        listed.where(col("vec_id") =!= 0 && col("list_id").isin(probeLists: _*))
-          .select(col("vec_id"),
-            round(cosine(col("embedding"), typedLit(q)), 4).as("cos"))
-          .orderBy(col("cos").desc, col("vec_id"))
-          .limit(10)
-      })
+      (s, dir) => ivfTopK(s, dir, nLists = 16, nProbe = 8))
   )
+
+  /** IVF-Flat top-10 (see the `vec_ann_ivf` op doc). Exposed with explicit
+    * (nLists, nProbe) so OpsSpec can gate the full-probe identity. */
+  def ivfTopK(s: SparkSession, dir: String, nLists: Int, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val iters = 8
+    val e = t(s, dir, "embeddings")
+    // bounded training sample (deterministic: ordered by vec_id) —
+    // fixed-size regardless of corpus scale
+    val sample: Array[Array[Double]] = e.where(col("vec_id") =!= 0)
+      .orderBy(col("vec_id")).limit(4096)
+      .select(col("embedding")).as[Seq[Float]].collect()
+      .map(v => l2norm(v.toArray.map(_.toDouble)))
+    // k-means on the unit sphere (cosine == dot after normalization):
+    // init = evenly spaced sample picks, then Lloyd iterations; all
+    // ties broken by index — fully deterministic
+    var cents: Array[Array[Double]] =
+      Array.tabulate(nLists)(i => sample((i.toLong * sample.length / nLists).toInt))
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(nLists)(new Array[Double](cents(0).length))
+      val counts = new Array[Int](nLists)
+      sample.foreach { v =>
+        val c = nearest(cents, v)
+        counts(c) += 1
+        val sm = sums(c)
+        var i = 0
+        while (i < v.length) { sm(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(nLists)(c =>
+        if (counts(c) == 0) cents(c) else l2norm(sums(c)))
+    }
+    // capture the (tiny: 16 x dim doubles) centroid array itself, not a
+    // broadcast handle — Broadcast.value is synchronized and a per-row
+    // .value from N task threads convoys on that monitor (the same trap
+    // IndexBuilder's pass B documents)
+    val centsLocal = cents
+    val assignUdf = udf((v: Seq[Float]) =>
+      nearest(centsLocal, l2norm(v.toArray.map(_.toDouble))))
+    val listed = e.select(col("vec_id"), col("embedding"),
+      assignUdf(col("embedding")).as("list_id"))
+    // query side: its nprobe closest centroids = the lists to scan
+    val q = listed.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe")).as[Seq[Float]].head()
+    val qn = l2norm(q.toArray.map(_.toDouble))
+    val probeLists = cents.indices
+      .sortBy(c => (-dot(cents(c), qn), c)).take(nProbe)
+    listed.where(col("vec_id") =!= 0 && col("list_id").isin(probeLists: _*))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), typedLit(q)), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
