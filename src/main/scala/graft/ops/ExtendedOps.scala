@@ -382,6 +382,60 @@ object ExtendedOps {
           greatest(col("o_orderkey") % 7, col("o_custkey") % 7).as("greatest_v"),
           least(col("o_orderkey") % 7, col("o_custkey") % 7).as("least_v"))
         .orderBy(col("o_orderkey"))
+        .limit(100)),
+
+    Op("eval_array_datemath_surface",
+      "second tier of the streaming-expression evaluators: array evaluators " +
+        "(ArrayEvaluator, ArraySortEvaluator, ReverseEvaluator, " +
+        "AppendEvaluator via concat — solrj-streaming .../io/eval/" +
+        "ArrayEvaluator.java, ArraySortEvaluator.java, ReverseEvaluator" +
+        ".java), date-math (TemporalEvaluatorWeek, datemath +5DAYS / " +
+        "/MONTH truncation of DateMathParser.java, TemporalEvaluatorEpoch) " +
+        "and the trig tier (SineEvaluator, CosineEvaluator, ArcTangent" +
+        "Evaluator, ExponentialEvaluator, CubedRootEvaluator) — each " +
+        "mapped to the Spark built-in; arrays are emitted joined-as-string " +
+        "(identical on the DuckDB side) so the driver hash sees scalars, " +
+        "doubles rounded 6dp",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  array_to_string(list_sort([l_partkey % 10, l_suppkey % 10, CAST(l_linenumber AS BIGINT)]), ',') AS arr_sort_v,
+             |  array_to_string(list_reverse([l_partkey % 10, l_suppkey % 10]), ',') AS arr_rev_v,
+             |  array_to_string([l_partkey % 10, l_suppkey % 10] || [CAST(99 AS BIGINT)], ',') AS arr_append_v,
+             |  CAST(list_contains([l_partkey % 10, l_suppkey % 10], 3) AS INT) AS arr_has_v,
+             |  CAST(CAST(l_shipdate + INTERVAL 5 DAY AS DATE) AS VARCHAR) AS datemath_v,
+             |  CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR) AS trunc_v,
+             |  isodow(l_shipdate) AS dow_v,
+             |  weekofyear(l_shipdate) AS week_v,
+             |  date_diff('day', DATE '2024-01-01', CAST(l_shipdate AS DATE)) AS diff_v,
+             |  CAST(epoch(l_shipdate) AS BIGINT) AS epoch_v,
+             |  round(sin(l_partkey % 360), 6) AS sin_v,
+             |  round(cos(l_suppkey % 360), 6) AS cos_v,
+             |  round(atan2(l_partkey % 7, l_suppkey % 7 + 1), 6) AS atan2_v,
+             |  round(exp((l_partkey % 5) / 2.0), 6) AS exp_v,
+             |  round(cbrt(l_extendedprice), 6) AS cbrt_v
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array_join(array_sort(array(col("l_partkey") % 10, col("l_suppkey") % 10,
+            col("l_linenumber").cast("long"))), ",").as("arr_sort_v"),
+          array_join(reverse(array(col("l_partkey") % 10, col("l_suppkey") % 10)), ",").as("arr_rev_v"),
+          array_join(concat(array(col("l_partkey") % 10, col("l_suppkey") % 10),
+            array(lit(99L))), ",").as("arr_append_v"),
+          array_contains(array(col("l_partkey") % 10, col("l_suppkey") % 10), 3)
+            .cast("int").as("arr_has_v"),
+          date_add(col("l_shipdate").cast("date"), 5).cast("string").as("datemath_v"),
+          trunc(col("l_shipdate").cast("date"), "month").cast("string").as("trunc_v"),
+          (weekday(col("l_shipdate")) + 1).cast("long").as("dow_v"),
+          weekofyear(col("l_shipdate")).cast("long").as("week_v"),
+          datediff(col("l_shipdate").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("diff_v"),
+          unix_timestamp(col("l_shipdate")).as("epoch_v"),
+          round(sin(col("l_partkey") % 360), 6).as("sin_v"),
+          round(cos(col("l_suppkey") % 360), 6).as("cos_v"),
+          round(atan2((col("l_partkey") % 7).cast("double"),
+            (col("l_suppkey") % 7 + 1).cast("double")), 6).as("atan2_v"),
+          round(exp((col("l_partkey") % 5) / 2.0), 6).as("exp_v"),
+          round(cbrt(col("l_extendedprice")), 6).as("cbrt_v"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(100))
   )
 }

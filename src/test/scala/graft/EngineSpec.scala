@@ -205,6 +205,36 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted-input fast path: shuffle volume scales with vocabulary, not corpus (no corpus exchange)") {
+    // the only exchange left in a fast-path build is the global term-stats
+    // aggregation — vocabulary-sized. Build a 4x-rows corpus over the SAME
+    // fixed vocabulary and assert shuffle bytes stay ~flat (a corpus
+    // shuffle would grow 4x).
+    def shuffledBytes(convs: Long, tag: String): Long = {
+      val src = TestSpark.tmpDir(s"fp-sh-src-$tag")
+      TranscriptGen.generate(spark, convs, slices = Some(4)).toDF()
+        .write.mode("overwrite").parquet(src)
+      val counter = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            counter.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val r = IndexBuilder.build(spark, spark.read.parquet(src),
+          TestSpark.tmpDir(s"fp-sh-idx-$tag"), IndexBuilder.Config(numSegments = 5))
+        assert(r.numSegments == 4, "fast path not taken") // one per verified split
+        Thread.sleep(1500) // listener delivery is async
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val small = shuffledBytes(300, "small")
+    val large = shuffledBytes(1200, "large") // ~4x the turns, same vocabulary
+    assert(large < small * 3 / 2,
+      s"shuffle grew with the corpus (small=$small, large=$large): the build is exchanging rows")
+  }
+
   test("phraseFreqs equals a brute-force positional count") {
     val anal = graft.analysis.Analyzer.default
     val freqUdf = udf((text: String) => {
