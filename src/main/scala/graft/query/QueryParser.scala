@@ -16,12 +16,15 @@ import graft.analysis.Analyzer
   *
   * Term lists preserve query order — scoring accumulates in this order.
   *
-  * Documented divergence: a term that appears in several clauses is scored
-  * ONCE (occur classes resolve must-wins; see Searcher.prepare), and its
-  * boost is the last clause's (`boosts` is keyed by term). Lucene keeps
-  * per-clause boosts and sums the duplicate clauses — queries like
-  * `data data^2` score 1+2 = 3x there, 2x here. The in-repo oracle
-  * mirrors the once-per-term model, so engine == oracle by construction.
+  * Duplicate clauses: a term that appears in several positive clauses is
+  * scored ONCE (occur classes resolve must-wins; see Searcher.prepare) at
+  * the SUM of its clause boosts. Because the BM25 score of each duplicate
+  * clause is identical and linear in boost, sum-of-boosts × one score ==
+  * Lucene's sum over the duplicate clauses exactly: `data data^2` scores
+  * 3x here and (1+2)x in Lucene. The in-repo oracle reads the same
+  * `boostOf`, so engine == oracle by construction. Residual divergence:
+  * a term duplicated between a bare clause and a grouped disjunction
+  * accumulates into the shared weight too (Lucene nests the group's).
   */
 
 /** A phrase clause `"a b"~slop`: slop 0 = exact (terms at consecutive
@@ -271,10 +274,12 @@ object QueryParser {
         if (c.phrase && terms.length > 1) {
           phrases += Phrase(terms, occInt(c.occur), c.slop)
         } else {
-          if (c.boost != 1f) terms.foreach(t => boosts(t) = c.boost)
           c.occur match {
-            case Should  => terms.foreach(should += _)
-            case Must    => terms.foreach(must += _)
+            // positive clauses accumulate per-clause boost into one per-term
+            // weight (sum ≡ Lucene's duplicate-clause scoring; header doc);
+            // MUST_NOT clauses never score, their boost is inert like Lucene
+            case Should  => terms.foreach { t => should += t; boosts(t) = boosts.getOrElse(t, 0f) + c.boost }
+            case Must    => terms.foreach { t => must += t; boosts(t) = boosts.getOrElse(t, 0f) + c.boost }
             case MustNot => terms.foreach(mustNot += _)
           }
         }
@@ -282,7 +287,8 @@ object QueryParser {
     }
     ParsedQuery(should.result().distinct, must.result().distinct,
       mustNot.result().distinct, filters.result(), phrases.result(),
-      groups.result(), boosts.toMap, multiTerms.result(), rangeFilters.result())
+      groups.result(), boosts.filter(_._2 != 1f).toMap,
+      multiTerms.result(), rangeFilters.result())
   }
 
   /** Tokenize: whitespace-split with three cohesive spans — double-quoted

@@ -193,9 +193,16 @@ final class Searcher(
             .filter(t => Searcher.editDistanceAtMost(t, body, maxE))
             .collect().sorted.take(Searcher.MaxExpansions)
       }).toVector
+      // an expanded term colliding with an already-scored clause accumulates
+      // its boost (duplicate clauses sum — QueryParser header doc); a term
+      // scored but absent from the map carries implicit weight 1
+      val scoredAlready = (p.must ++ p.should ++ p.groups.flatMap(_.terms)).toSet
       val withBoost =
-        if (mt.boost != 1f) p.boosts ++ expanded.map(_ -> mt.boost)
-        else p.boosts
+        if (mt.occur == 2) p.boosts // MUST_NOT expansion never scores
+        else expanded.foldLeft(p.boosts) { (b, t) =>
+          val w = b.getOrElse(t, if (scoredAlready(t)) 1f else 0f) + mt.boost
+          if (w == 1f) b - t else b.updated(t, w)
+        }
       p = mt.occur match {
         case 0 => p.copy(groups = p.groups :+ Group(expanded), boosts = withBoost)
         case 1 => p.copy(should = (p.should ++ expanded).distinct, boosts = withBoost)

@@ -146,6 +146,19 @@ class QueryParserSpec extends AnyFunSuite {
     assert(f.multiTerms == Vector(graft.query.MultiTerm(1, "term", 1, 0, 2f)))
   }
 
+  test("duplicate clauses accumulate boost like Lucene's per-clause sum") {
+    // `data data^2` = two clauses scoring 1x + 2x in Lucene = 3x once here
+    val d = QueryParser.parse("data data^2")
+    assert(d.should == Vector("data") && d.boostOf("data") == 3f)
+    // `+foo foo` = MUST(1x) + SHOULD(1x); must-wins occur, weight 2
+    val m = QueryParser.parse("+foo foo")
+    assert(m.must == Vector("foo") && m.should == Vector("foo") && m.boostOf("foo") == 2f)
+    // a single boosted clause stays its own weight
+    assert(QueryParser.parse("data^2 query").boostOf("query") == 1f)
+    // MUST_NOT boost is inert (never scored)
+    assert(QueryParser.parse("a -b^5").boosts.isEmpty)
+  }
+
   test("stopword-only query is empty after analysis") {
     val stop = new Analyzer(Set("the", "a"))
     val p = QueryParser.parse("the a THE", stop)

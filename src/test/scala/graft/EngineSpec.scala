@@ -57,6 +57,8 @@ class EngineSpec extends AnyFunSuite {
     "errer~1 data",            // fuzzy -> error
     "role:[system TO user] data", // lexicographic range filter
     "+data data",              // occur collision: MUST wins over SHOULD dup
+    "data data^2 query",       // duplicate clauses: boosts sum (1+2 = 3x)
+    "dat* data",               // wildcard expansion colliding with a scored term
     "data -data",              // occur collision: exclusion wins (empty)
     "+data -data query",       // occur collision: unsatisfiable MUST/NOT
     "\"error retry\"~2 timeout", // sloppy phrase, SHOULD
