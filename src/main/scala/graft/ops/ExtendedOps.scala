@@ -436,6 +436,80 @@ object ExtendedOps {
           round(exp((col("l_partkey") % 5) / 2.0), 6).as("exp_v"),
           round(cbrt(col("l_extendedprice")), 6).as("cbrt_v"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    Op("eval_stats_vector_surface",
+      "third tier of the streaming-expression evaluators: Solr's math-" +
+        "expression statistics and vector functions (solrj-streaming " +
+        ".../io/eval/ — MeanEvaluator, VarianceEvaluator, StandardDeviation" +
+        "Evaluator, MinEvaluator, MaxEvaluator, DotProductEvaluator, " +
+        "EuclideanDistanceEvaluator, ManhattanDistanceEvaluator, " +
+        "CosineSimilarityEvaluator, UniqueEvaluator, SequenceEvaluator, " +
+        "ArraySliceEvaluator) over per-row arrays, expressed with Spark's " +
+        "built-in higher-order functions (aggregate/zip_with/transform/" +
+        "filter/exists) — no UDFs and no object serialization; the HOF " +
+        "expressions are CodegenFallback but the op stays one narrow " +
+        "shuffle-free stage over a 4-column pruned scan (asserted in " +
+        "OpsSpec). Parity: integer outputs exact; double " +
+        "outputs share the identical left-to-right IEEE expression shape " +
+        "with the oracle (small-int inputs, so every product/sum is exact) " +
+        "and are rounded 6dp only at the end",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(mean_raw, 6) AS mean_v,
+             |  round(((dx1 - mean_raw) * (dx1 - mean_raw) + (dx2 - mean_raw) * (dx2 - mean_raw) + (dx3 - mean_raw) * (dx3 - mean_raw)) / 3.0, 6) AS var_v,
+             |  round(sqrt(((dx1 - mean_raw) * (dx1 - mean_raw) + (dx2 - mean_raw) * (dx2 - mean_raw) + (dx3 - mean_raw) * (dx3 - mean_raw)) / 3.0), 6) AS std_v,
+             |  least(x1, x2, x3) AS amin_v,
+             |  greatest(x1, x2, x3) AS amax_v,
+             |  x1 * y1 + x2 * y2 + x3 * y3 AS dot_v,
+             |  round(sqrt((dx1 - dy1) * (dx1 - dy1) + (dx2 - dy2) * (dx2 - dy2) + (dx3 - dy3) * (dx3 - dy3)), 6) AS eucl_v,
+             |  abs(x1 - y1) + abs(x2 - y2) + abs(x3 - y3) AS manh_v,
+             |  round((dx1 * dy1 + dx2 * dy2 + dx3 * dy3) /
+             |    (sqrt(dx1 * dx1 + dx2 * dx2 + dx3 * dx3) * sqrt(dy1 * dy1 + dy2 * dy2 + dy3 * dy3)), 6) AS cos_v,
+             |  len(list_distinct([x1, x2, x3])) AS uniq_v,
+             |  CAST(x1 > 5 OR x2 > 5 OR x3 > 5 AS INT) AS exists_v,
+             |  CAST(CAST(x1 % 2 = 0 AS INT) + CAST(x2 % 2 = 0 AS INT) + CAST(x3 % 2 = 0 AS INT) AS BIGINT) AS evens_v,
+             |  array_to_string(generate_series(1, l_linenumber), ',') AS seq_v,
+             |  array_to_string(list_sort([x1, x2, x3])[1:2], ',') AS slice_v
+             |FROM (
+             |  SELECT *, (dx1 + dx2 + dx3) / 3.0 AS mean_raw FROM (
+             |    SELECT l_orderkey, l_linenumber,
+             |      l_partkey % 9 + 1 AS x1, l_suppkey % 9 + 1 AS x2, CAST(l_linenumber AS BIGINT) AS x3,
+             |      l_suppkey % 9 + 1 AS y1, l_partkey % 7 + 1 AS y2, CAST(2 AS BIGINT) AS y3,
+             |      CAST(l_partkey % 9 + 1 AS DOUBLE) AS dx1, CAST(l_suppkey % 9 + 1 AS DOUBLE) AS dx2, CAST(l_linenumber AS DOUBLE) AS dx3,
+             |      CAST(l_suppkey % 9 + 1 AS DOUBLE) AS dy1, CAST(l_partkey % 7 + 1 AS DOUBLE) AS dy2, CAST(2 AS DOUBLE) AS dy3
+             |    FROM lineitem))
+             |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+      (s, dir) => t(s, dir, "lineitem")
+        // per-row "vectors": small positive ints, so all double products and
+        // sums below are exactly representable — association-order-proof
+        .withColumn("ai", expr("array(l_partkey % 9 + 1, l_suppkey % 9 + 1, cast(l_linenumber as bigint))"))
+        .withColumn("bi", expr("array(l_suppkey % 9 + 1, l_partkey % 7 + 1, cast(2 as bigint))"))
+        .withColumn("ad", expr("transform(ai, v -> cast(v as double))"))
+        .withColumn("bd", expr("transform(bi, v -> cast(v as double))"))
+        .withColumn("mean_raw", expr("aggregate(ad, 0D, (acc, v) -> acc + v) / 3.0"))
+        .withColumn("var_raw", expr(
+          "aggregate(transform(ad, v -> (v - mean_raw) * (v - mean_raw)), 0D, (acc, v) -> acc + v) / 3.0"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("mean_raw"), 6).as("mean_v"),
+          round(col("var_raw"), 6).as("var_v"),
+          round(sqrt(col("var_raw")), 6).as("std_v"),
+          expr("array_min(ai)").as("amin_v"),
+          expr("array_max(ai)").as("amax_v"),
+          expr("aggregate(zip_with(ai, bi, (p, q) -> p * q), 0L, (acc, v) -> acc + v)").as("dot_v"),
+          round(sqrt(expr(
+            "aggregate(zip_with(ad, bd, (p, q) -> (p - q) * (p - q)), 0D, (acc, v) -> acc + v)")), 6)
+            .as("eucl_v"),
+          expr("aggregate(zip_with(ai, bi, (p, q) -> abs(p - q)), 0L, (acc, v) -> acc + v)").as("manh_v"),
+          round(expr("aggregate(zip_with(ad, bd, (p, q) -> p * q), 0D, (acc, v) -> acc + v)") /
+            (sqrt(expr("aggregate(transform(ad, v -> v * v), 0D, (acc, v) -> acc + v)")) *
+             sqrt(expr("aggregate(transform(bd, v -> v * v), 0D, (acc, v) -> acc + v)"))), 6)
+            .as("cos_v"),
+          size(array_distinct(col("ai"))).cast("long").as("uniq_v"),
+          expr("exists(ai, v -> v > 5)").cast("int").as("exists_v"),
+          size(expr("filter(ai, v -> v % 2 = 0)")).cast("long").as("evens_v"),
+          expr("array_join(sequence(1L, cast(l_linenumber as bigint)), ',')").as("seq_v"),
+          array_join(slice(sort_array(col("ai")), 1, 2), ",").as("slice_v"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(100))
   )
 }

@@ -120,6 +120,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls.forall(_ >= 0.5), s"recall@10 under the pinned floor: $recalls")
   }
 
+  test("post-filter cost ordering: cheap predicate reaches the scan, expensive UDF stays residual") {
+    // Solr's PostFilter contract (cost >= 100 filters run AFTER the cheap
+    // DocSet intersection — search/ExtendedQueryBase.java): the Catalyst
+    // rendering is that comparable predicates are pushed into the parquet
+    // scan while an opaque UDF predicate is evaluated only on surviving
+    // rows. Assert both halves of that ordering on the physical plan.
+    import org.apache.spark.sql.functions.{col, udf}
+    val expensive = udf((t: String) => t.hashCode % 7 == 0)
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 500 && expensive(col("text")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(doc_id,500)"),
+      s"cheap predicate must be pushed into the scan:\n$plan")
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    val pushed = scanLine.substring(scanLine.indexOf("PushedFilters:"))
+      .takeWhile(_ != ']')
+    assert(!pushed.contains("UDF"), s"opaque UDF must not claim pushdown: $pushed")
+    assert(plan.linesIterator.exists(l => l.contains("Filter") && l.contains("UDF")),
+      s"expensive UDF must run as a residual post-filter:\n$plan")
+  }
+
+  test("eval_stats_vector_surface: one narrow shuffle-free stage over a pruned 4-column scan") {
+    val df = SparkEntry.queries("eval_stats_vector_surface")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"HOF evaluator op must not shuffle:\n$plan")
+    assert(!plan.contains("UDF") && !plan.contains("DeserializeToObject"),
+      "op must use built-in expressions only")
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    for (c <- Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+      assert(scanLine.contains(c), s"pruned scan must read $c")
+    assert(!scanLine.contains("l_extendedprice") && !scanLine.contains("l_shipdate"),
+      s"scan must prune unused columns:\n$scanLine")
+  }
+
   test("jaccard vocabulary fallback (shuffle join, no driver collect) == broadcast path") {
     val fn = SparkEntry.queries("text_dedup_ngram_jaccard")
     val base = fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
