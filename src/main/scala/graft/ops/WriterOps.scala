@@ -140,6 +140,78 @@ object WriterOps {
           .orderBy(col("level"), col("parent").asc_nulls_first, col("cnt").desc, col("value"))
       }),
 
+    Op("facet_terms_options",
+      "terms-facet response options missing/allBuckets/numBuckets: the " +
+        "limit-3 bucket list plus the three meta buckets — __missing__ " +
+        "(docs with no value; synthesized here by nullif-ing one priority, " +
+        "the testdata has no natural nulls), __allBuckets__ (count across " +
+        "ALL buckets regardless of limit), __numBuckets__ (distinct bucket " +
+        "count) — the JSON Facet API options of search/facet/FacetField" +
+        ".java (missing/allBuckets/numBuckets flags) and FacetFieldProcessor" +
+        ".java. Rendered as reserved-name rows so the meta buckets ride the " +
+        "same (bucket, cnt) schema; 4 partial-agg scans, no extra shuffle " +
+        "beyond the terms agg itself",
+      Some("""WITH v AS (SELECT nullif(o_orderpriority, '1-URGENT') AS b FROM orders),
+             |top3 AS (SELECT b AS bucket, count(*) AS cnt FROM v WHERE b IS NOT NULL
+             |         GROUP BY b ORDER BY cnt DESC, b LIMIT 3)
+             |SELECT bucket, cnt FROM top3
+             |UNION ALL SELECT '__missing__', count(*) FROM v WHERE b IS NULL
+             |UNION ALL SELECT '__allBuckets__', count(*) FROM v WHERE b IS NOT NULL
+             |UNION ALL SELECT '__numBuckets__', count(DISTINCT b) FROM v
+             |ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val v = t(s, dir, "orders")
+          .select(expr("nullif(o_orderpriority, '1-URGENT')").as("b"))
+        val top3 = v.where(col("b").isNotNull)
+          .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("b")).limit(3)
+          .select(col("b").as("bucket"), col("cnt"))
+        val missing = v.where(col("b").isNull)
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("__missing__").as("bucket"), col("cnt"))
+        val all = v.where(col("b").isNotNull)
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("__allBuckets__").as("bucket"), col("cnt"))
+        val num = v.agg(countDistinct(col("b")).as("cnt"))
+          .select(lit("__numBuckets__").as("bucket"), col("cnt"))
+        top3.unionByName(missing).unionByName(all).unionByName(num)
+          .orderBy(col("bucket"))
+      }),
+
+    Op("facet_range_other",
+      "range facet with other=all: gap buckets over [50000, 250000) by " +
+        "50000 plus the __before__/__after__/__between__ meta counts — " +
+        "facet.range.other semantics (FacetParams.FacetRangeOther, " +
+        "search/facet/FacetRange.java other/hardend handling, " +
+        "RangeFacetProcessor.java). Bucket key = range start; meta buckets " +
+        "as reserved-name rows on the same (bucket, cnt) schema; counts " +
+        "are integer-exact so the bucket arithmetic (floor over doubles, " +
+        "same expression shape both sides) never reaches the hash",
+      Some("""WITH p AS (SELECT o_totalprice AS v FROM orders)
+             |SELECT bucket, cnt FROM (
+             |  SELECT CAST(CAST(50000 + 50000 * floor((v - 50000) / 50000) AS BIGINT) AS VARCHAR) AS bucket, count(*) AS cnt
+             |  FROM p WHERE v >= 50000 AND v < 250000 GROUP BY 1
+             |  UNION ALL SELECT '__before__', count(*) FROM p WHERE v < 50000
+             |  UNION ALL SELECT '__after__', count(*) FROM p WHERE v >= 250000
+             |  UNION ALL SELECT '__between__', count(*) FROM p WHERE v >= 50000 AND v < 250000)
+             |ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val p = t(s, dir, "orders").select(col("o_totalprice").as("v"))
+        val inRange = p.where(col("v") >= 50000 && col("v") < 250000)
+        val buckets = inRange
+          .groupBy((lit(50000) + lit(50000) * floor((col("v") - 50000) / 50000))
+            .cast("long").cast("string").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val before = p.where(col("v") < 50000).agg(count(lit(1)).as("cnt"))
+          .select(lit("__before__").as("bucket"), col("cnt"))
+        val after = p.where(col("v") >= 250000).agg(count(lit(1)).as("cnt"))
+          .select(lit("__after__").as("bucket"), col("cnt"))
+        val between = inRange.agg(count(lit(1)).as("cnt"))
+          .select(lit("__between__").as("bucket"), col("cnt"))
+        buckets.unionByName(before).unionByName(after).unionByName(between)
+          .orderBy(col("bucket"))
+      }),
+
     Op("group_collect",
       "ReducerStream + GroupOperation: rows sorted by a group key reduced " +
         "into one tuple per group carrying the ordered member payload " +
