@@ -220,6 +220,28 @@ object FtsOps {
         .orderBy(col("df").desc, col("term"))
         .limit(25)),
 
+    Op("terms_enum_indexed",
+      "TermsComponent enumeration served from the INDEX (vs terms_enum's " +
+        "corpus recount): terms.prefix + terms.mincount + terms.limit under " +
+        "terms.sort=count — handler/component/TermsComponent.java reads the " +
+        "terms dictionary, never the corpus, and so does this: a " +
+        "prefix-predicate point-range read of the global terms table " +
+        "(vocabulary-sized, not corpus-sized — the shape that survives " +
+        "10^12 docs); SQL-oracled via the whitespace tokenization of the " +
+        "documents corpus, count-desc then index (term-asc) order like Solr",
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents WHERE length(text) > 0)
+             |SELECT w AS term, count(DISTINCT doc_id) AS df
+             |FROM toks WHERE w LIKE 'd%' GROUP BY w
+             |HAVING count(DISTINCT doc_id) >= 2
+             |ORDER BY df DESC, term LIMIT 20""".stripMargin),
+      (s, dir) => s.read.parquet(s"${index(s, dir, "documents")}/terms")
+        .where(col("term").startsWith("d") && !col("term").contains(":") &&
+          col("df") >= 2)
+        .select(col("term"), col("df"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(20)),
+
     Op("fts_index_doclen",
       "index-build artifact check: per-doc quantized lengths from the norms " +
         "sidecar match SmallFloat(byte4) quantization of the token count " +
