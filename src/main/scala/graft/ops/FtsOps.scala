@@ -93,7 +93,8 @@ object FtsOps {
   /** Double-precision BM25 top-20 over the documents index for a concrete
     * term list (qpos = caller's term order): the driver-checkable scoring
     * surface shared by fts_bm25_oracle / fts_wildcard / fts_fuzzy. */
-  private def bm25DoubleTopK(s: SparkSession, idx: String, qterms: Seq[String]): DataFrame = {
+  private def bm25DoubleTopK(s: SparkSession, idx: String, qterms: Seq[String],
+      k: Int = 20): DataFrame = {
     import s.implicits._
     val qpos = qterms.zipWithIndex.toMap
     val c = s.read.parquet(s"$idx/corpus").as[graft.index.CorpusStats].head()
@@ -111,7 +112,7 @@ object FtsOps {
       .agg(orderedSumUdf(collect_list(struct($"qp", $"p"))).as("sc"))
       .select($"doc_id", round($"sc", 6).as("score"))
       .orderBy(col("score").desc, $"doc_id")
-      .limit(20)
+      .limit(k)
   }
 
   /** Map a term column to its query position via a when-chain. */
@@ -740,6 +741,70 @@ object FtsOps {
           .select(col("doc_id"), col("freq"))
           .orderBy(col("freq").desc, col("doc_id"))
           .limit(50)
+      }),
+
+    Op("ltr_rerank",
+      "learning-to-rank rescoring: BM25 first pass (rerank window 100, the " +
+        "reRankDocs semantics), per-doc feature vector [originalScore, " +
+        "quantized field length, exact-phrase flag, freshness], LinearModel " +
+        "dot product, top-20 — modules/ltr/src/java/org/apache/solr/ltr/" +
+        "LTRScoringQuery.java (rescorer over the first-pass window), " +
+        "model/LinearModel.java:score (explicit weight dot product), " +
+        "feature/OriginalScoreFeature.java, FieldLengthFeature.java (which " +
+        "reads the NORM — i.e. the quantized length — as the feature " +
+        "value, mirrored here through the byte4 LUT). Feature extraction " +
+        "is one broadcast-join against the stored fields of the window " +
+        "docs; all model math is double with a fixed expression shape, so " +
+        "DuckDB reproduces the rescored ranking bit-for-bit",
+      Some(s"""WITH lut AS ($byte4LookupSql),
+              |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1)) t(w, qp)),
+              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |  FROM documents WHERE length(text) > 0),
+              |stats AS (SELECT count(DISTINCT doc_id) AS n,
+              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
+              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+              |partials AS (SELECT tf.doc_id, qpos.qp,
+              |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
+              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
+              |base AS (SELECT doc_id,
+              |    round(list_reduce(list(p ORDER BY qp), (a, v) -> a + v), 6) AS score
+              |  FROM partials GROUP BY doc_id
+              |  ORDER BY score DESC, doc_id LIMIT 100),
+              |feats AS (SELECT d.doc_id,
+              |    CAST((SELECT max(v) FROM lut WHERE v <= len(string_split(d.text, ' '))) AS DOUBLE) AS dlq,
+              |    CASE WHEN strpos(d.text, 'data query') > 0 THEN 1.0 ELSE 0.0 END AS ph,
+              |    CAST(d.doc_id AS DOUBLE) / 10000 AS fresh
+              |  FROM documents d)
+              |SELECT b.doc_id, b.score AS base_score,
+              |  round(1.5 * b.score + 0.8 * f.ph + 0.2 * f.fresh - 0.004 * f.dlq, 6) AS ltr_score
+              |FROM base b JOIN feats f ON b.doc_id = f.doc_id
+              |ORDER BY ltr_score DESC, b.doc_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val idx = index(s, dir, "documents")
+        val base = bm25DoubleTopK(s, idx, Seq("data", "query"), k = 100)
+        val quantUdf = udf((n: Int) =>
+          graft.codec.SmallFloat.byte4ToInt(graft.codec.SmallFloat.intToByte4(n)))
+        val feats = t(s, dir, "documents")
+          .select(col("doc_id"),
+            quantUdf(size(split(col("text"), " "))).cast("double").as("dlq"),
+            when(col("text").contains("data query"), 1.0).otherwise(0.0).as("ph"),
+            (col("doc_id").cast("double") / 10000).as("fresh"))
+        // window is 100 rows -> broadcast it; the corpus-side feature scan
+        // streams (at cluster scale: feature extraction never shuffles)
+        broadcast(base).join(feats, "doc_id")
+          .withColumn("ltr_score",
+            round(lit(1.5) * col("score") + lit(0.8) * col("ph")
+              + lit(0.2) * col("fresh") - lit(0.004) * col("dlq"), 6))
+          .select(col("doc_id"), col("score").as("base_score"), col("ltr_score"))
+          .orderBy(col("ltr_score").desc, col("doc_id"))
+          .limit(20)
       }),
 
     Op("fts_doc_count",

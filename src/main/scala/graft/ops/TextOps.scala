@@ -459,6 +459,78 @@ object TextOps {
           .orderBy(col("i"), col("j"))
       }),
 
+    Op("text_dedup_groups",
+      "near-duplicate GROUPS: connected components over the exact " +
+        "jaccard>=0.6 pair graph — the stage a dedup pipeline needs after " +
+        "pair listing (pairs alone don't say which docs to drop; Solr's " +
+        "dedup-by-signature collapses exact groups the same way: " +
+        "update/processor/SignatureUpdateProcessorFactory.java). " +
+        "Iterative min-label propagation: each round is ONE distributed " +
+        "join + min-aggregate over the (node,label) table — labels only " +
+        "decrease, so sum(label) is a monotone convergence witness needing " +
+        "no extra pass. Near-dup clusters are quasi-cliques (diameter 2-3), " +
+        "so 2-3 rounds suffice; at 10^12 docs the same loop holds (each " +
+        "round is edge-linear), with the large-star/small-star alternation " +
+        "of Kiveris et al. 2014 ('Connected Components in MapReduce and " +
+        "Beyond') as the O(log^2) worst-case variant if adversarial chains " +
+        "appear. Output: one row per multi-doc group (min-id label, size, " +
+        "ordered member list); oracle = DuckDB recursive CTE over the same " +
+        "pair SQL",
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             |  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (SELECT i, j FROM inter JOIN sz sa ON i = sa.doc_id JOIN sz sb ON j = sb.doc_id
+             |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6),
+             |edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
+             |reach(node, lab) AS (
+             |  SELECT i, i FROM edges
+             |  UNION
+             |  SELECT e.i, r.lab FROM edges e JOIN reach r ON e.j = r.node),
+             |labels AS (SELECT node, min(lab) AS grp FROM reach GROUP BY node)
+             |SELECT grp, count(*) AS size,
+             |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+             |FROM labels GROUP BY grp ORDER BY grp""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val pairs = jaccardPairs(s, dir, 0.6).select(col("i"), col("j"))
+        val sym = pairs
+          .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
+          .persist()
+        var labels = sym.select(col("i").as("node")).distinct()
+          .withColumn("lab", col("node")).persist()
+        // labels only decrease => sum(lab) strictly decreases until the
+        // fixpoint; the 64-round cap is unreachable (log2 diameter bound)
+        var lastSum = labels.agg(sum(col("lab"))).as[Long].head()
+        var rounds = 0
+        var converged = false
+        while (!converged && rounds < 64) {
+          rounds += 1
+          val prop = sym.join(labels, sym("i") === labels("node"))
+            .select(sym("j").as("node"), col("lab"))
+          // materialize each round (persist + the witness aggregate) so the
+          // loop's lineage stays flat; at cluster scale checkpoint() every
+          // few rounds instead
+          val next = labels.unionByName(prop)
+            .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+            .persist()
+          val s2 = next.agg(sum(col("lab"))).as[Long].head()
+          labels.unpersist()
+          labels = next
+          if (s2 == lastSum) converged = true else lastSum = s2
+        }
+        val out = labels.groupBy(col("lab").as("grp"))
+          .agg(count(lit(1)).as("size"),
+            array_join(
+              transform(sort_array(collect_list(col("node"))), _.cast("string")),
+              ",").as("members"))
+          .orderBy(col("grp"))
+        sym.unpersist()
+        out
+      }),
+
     Op("text_fingerprint",
       "document fingerprint: md5 of the sorted distinct token set " +
         "(update/processor/TextProfileSignature.java — order-insensitive " +

