@@ -510,6 +510,84 @@ object ExtendedOps {
           expr("array_join(sequence(1L, cast(l_linenumber as bigint)), ',')").as("seq_v"),
           array_join(slice(sort_array(col("ai")), 1, 2), ",").as("slice_v"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
-        .limit(100))
+        .limit(100)),
+
+    Op("sql_handler",
+      "the /sql entry point (SURVEY §3.3): Solr's SQL module parses ANSI " +
+        "SQL with Calcite, pushes Filter/Project/Sort/Aggregate into the " +
+        "engine, and executes GROUP BY as facet/rollup streams " +
+        "(modules/sql/src/java/org/apache/solr/handler/sql/SQLHandler.java, " +
+        "SolrRules.java:44-49 pushdown rules, SolrTable.java:163-183 " +
+        "physical selection). Here the SAME SQL text runs through " +
+        "spark.sql() over registered views — Catalyst is the Calcite " +
+        "analogue, and its pushdown subsumes SolrRules (predicate + " +
+        "projection reach the parquet scan; verified in PLANS.md). The " +
+        "query exercises the full supported surface: WHERE, GROUP BY, " +
+        "aggregate functions, HAVING, ORDER BY, LIMIT",
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  CAST(min(o_orderdate) AS VARCHAR) AS first_day
+             |FROM orders WHERE o_orderstatus = 'O'
+             |GROUP BY o_orderpriority HAVING count(*) > 10
+             |ORDER BY o_orderpriority LIMIT 10""".stripMargin),
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+                |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                |  CAST(min(o_orderdate) AS STRING) AS first_day
+                |FROM orders WHERE o_orderstatus = 'O'
+                |GROUP BY o_orderpriority HAVING count(*) > 10
+                |ORDER BY o_orderpriority LIMIT 10""".stripMargin)
+      }),
+
+    Op("cluster_results",
+      "search-result clustering (the clustering module's ClusteringComponent " +
+        "role: modules/clustering/src/java/org/apache/solr/handler/" +
+        "clustering/ClusteringComponent.java — label the RESULT SET of a " +
+        "query, not the corpus). Deterministic lexical rendering in place " +
+        "of Carrot2's SVD pipeline: each result doc is labeled by its most " +
+        "salient term — argmax by (tf desc, corpus-df asc, term asc), i.e. " +
+        "frequent-in-doc and rare-in-corpus, the tf-idf argmax in pure " +
+        "integer ordering — then clusters are the label groups with their " +
+        "member lists. Scale shape: the result set is top-k-bounded so the " +
+        "per-doc tf table is small and broadcastable; only the corpus df " +
+        "aggregate is corpus-sized (shared shuffle, vocabulary-bounded)",
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents WHERE length(text) > 0),
+             |res AS (SELECT DISTINCT doc_id FROM toks WHERE w = 'data'),
+             |tf AS (SELECT t.doc_id, t.w, count(*) AS tf
+             |  FROM toks t JOIN res USING (doc_id) GROUP BY 1, 2),
+             |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+             |lab AS (SELECT doc_id, w AS label FROM (
+             |  SELECT tf.doc_id, tf.w,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf DESC, dfs.df ASC, tf.w) AS rk
+             |  FROM tf JOIN dfs USING (w) WHERE tf.w <> 'data') WHERE rk = 1)
+             |SELECT label, count(*) AS size,
+             |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+             |FROM lab GROUP BY label ORDER BY size DESC, label LIMIT 10""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val res = toks.where(col("w") === "data").select("doc_id").distinct()
+        val tf = toks.join(broadcast(res), "doc_id")
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        val dfs = toks.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+        val lab = tf.where(col("w") =!= "data").join(dfs, "w")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("tf").desc, col("df").asc, col("w"))))
+          .where(col("rk") === 1)
+          .select(col("doc_id"), col("w").as("label"))
+        lab.groupBy(col("label"))
+          .agg(count(lit(1)).as("size"),
+            array_join(
+              transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+              ",").as("members"))
+          .orderBy(col("size").desc, col("label"))
+          .limit(10)
+      })
   )
 }
