@@ -512,6 +512,60 @@ object ExtendedOps {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(100)),
 
+    Op("facet_refinement_twophase",
+      "distributed facet merge + REFINEMENT, the reference's two-phase " +
+        "protocol run faithfully (facet/FacetModule.java:172-325 phase " +
+        "machine, FacetFieldMerger.java bucket merge, FacetRequest.java:125 " +
+        "refine flag, overrequest heuristic in FacetField): phase 1 " +
+        "computes each 'shard's' (hash-slice's) LOCAL top-(K+overrequest) " +
+        "term buckets — the coordinator never sees full per-shard count " +
+        "maps — phase 2 re-queries ONLY the (bucket, shard) pairs where a " +
+        "merge candidate was missing from that shard's returned list " +
+        "(targeted recount as one semi-join-filtered aggregation, the " +
+        "batched rendering of Solr's per-shard refine requests), and the " +
+        "refined merge equals the exact one-pass facet — which is the " +
+        "oracle. Spark's shuffle agg makes the one-pass path exact anyway " +
+        "(the documented r1 divergence); this op demonstrates the " +
+        "reference protocol itself is reproducible on the engine",
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS bucket, count(*) AS cnt
+             |FROM customer GROUP BY 1 ORDER BY cnt DESC, bucket LIMIT 5""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 5
+        val over = 2 // Solr's default-style small overrequest
+        val nShards = 8
+        val c = t(s, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("bucket"),
+            pmod(hash(col("c_custkey")), lit(nShards)).as("shard"))
+        // phase 1: per-shard facet, each shard RETURNS only its top-(k+over)
+        val perShard = c.groupBy(col("shard"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val reported = perShard
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("shard"))
+              .orderBy(col("cnt").desc, col("bucket"))))
+          .where(col("rk") <= k + over).drop("rk")
+          .persist()
+        // coordinator merge: candidate set = union of shard top lists
+        val candidates = reported.select(col("bucket")).distinct()
+        // (bucket, shard) pairs needing refinement = candidate bucket not in
+        // that shard's returned list (FacetFieldMerger's missing-bucket set)
+        val allShards = s.range(nShards).select(col("id").cast("int").as("shard"))
+        val missing = broadcast(candidates).crossJoin(allShards)
+          .join(reported.select(col("bucket"), col("shard")),
+            Seq("bucket", "shard"), "left_anti")
+        // phase 2: targeted recount of missing pairs from base data — one
+        // distributed job, its input pruned to candidate buckets only
+        val refined = c.join(broadcast(missing), Seq("bucket", "shard"))
+          .groupBy(col("shard"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        // final merge: reported partials + refined fills, exact by refine
+        reported.select(col("bucket"), col("cnt"))
+          .unionByName(refined.select(col("bucket"), col("cnt")))
+          .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("bucket"))
+          .limit(k)
+      }),
+
     Op("sql_handler",
       "the /sql entry point (SURVEY §3.3): Solr's SQL module parses ANSI " +
         "SQL with Calcite, pushes Filter/Project/Sort/Aggregate into the " +

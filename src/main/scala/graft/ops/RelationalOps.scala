@@ -175,6 +175,27 @@ object RelationalOps {
           expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90"))
         .orderBy(col("pr"))),
 
+    Op("agg_percentile_tdigest",
+      "percentile via an ACTUAL t-digest implemented from the published " +
+        "paper (Dunning & Ertl 2019) as a typed Aggregator / UDAF — the " +
+        "same algorithm class AND the same distributed topology as the " +
+        "reference (facet/PercentileAgg.java:19,138-155: AVLTreeDigest(100) " +
+        "per shard, digests merged at the coordinator; here: per-partition " +
+        "partial digests, centroid-list merge at the final aggregate). " +
+        "Approximate by design -> rows-only driver check; rank-window " +
+        "accuracy vs the exact twin and partitioning robustness are gated " +
+        "in OpsSpec",
+      None,
+      (s, dir) => {
+        val p50 = udaf(new graft.functions.TDigestPercentile(0.5))
+        val p90 = udaf(new graft.functions.TDigestPercentile(0.9))
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("pr"))
+          .agg(p50(col("o_totalprice")).as("p50"),
+            p90(col("o_totalprice")).as("p90"))
+          .orderBy(col("pr"))
+      }),
+
     Op("agg_hll_approx",
       "unique/hll agg, SKETCH variant — the reference's hll facet function " +
         "(facet/HLLAgg.java:30-46, HyperLogLog with mergeable registers); " +

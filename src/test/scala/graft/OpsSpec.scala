@@ -167,6 +167,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sys.props -= "graft.jaccard.bcast.max"
   }
 
+  test("agg_percentile_tdigest lands in the exact rank window regardless of partitioning") {
+    val dir = "/root/testdata/sf0.01"
+    val vals = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderpriority", "o_totalprice")
+      .collect().groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted }
+    val sketch = SparkEntry.queries("agg_percentile_tdigest")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(sketch.keySet == vals.keySet)
+    for ((pr, (p50, p90)) <- sketch; (p, est) <- Seq((0.5, p50), (0.9, p90))) {
+      val sorted = vals(pr)
+      val lo = sorted(((p - 0.02) * (sorted.length - 1)).toInt.max(0))
+      val hi = sorted(math.ceil((p + 0.02) * (sorted.length - 1)).toInt.min(sorted.length - 1))
+      assert(est >= lo && est <= hi, s"[$pr p$p] t-digest $est outside rank window [$lo, $hi]")
+    }
+    // digest MERGE correctness: the distributed estimate from many small
+    // partial digests must land in the same window as the 1-partition one
+    import org.apache.spark.sql.functions.{col, udaf}
+    val p50agg = udaf(new graft.functions.TDigestPercentile(0.5))
+    val one = spark.read.parquet(s"$dir/orders.parquet").repartition(1)
+      .agg(p50agg(col("o_totalprice"))).head().getDouble(0)
+    val many = spark.read.parquet(s"$dir/orders.parquet").repartition(13)
+      .agg(p50agg(col("o_totalprice"))).head().getDouble(0)
+    val all = vals.values.flatten.toArray.sorted
+    val glo = all(((0.48) * (all.length - 1)).toInt)
+    val ghi = all(math.ceil(0.52 * (all.length - 1)).toInt.min(all.length - 1))
+    for ((est, tag) <- Seq((one, "1-part"), (many, "13-part")))
+      assert(est >= glo && est <= ghi, s"global p50 $tag $est outside [$glo, $ghi]")
+  }
+
+  test("text_dedup_groups chains a 10-link near-dup path into one component (multi-round CC)") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("ccchain")
+    // 11 docs, each sharing most shingles with its neighbours only:
+    // doc k = tokens [k, k+12); adjacent docs share 11 of 15 distinct
+    // 3-shingles (jac ~ 0.57... tune window to 14 tokens/13 overlap)
+    val rows = (0 until 11).map { k =>
+      (k.toLong, (k until k + 20).map(i => s"w$i").mkString(" "))
+    } :+ (100L, "isolated lonely document body words")
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_dedup_groups")(spark, dir).collect()
+    // adjacent docs: 20 tokens -> 18 shingles, overlap 17 => jac 17/19 = 0.89;
+    // ends of the chain are NOT pairwise similar (doc0 vs doc10 share 10
+    // tokens -> 8 shingles, jac 8/28 = 0.29) — only transitivity links them
+    assert(out.length == 1, s"expected one chained component, got ${out.length}")
+    assert(out(0).getLong(0) == 0L && out(0).getLong(1) == 11L,
+      s"component should be (grp=0, size=11): ${out(0)}")
+    assert(out(0).getString(2) == (0 until 11).mkString(","))
+  }
+
   test("text_dedup_groups is a valid partition of the near-dup pair graph") {
     val pairs = SparkEntry.queries("text_dedup_ngram_jaccard")(spark, sfDir)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
