@@ -74,7 +74,15 @@ object TDigest {
     * (mean, weight) pairs, then one pass accumulating while the cumulative
     * quantile stays under the k-scale limit). */
   def compress(b: TDigestBuf): TDigestBuf = {
-    if (b.bufLen == 0) return b
+    if (b.bufLen == 0) {
+      // always hand back full-capacity point buffers: a digest built by
+      // merge() carries the concatenated centroid list as its buffer, and
+      // an empty merge would otherwise return zero-capacity arrays that a
+      // later add() writes past
+      return if (b.bufMeans.length == BufCap) b
+        else b.copy(bufMeans = new Array[Double](BufCap),
+          bufWeights = new Array[Double](BufCap))
+    }
     val n = b.means.length + b.bufLen
     val pairs = new Array[(Double, Double)](n)
     var i = 0

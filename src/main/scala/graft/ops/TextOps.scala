@@ -564,7 +564,9 @@ object TextOps {
         // fixpoint — the convergence witness rides the round that computes
         // it. Long.MinValue sentinel: the init sum is not worth its own
         // job; round 1 always runs (labels can only be final already if
-        // there are no edges, and then round 1 IS the detection pass)
+        // there are no edges, and then round 1 IS the detection pass).
+        // coalesce(sum, 0): an edge-free corpus has an empty label table,
+        // whose sum is NULL — detect fixpoint, don't NPE
         var lastSum = Long.MinValue
         var rounds = 0
         var converged = false
@@ -575,7 +577,7 @@ object TextOps {
           val next = labels.unionByName(prop)
             .groupBy(col("node")).agg(min(col("lab")).as("lab"))
             .localCheckpoint(true)
-          val s2 = next.agg(sum(col("lab"))).as[Long].head()
+          val s2 = next.agg(coalesce(sum(col("lab")), lit(0L))).as[Long].head()
           labels = next
           if (s2 == lastSum) converged = true else lastSum = s2
         }

@@ -218,6 +218,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getString(2) == (0 until 11).mkString(","))
   }
 
+  test("text_dedup_groups on an edge-free corpus: exact-dup groups only, no crash") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("ccempty")
+    // four mutually-dissimilar docs; docs 2 and 3 are EXACT duplicates
+    // (same shingle set), so the only component is their dup group
+    val rows = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six seven"),
+      (2L, "red green blue cyan magenta yellow"),
+      (3L, "red green blue cyan magenta yellow"))
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_dedup_groups")(spark, dir).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 2L && out(0).getString(2) == "2,3",
+      s"expected one (2,3) dup group: ${out.toSeq}")
+  }
+
   test("text_dedup_groups is a valid partition of the near-dup pair graph") {
     val pairs = SparkEntry.queries("text_dedup_ngram_jaccard")(spark, sfDir)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
