@@ -299,6 +299,61 @@ object SearchOps {
           .limit(50)
       }),
 
+    Op("highlight_passages",
+      "passage highlighting with POSITION-based best-window selection — " +
+        "the UnifiedHighlighter role (solr/core/src/java/org/apache/solr/" +
+        "highlight/UnifiedSolrHighlighter.java, which scores candidate " +
+        "passages by query-term hits; DefaultSolrHighlighter.java fragment " +
+        "scoring): every query-term hit position opens an 8-token window, " +
+        "windows score by (distinct query terms, total hits, earliest " +
+        "start), the best window per doc is emitted as the passage text. " +
+        "All integer/string math, so the oracle reproduces the exact " +
+        "passage choice. Shape note: the window join is an equi-join on " +
+        "doc_id with a bounded range predicate on position — hit-list " +
+        "sized, never corpus-quadratic",
+      Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents WHERE length(text) > 0),
+             |hits AS (SELECT doc_id, i AS p, w[i] AS tm
+             |  FROM docs, unnest(generate_series(1, len(w))) AS t(i)
+             |  WHERE w[i] IN ('data', 'query', 'fast')),
+             |wnd AS (SELECT a.doc_id, a.p AS start, count(DISTINCT b.tm) AS nd, count(*) AS nt
+             |  FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND b.p BETWEEN a.p AND a.p + 7
+             |  GROUP BY 1, 2),
+             |best AS (SELECT doc_id, start, nd FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY nd DESC, nt DESC, start) AS rk FROM wnd) WHERE rk = 1)
+             |SELECT b.doc_id, b.start, b.nd,
+             |  array_to_string(d.w[b.start:b.start + 7], ' ') AS passage
+             |FROM best b JOIN docs d USING (doc_id)
+             |WHERE b.nd >= 2 ORDER BY b.doc_id LIMIT 50""".stripMargin),
+      (s, dir) => {
+        val terms = Seq("data", "query", "fast")
+        val docs = t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val toks = docs.select(col("doc_id"), posexplode(col("w")))
+        val hits = toks.where(col("col").isin(terms: _*))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+            col("col").as("tm"))
+        val wnd = hits.as("a")
+          .join(hits.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("b.p") >= col("a.p") && col("b.p") <= col("a.p") + 7)
+          .groupBy(col("a.doc_id").as("doc_id"), col("a.p").as("start"))
+          .agg(countDistinct(col("b.tm")).as("nd"), count(lit(1)).as("nt"))
+        val best = wnd.withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("nd").desc, col("nt").desc, col("start"))))
+          .where(col("rk") === 1)
+          .select(col("doc_id"), col("start"), col("nd"))
+        best.join(docs, "doc_id")
+          .where(col("nd") >= 2)
+          .select(col("doc_id"), col("start"), col("nd"),
+            array_join(slice(col("w"), col("start").cast("int"), lit(8)), " ")
+              .as("passage"))
+          .orderBy(col("doc_id")).limit(50)
+      }),
+
     Op("terms_enum",
       "terms component: enumerate index terms by prefix with df/ttf " +
         "(handler/component/TermsComponent.java)",
