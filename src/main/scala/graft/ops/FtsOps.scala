@@ -93,8 +93,9 @@ object FtsOps {
   /** Double-precision BM25 top-20 over the documents index for a concrete
     * term list (qpos = caller's term order): the driver-checkable scoring
     * surface shared by fts_bm25_oracle / fts_wildcard / fts_fuzzy. */
-  private def bm25DoubleTopK(s: SparkSession, idx: String, qterms: Seq[String],
-      k: Int = 20): DataFrame = {
+  /** All matching docs with their rounded double-precision BM25 score
+    * (no top-k cut) — the pre-ranking score table boost functions apply to. */
+  private def bm25DoubleScores(s: SparkSession, idx: String, qterms: Seq[String]): DataFrame = {
     import s.implicits._
     val qpos = qterms.zipWithIndex.toMap
     val c = s.read.parquet(s"$idx/corpus").as[graft.index.CorpusStats].head()
@@ -111,9 +112,13 @@ object FtsOps {
     partials.groupBy($"doc_id")
       .agg(orderedSumUdf(collect_list(struct($"qp", $"p"))).as("sc"))
       .select($"doc_id", round($"sc", 6).as("score"))
-      .orderBy(col("score").desc, $"doc_id")
-      .limit(k)
   }
+
+  private def bm25DoubleTopK(s: SparkSession, idx: String, qterms: Seq[String],
+      k: Int = 20): DataFrame =
+    bm25DoubleScores(s, idx, qterms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
 
   /** Map a term column to its query position via a when-chain. */
   private def qposCol(qpos: Map[String, Int]): org.apache.spark.sql.Column =
@@ -804,6 +809,51 @@ object FtsOps {
               + lit(0.2) * col("fresh") - lit(0.004) * col("dlq"), 6))
           .select(col("doc_id"), col("score").as("base_score"), col("ltr_score"))
           .orderBy(col("ltr_score").desc, col("doc_id"))
+          .limit(20)
+      }),
+
+    Op("fts_boost_function",
+      "multiplicative boost function: the edismax boost= param / " +
+        "{!boost} wrapper — relevance score MULTIPLIED by a per-doc " +
+        "function query, here Solr's classic recency shape " +
+        "recip(age, m, a, b) = a / (m*age + b) " +
+        "(ExtendedDismaxQParser boost param handling, " +
+        "search/BoostQParserPlugin.java, FunctionQParser.java; recip is " +
+        "the standard date-boost idiom in the reference docs). Age is " +
+        "derived from doc_id (the synthetic ts is doc_id-linear), so the " +
+        "whole expression is double math with one fixed shape on both " +
+        "sides; boost applies to EVERY matching doc before ranking, not " +
+        "to a rerank window",
+      Some(s"""WITH lut AS ($byte4LookupSql),
+              |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1)) t(w, qp)),
+              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |  FROM documents WHERE length(text) > 0),
+              |stats AS (SELECT count(DISTINCT doc_id) AS n,
+              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
+              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+              |partials AS (SELECT tf.doc_id, qpos.qp,
+              |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
+              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
+              |base AS (SELECT doc_id,
+              |    round(list_reduce(list(p ORDER BY qp), (a, v) -> a + v), 6) AS score
+              |  FROM partials GROUP BY doc_id)
+              |SELECT doc_id, score,
+              |  round(score * (1000.0 / (1.0 * (10000.0 - CAST(doc_id AS DOUBLE)) + 1000.0)), 6) AS boosted
+              |FROM base
+              |ORDER BY boosted DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val idx = index(s, dir, "documents")
+        bm25DoubleScores(s, idx, Seq("data", "query"))
+          .withColumn("boosted",
+            round(col("score") *
+              (lit(1000.0) / (lit(1.0) * (lit(10000.0) - col("doc_id").cast("double")) + lit(1000.0))), 6))
+          .orderBy(col("boosted").desc, col("doc_id"))
           .limit(20)
       }),
 
