@@ -512,6 +512,108 @@ object ExtendedOps {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(100)),
 
+    Op("filter_geofilt",
+      "{!geofilt} great-circle distance filter (search/" +
+        "SpatialFilterQParserPlugin.java; the geodist() function of " +
+        "solr/core/src/java/org/apache/solr/search/function/distance/" +
+        "HaversineConstFunction.java): haversine distance from a center " +
+        "point, filtered to d <= 3000 km. Coordinates are derived " +
+        "deterministically from c_custkey (the testdata has no latlon " +
+        "column); the haversine expression is textually identical on both " +
+        "sides and the filter compares the ROUNDED distance so a 1-ulp " +
+        "libm difference cannot flip boundary membership",
+      Some("""WITH pts AS (SELECT c_custkey,
+             |    CAST(c_custkey % 171 AS DOUBLE) - 85.0 + 0.5 AS lat,
+             |    CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+             |  FROM customer)
+             |SELECT c_custkey, lat, lon,
+             |  round(2 * 6371.0 * asin(sqrt(pow(sin(radians(lat - 40.0) / 2), 2) + cos(radians(40.0)) * cos(radians(lat)) * pow(sin(radians(lon - 10.0) / 2), 2))), 6) AS dist_km
+             |FROM pts
+             |WHERE round(2 * 6371.0 * asin(sqrt(pow(sin(radians(lat - 40.0) / 2), 2) + cos(radians(40.0)) * cos(radians(lat)) * pow(sin(radians(lon - 10.0) / 2), 2))), 6) <= 3000.0
+             |ORDER BY c_custkey LIMIT 100""".stripMargin),
+      (s, dir) => {
+        val hav = "round(2 * 6371.0 * asin(sqrt(pow(sin(radians(lat - 40.0) / 2), 2) + " +
+          "cos(radians(40.0)) * cos(radians(lat)) * pow(sin(radians(lon - 10.0) / 2), 2))), 6)"
+        t(s, dir, "customer")
+          .selectExpr("c_custkey",
+            "CAST(c_custkey % 171 AS DOUBLE) - 85.0 + 0.5 AS lat",
+            "CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon")
+          .selectExpr("c_custkey", "lat", "lon", s"$hav AS dist_km")
+          .where(col("dist_km") <= 3000.0)
+          .orderBy(col("c_custkey")).limit(100)
+      }),
+
+    Op("facet_heatmap",
+      "heatmap facet: 2D spatial grid counts over a bounding box — " +
+        "facet.heatmap semantics (search/facet/FacetHeatmap.java: counts " +
+        "per grid cell at a chosen gridLevel, rendered as counts2D). " +
+        "Cells are 30-degree buckets of the same derived coordinates; " +
+        "pure integer bucketing so the oracle is exact",
+      Some("""WITH pts AS (SELECT
+             |    CAST(c_custkey % 171 AS DOUBLE) - 85.0 + 0.5 AS lat,
+             |    CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+             |  FROM customer)
+             |SELECT CAST(floor(lat / 30.0) AS INT) AS cell_y,
+             |  CAST(floor(lon / 30.0) AS INT) AS cell_x, count(*) AS cnt
+             |FROM pts WHERE lat BETWEEN -60.0 AND 60.0
+             |GROUP BY 1, 2 ORDER BY cell_y, cell_x""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .selectExpr("CAST(c_custkey % 171 AS DOUBLE) - 85.0 + 0.5 AS lat",
+            "CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon")
+          .where(col("lat").between(-60.0, 60.0))
+          .selectExpr("CAST(floor(lat / 30.0) AS INT) AS cell_y",
+            "CAST(floor(lon / 30.0) AS INT) AS cell_x")
+          .groupBy(col("cell_y"), col("cell_x"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cell_y"), col("cell_x"))),
+
+    Op("agg_igain",
+      "{!igain} information-gain term selection — the reference's " +
+        "training-data feature selector (search/IGainTermsQParserPlugin" +
+        ".java:160-198): per term, ig = H(p_class) - ((df/n)*H(xc/df) + " +
+        "(1-df/n)*H((np-xc)/(n-df+1))) with binary natural-log entropy " +
+        "(:211-214) — including the reference's exact n-df+1 denominator " +
+        "quirk. Class = source='src7'. Distributed shape: one distinct " +
+        "(doc,term) explode + one groupBy; the entropy arithmetic is a " +
+        "projection over (xc, df) x broadcast globals. Identical textual " +
+        "expression on both sides, rounded 6dp (absorbs libm-vs-JVM ln " +
+        "1-ulp)",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+             |    CASE WHEN source = 'src7' THEN 1 ELSE 0 END AS pos
+             |  FROM documents WHERE length(text) > 0),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(pos) AS DOUBLE) AS np FROM d),
+             |td AS (SELECT DISTINCT d.doc_id, t.w, d.pos FROM d, unnest(d.ws) AS t(w)),
+             |tc AS (SELECT w AS term, CAST(sum(pos) AS DOUBLE) AS xc,
+             |    CAST(count(*) AS DOUBLE) AS df FROM td GROUP BY w)
+             |SELECT term, CAST(df AS BIGINT) AS doc_freq,
+             |  round(
+             |    (CASE WHEN np / n <= 0 OR np / n >= 1 THEN 0 ELSE -1 * (np / n) * ln(np / n) + -1 * (1 - np / n) * ln(1 - np / n) END)
+             |    - ((df / n) * (CASE WHEN xc / df <= 0 OR xc / df >= 1 THEN 0 ELSE -1 * (xc / df) * ln(xc / df) + -1 * (1 - xc / df) * ln(1 - xc / df) END)
+             |     + (1 - df / n) * (CASE WHEN (np - xc) / (n - df + 1) <= 0 OR (np - xc) / (n - df + 1) >= 1 THEN 0 ELSE -1 * ((np - xc) / (n - df + 1)) * ln((np - xc) / (n - df + 1)) + -1 * (1 - (np - xc) / (n - df + 1)) * ln(1 - (np - xc) / (n - df + 1)) END)), 6) AS ig
+             |FROM tc, stats
+             |ORDER BY ig DESC, term LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"),
+            when(col("source") === "src7", 1).otherwise(0).as("pos"))
+        val stats = d.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("pos")).cast("double").as("np"))
+        val td = d.select(col("doc_id"), explode(col("ws")).as("w"), col("pos"))
+          .distinct()
+        val tc = td.groupBy(col("w").as("term"))
+          .agg(sum(col("pos")).cast("double").as("xc"),
+            count(lit(1)).cast("double").as("df"))
+        tc.crossJoin(broadcast(stats))
+          .selectExpr("term", "CAST(df AS BIGINT) AS doc_freq",
+            """round(
+              |  (CASE WHEN np / n <= 0 OR np / n >= 1 THEN 0 ELSE -1 * (np / n) * ln(np / n) + -1 * (1 - np / n) * ln(1 - np / n) END)
+              |  - ((df / n) * (CASE WHEN xc / df <= 0 OR xc / df >= 1 THEN 0 ELSE -1 * (xc / df) * ln(xc / df) + -1 * (1 - xc / df) * ln(1 - xc / df) END)
+              |   + (1 - df / n) * (CASE WHEN (np - xc) / (n - df + 1) <= 0 OR (np - xc) / (n - df + 1) >= 1 THEN 0 ELSE -1 * ((np - xc) / (n - df + 1)) * ln((np - xc) / (n - df + 1)) + -1 * (1 - (np - xc) / (n - df + 1)) * ln(1 - (np - xc) / (n - df + 1)) END)), 6) AS ig""".stripMargin)
+          .orderBy(col("ig").desc, col("term")).limit(20)
+      }),
+
     Op("facet_refinement_twophase",
       "distributed facet merge + REFINEMENT, the reference's two-phase " +
         "protocol run faithfully (facet/FacetModule.java:172-325 phase " +
