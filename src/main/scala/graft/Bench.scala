@@ -111,6 +111,39 @@ object Bench {
     total.sum.toDouble
   }
 
+  /** L3-defeating per-thread buffers for the memory-path calibration
+    * (8 x 32 MiB of longs, initialized once). */
+  private lazy val memBufs: Array[Array[Long]] =
+    Array.fill(8)(Array.tabulate(4 << 20)(i => i.toLong))
+
+  /** Memory-path calibration: multi-threaded line-granular streaming reads
+    * over buffers far larger than L3. The ALU calibrate() above is BLIND to
+    * the host's memory-bandwidth degradation episodes (BASELINE.md §6.2) —
+    * in the round-3 runs, 16c builds burning 431-815 cpu-s on work that
+    * takes 306 cpu-s in a quiet window sailed through the ALU gate, because
+    * the busy-loop is cache-resident. This counter moves with the
+    * degradation, so gating on BOTH catches it. */
+  private def calibrateMem(threads: Int = 8, ms: Long = 600): Double = {
+    val total = new java.util.concurrent.atomic.LongAdder
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        val buf = memBufs(t)
+        val deadline = System.nanoTime + ms * 1000000L
+        var n = 0L
+        var acc = 0L
+        while (System.nanoTime < deadline) {
+          var i = 0
+          while (i < buf.length) { acc += buf(i); i += 8 } // one read per line
+          n += buf.length / 8
+        }
+        total.add(n + (if (acc == 42) 1 else 0)) // keep acc live
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    total.sum.toDouble
+  }
+
   /** One fresh-JVM build measurement via graft.ops.ScalingProbe.
     *
     * The child is PINNED to `cores` CPUs (taskset): an honest rendering of
@@ -169,13 +202,14 @@ object Bench {
     * against max(session best, historical best) makes that impossible
     * (VERDICT r2 task #3). */
   private def calBaselineFile = new java.io.File(s"${workDir("")}/cal_baseline.txt")
+  private def memBaselineFile = new java.io.File(s"${workDir("")}/mem_baseline.txt")
 
-  private def loadCalBaseline(): Double =
-    try java.nio.file.Files.readString(calBaselineFile.toPath).trim.toDouble
+  private def loadBaseline(f: java.io.File): Double =
+    try java.nio.file.Files.readString(f.toPath).trim.toDouble
     catch { case _: Throwable => 0.0 }
 
-  private def saveCalBaseline(v: Double): Unit =
-    try java.nio.file.Files.writeString(calBaselineFile.toPath, f"$v%.0f")
+  private def saveBaseline(f: java.io.File, v: Double): Unit =
+    try java.nio.file.Files.writeString(f.toPath, f"$v%.0f")
     catch { case _: Throwable => }
 
   /** One fresh-JVM query-latency measurement via graft.ops.QueryProbe —
@@ -265,9 +299,20 @@ object Bench {
     // calibration falls >25% below the session best are skipped (cool-off).
     // Levels run INTERLEAVED inside one quiet window, so a storm cannot
     // poison one level's whole block. Reported value = min per level.
-    val calBase0 = loadCalBaseline()
+    val calBase0 = loadBaseline(calBaselineFile)
+    val memBase0 = loadBaseline(memBaselineFile)
     val cals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val mems = scala.collection.mutable.ArrayBuffer.empty[Double]
     def calRef: Double = math.max(calBase0, if (cals.isEmpty) 0.0 else cals.max)
+    def memRef: Double = math.max(memBase0, if (mems.isEmpty) 0.0 else mems.max)
+    // one ALU + one memory-path measurement per gate point; a window passes
+    // only if BOTH are healthy (the §6.2 degradation is memory-side only)
+    def calPoint(): (Double, Double) = {
+      val a = calibrate(); val m = calibrateMem()
+      cals += a; mems += m; (a, m)
+    }
+    def calHealthy(a: Double, m: Double): Boolean =
+      a >= 0.75 * calRef && m >= 0.70 * memRef
     // per-rep evidence rows for BENCH_DETAIL (VERDICT r2 tasks #1/#3):
     // every attempted measurement with its pre/post calibration and verdict
     val repDetail = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -295,22 +340,25 @@ object Bench {
             var built = false
             while (!built && attempts < 3) {
               attempts += 1
-              val cal = calibrate()
-              cals += cal
-              if (cal < 0.75 * calRef) {
-                repDetail += s"""{"phase":"scale","lvl":$lvl,"pre_cal":$cal,"verdict":"gated_pre"}"""
+              val (cal, calM) = calPoint()
+              if (!calHealthy(cal, calM)) {
+                repDetail += (f"""{"phase":"scale","lvl":$lvl,"pre_cal":$cal%.0f,""" +
+                  f""""pre_mem":$calM%.0f,"verdict":"gated_pre"}""")
                 Thread.sleep(20000) // storm: cool off, retry this level
               } else {
                 built = true // one build per round per level
                 val t = childBuild(scalePath, lvl)
                 // post-build gate: a storm that STARTS mid-build passes the
                 // pre-gate but inflates the measurement — discard the rep if
-                // the host is degraded right after it finishes
-                val post = calibrate()
-                cals += post
-                val ok = post >= 0.75 * calRef && t.isDefined
+                // the host is degraded right after it finishes. 2s settle
+                // first: the build's tmpfs flush tail depresses the memory
+                // calibration for a moment even in healthy windows
+                Thread.sleep(2000)
+                val (post, postM) = calPoint()
+                val ok = calHealthy(post, postM) && t.isDefined
                 repDetail += (s"""{"phase":"scale","lvl":$lvl,"wall_sec":${jnum(t.getOrElse(Double.NaN))},""" +
-                  f""""cpu_sec":${jnum(lastCpuSec)},"pre_cal":$cal%.0f,"post_cal":$post%.0f,""" +
+                  f""""cpu_sec":${jnum(lastCpuSec)},"pre_cal":$cal%.0f,"pre_mem":$calM%.0f,""" +
+                  f""""post_cal":$post%.0f,"post_mem":$postM%.0f,""" +
                   s""""verdict":"${if (ok) "accepted" else "gated_post"}"}""")
                 if (ok) t.foreach { x =>
                   good(lvl) += ((x, lastCpuSec))
@@ -364,6 +412,9 @@ object Bench {
       results("host_cal_best") = cals.max
       results("host_cal_last") = cals.last
       results("host_cal_baseline") = calRef
+      results("host_mem_best") = mems.max
+      results("host_mem_last") = mems.last
+      results("host_mem_baseline") = memRef
     }
 
     // ---- query latency over a dedicated index ---------------------------
@@ -390,17 +441,17 @@ object Bench {
       var accepted = false
       while (attempt < 4 && !accepted) {
         attempt += 1
-        val pre = calibrate()
-        cals += pre
-        if (pre < 0.75 * calRef) {
-          repDetail += s"""{"phase":"query","pre_cal":$pre,"verdict":"gated_pre"}"""
+        val (pre, preM) = calPoint()
+        if (!calHealthy(pre, preM)) {
+          repDetail += (f"""{"phase":"query","pre_cal":$pre%.0f,"pre_mem":$preM%.0f,""" +
+            """"verdict":"gated_pre"}""")
           Thread.sleep(20000)
         } else {
           val js = childQuery(idxDir, 16, qreps)
-          val post = calibrate()
-          cals += post
-          val ok = js.isDefined && post >= 0.75 * calRef
-          repDetail += (f"""{"phase":"query","pre_cal":$pre%.0f,"post_cal":$post%.0f,""" +
+          val (post, postM) = calPoint()
+          val ok = js.isDefined && calHealthy(post, postM)
+          repDetail += (f"""{"phase":"query","pre_cal":$pre%.0f,"pre_mem":$preM%.0f,""" +
+            f""""post_cal":$post%.0f,"post_mem":$postM%.0f,""" +
             s""""verdict":"${if (ok) "accepted" else if (js.isEmpty) "probe_failed" else "gated_post"}"}""")
           if (ok) { queryProbeJson = js; accepted = true }
           else if (js.isDefined && attempt == 4) queryProbeJson = js // flagged by query_gated=0
@@ -451,7 +502,8 @@ object Bench {
       stopSession(s)
     }
 
-    if (cals.nonEmpty) saveCalBaseline(math.max(calBase0, cals.max))
+    if (cals.nonEmpty) saveBaseline(calBaselineFile, math.max(calBase0, cals.max))
+    if (mems.nonEmpty) saveBaseline(memBaselineFile, math.max(memBase0, mems.max))
     val total = sec(System.nanoTime() - t00)
     def fmt(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) =>
