@@ -543,6 +543,48 @@ object ExtendedOps {
           .orderBy(col("c_custkey")).limit(100)
       }),
 
+    Op("filter_bbox",
+      "{!bbox} bounding-box spatial filter (search/SpatialBoxQParserPlugin" +
+        ".java: the rectangle-approximation fast path of geofilt): pure " +
+        "range predicates on the same derived coordinates — exactly the " +
+        "shape Catalyst pushes into the parquet scan as min/max row-group " +
+        "pruning at scale",
+      Some("""WITH pts AS (SELECT c_custkey,
+             |    CAST(c_custkey % 171 AS DOUBLE) - 85.0 + 0.5 AS lat,
+             |    CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+             |  FROM customer)
+             |SELECT c_custkey, lat, lon FROM pts
+             |WHERE lat BETWEEN 20.0 AND 60.0 AND lon BETWEEN -20.0 AND 40.0
+             |ORDER BY c_custkey LIMIT 100""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .selectExpr("c_custkey",
+            "CAST(c_custkey % 171 AS DOUBLE) - 85.0 + 0.5 AS lat",
+            "CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon")
+          .where(col("lat").between(20.0, 60.0) && col("lon").between(-20.0, 40.0))
+          .orderBy(col("c_custkey")).limit(100)),
+
+    Op("terms_enum_regex",
+      "TermsComponent terms.regex enumeration: dictionary terms matched by " +
+        "a regular expression with mincount, sorted by count desc " +
+        "(handler/component/TermsComponent.java regex branch — " +
+        "terms.regex/terms.regex.flag params)",
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents WHERE length(text) > 0)
+             |SELECT w AS term, count(DISTINCT doc_id) AS df FROM toks
+             |WHERE regexp_matches(w, '^[a-z]*data[a-z]*$')
+             |GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+             |ORDER BY df DESC, term LIMIT 20""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .where(col("w").rlike("^[a-z]*data[a-z]*$"))
+          .groupBy(col("w").as("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .where(col("df") >= 2)
+          .orderBy(col("df").desc, col("term")).limit(20)),
+
     Op("facet_heatmap",
       "heatmap facet: 2D spatial grid counts over a bounding box — " +
         "facet.heatmap semantics (search/facet/FacetHeatmap.java: counts " +
