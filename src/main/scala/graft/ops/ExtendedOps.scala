@@ -12,6 +12,13 @@ import Op.{t, dec2}
   */
 object ExtendedOps {
 
+  /** Node-count cap for broadcasting BFS frontier/visited sets; above it the
+    * iteration falls back to shuffle joins (mirrors Searcher.resolveFq's
+    * size-bounded DocSet residency). ~5M (node,dist) rows ≈ 60 MB. Tests
+    * override via -Dgraft.bfs.bcast.max to force the shuffle path. */
+  def BfsBroadcastMaxNodes: Long =
+    sys.props.get("graft.bfs.bcast.max").map(_.toLong).getOrElse(5000000L)
+
   def ops: Seq[Op] = Seq(
 
     Op("csv_ingest",
@@ -202,22 +209,33 @@ object ExtendedOps {
         val bi = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
         var visited = Seq((0L, 0)).toDF("node", "dist")
         var frontier = visited
+        var frontierCount = 1L
+        var visitedCount = 1L
         var depth = 0
-        while (depth < 3 && !frontier.isEmpty) {
+        while (depth < 3 && frontierCount > 0) {
           depth += 1
-          // frontier and visited are node-sized (small); broadcasting them
-          // keeps each iteration a single scan of the persisted edge table
-          // instead of re-shuffling all edges every round
-          val next = bi.join(broadcast(frontier), col("node") === col("a"))
+          // size-switched joins (the resolveFq pattern): frontier/visited
+          // broadcast ONLY while node-count-bounded; visited grows
+          // monotonically toward |V| — on a billion-node graph an
+          // unconditional broadcast is an executor OOM, so above the cap
+          // each falls back to a shuffle (anti-)join
+          val fSide =
+            if (frontierCount <= ExtendedOps.BfsBroadcastMaxNodes) broadcast(frontier)
+            else frontier
+          val seen = visited.select(col("node").as("seen"))
+          val vSide =
+            if (visitedCount <= ExtendedOps.BfsBroadcastMaxNodes) broadcast(seen)
+            else seen
+          val next = bi.join(fSide, col("node") === col("a"))
             .select(col("b").as("node"), lit(depth).as("dist"))
             .distinct()
-            .join(broadcast(visited.select(col("node").as("seen"))),
-              col("node") === col("seen"), "left_anti")
-          // materialize the frontier: keeps the loop's lineage flat (each
-          // iteration is one join, not a recursive plan) — the iterate-to-
-          // fixpoint pattern; at scale use checkpoint() every few rounds
-          frontier = next.persist()
-          frontier.count()
+            .join(vSide, col("node") === col("seen"), "left_anti")
+          // eager localCheckpoint: flat lineage per round (one join, not a
+          // recursive plan) and no per-round cache leak (persist() here
+          // without unpersist leaked a cached DF per iteration)
+          frontier = next.localCheckpoint(true)
+          frontierCount = frontier.count()
+          visitedCount += frontierCount
           visited = visited.unionByName(frontier)
         }
         val out = visited.groupBy(col("dist").cast("int").as("dist"))
@@ -689,7 +707,15 @@ object ExtendedOps {
             Window.partitionBy(col("shard"))
               .orderBy(col("cnt").desc, col("bucket"))))
           .where(col("rk") <= k + over).drop("rk")
-          .persist()
+          // eager localCheckpoint, not persist: the op returns a plan that
+          // outlives this call, so a persist here would leak one cached DF
+          // per invocation across a sweep; checkpoint blocks are reclaimed
+          // by the ContextCleaner when the plan is GC'd. NOTE the candidate
+          // set (union of per-shard top k+over) is Solr's overrequest
+          // HEURISTIC — on adversarially skewed shard distributions a true
+          // top-k bucket can miss every shard list; exactness holds for the
+          // oracle data and typical skew, as in the reference.
+          .localCheckpoint(true)
         // coordinator merge: candidate set = union of shard top lists
         val candidates = reported.select(col("bucket")).distinct()
         // (bucket, shard) pairs needing refinement = candidate bucket not in
@@ -747,12 +773,15 @@ object ExtendedOps {
         "salient term — argmax by (tf desc, corpus-df asc, term asc), i.e. " +
         "frequent-in-doc and rare-in-corpus, the tf-idf argmax in pure " +
         "integer ordering — then clusters are the label groups with their " +
-        "member lists. Scale shape: the result set is top-k-bounded so the " +
-        "per-doc tf table is small and broadcastable; only the corpus df " +
+        "member lists. Scale shape: the result set is the top-k result " +
+        "WINDOW (rows-bounded, like ClusteringComponent labelling one page, " +
+        "not the whole DocSet), so the per-doc tf table is small and its " +
+        "broadcast is bounded by construction; only the corpus df " +
         "aggregate is corpus-sized (shared shuffle, vocabulary-bounded)",
       Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
              |  FROM documents WHERE length(text) > 0),
-             |res AS (SELECT DISTINCT doc_id FROM toks WHERE w = 'data'),
+             |res AS (SELECT DISTINCT doc_id FROM toks WHERE w = 'data'
+             |  ORDER BY doc_id LIMIT 100),
              |tf AS (SELECT t.doc_id, t.w, count(*) AS tf
              |  FROM toks t JOIN res USING (doc_id) GROUP BY 1, 2),
              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
@@ -769,7 +798,11 @@ object ExtendedOps {
         val toks = t(s, dir, "documents")
           .where(length(col("text")) > 0)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        // the clustered set is the RESULT WINDOW (one top-k page), not the
+        // full match DocSet — k-bounded, so broadcasting it is safe at any
+        // corpus size (the r3 version broadcast the unbounded match set)
         val res = toks.where(col("w") === "data").select("doc_id").distinct()
+          .orderBy(col("doc_id")).limit(100)
         val tf = toks.join(broadcast(res), "doc_id")
           .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
         val dfs = toks.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))

@@ -758,9 +758,10 @@ object FtsOps {
         "feature/OriginalScoreFeature.java, FieldLengthFeature.java (which " +
         "reads the NORM — i.e. the quantized length — as the feature " +
         "value, mirrored here through the byte4 LUT). Feature extraction " +
-        "is one broadcast-join against the stored fields of the window " +
-        "docs; all model math is double with a fixed expression shape, so " +
-        "DuckDB reproduces the rescored ranking bit-for-bit",
+        "happens AFTER the 100-row window broadcast-joins into the docs " +
+        "scan — features are computed on 100 rows, never as a full-corpus " +
+        "projection; all model math is double with a fixed expression " +
+        "shape, so DuckDB reproduces the rescored ranking bit-for-bit",
       Some(s"""WITH lut AS ($byte4LookupSql),
               |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1)) t(w, qp)),
               |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -781,11 +782,12 @@ object FtsOps {
               |    round(list_reduce(list(p ORDER BY qp), (a, v) -> a + v), 6) AS score
               |  FROM partials GROUP BY doc_id
               |  ORDER BY score DESC, doc_id LIMIT 100),
+              |hor AS (SELECT CAST(max(doc_id) + 1 AS DOUBLE) AS horizon FROM documents),
               |feats AS (SELECT d.doc_id,
               |    CAST((SELECT max(v) FROM lut WHERE v <= len(string_split(d.text, ' '))) AS DOUBLE) AS dlq,
               |    CASE WHEN strpos(d.text, 'data query') > 0 THEN 1.0 ELSE 0.0 END AS ph,
-              |    CAST(d.doc_id AS DOUBLE) / 10000 AS fresh
-              |  FROM documents d)
+              |    CAST(d.doc_id AS DOUBLE) / hor.horizon AS fresh
+              |  FROM documents d JOIN base USING (doc_id), hor)
               |SELECT b.doc_id, b.score AS base_score,
               |  round(1.5 * b.score + 0.8 * f.ph + 0.2 * f.fresh - 0.004 * f.dlq, 6) AS ltr_score
               |FROM base b JOIN feats f ON b.doc_id = f.doc_id
@@ -796,14 +798,20 @@ object FtsOps {
         val base = bm25DoubleTopK(s, idx, Seq("data", "query"), k = 100)
         val quantUdf = udf((n: Int) =>
           graft.codec.SmallFloat.byte4ToInt(graft.codec.SmallFloat.intToByte4(n)))
-        val feats = t(s, dir, "documents")
-          .select(col("doc_id"),
+        // freshness horizon derived from the corpus (max doc_id + 1), not a
+        // hardcoded 10000: keeps the recency feature in (0,1] at any corpus
+        // size instead of going negative past the constant
+        val hor = t(s, dir, "documents")
+          .agg((max(col("doc_id")) + 1).cast("double").as("horizon"))
+        // the 100-row window broadcasts INTO the docs scan first; features
+        // are then computed on the 100 surviving rows only — never as a
+        // full-corpus projection (r3 featurized every doc before the join)
+        t(s, dir, "documents").join(broadcast(base), "doc_id")
+          .crossJoin(broadcast(hor))
+          .select(col("doc_id"), col("score"),
             quantUdf(size(split(col("text"), " "))).cast("double").as("dlq"),
             when(col("text").contains("data query"), 1.0).otherwise(0.0).as("ph"),
-            (col("doc_id").cast("double") / 10000).as("fresh"))
-        // window is 100 rows -> broadcast it; the corpus-side feature scan
-        // streams (at cluster scale: feature extraction never shuffles)
-        broadcast(base).join(feats, "doc_id")
+            (col("doc_id").cast("double") / col("horizon")).as("fresh"))
           .withColumn("ltr_score",
             round(lit(1.5) * col("score") + lit(0.8) * col("ph")
               + lit(0.2) * col("fresh") - lit(0.004) * col("dlq"), 6))

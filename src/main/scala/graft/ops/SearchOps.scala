@@ -401,10 +401,10 @@ object SearchOps {
       Some("""SELECT c_custkey,
              |  CASE WHEN c_custkey % 7 = 0 THEN 'SET-' || CAST(c_custkey AS VARCHAR) ELSE c_name END AS name,
              |  c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 100 ELSE 0 END AS acctbal,
-             |  CASE WHEN c_custkey % 3 = 0
+             |  array_to_string(CASE WHEN c_custkey % 3 = 0
              |    THEN list_filter(CASE WHEN c_custkey % 5 = 0 THEN list_append(list_value(c_mktsegment, 'base'), 'vip') ELSE list_value(c_mktsegment, 'base') END, x -> x <> 'base')
              |    ELSE CASE WHEN c_custkey % 5 = 0 THEN list_append(list_value(c_mktsegment, 'base'), 'vip') ELSE list_value(c_mktsegment, 'base') END
-             |  END AS tags
+             |  END, ',') AS tags
              |FROM customer WHERE c_custkey < 60 ORDER BY c_custkey""".stripMargin),
       (s, dir) => {
         val k = col("c_custkey")
@@ -415,7 +415,9 @@ object SearchOps {
           .select(k.as("c_custkey"),
             when(k % 7 === 0, concat(lit("SET-"), k)).otherwise(col("c_name")).as("name"),
             (col("c_acctbal") + when(k % 10 === 0, 100.0).otherwise(0.0)).as("acctbal"),
-            tags2.as("tags"))
+            // Registry array convention (see ExtendedOps eval_array_datemath_surface):
+            // emit arrays joined-as-string so the driver's pandas hash sees scalars.
+            array_join(tags2, ",").as("tags"))
           .orderBy(k)
       }),
 
