@@ -542,21 +542,40 @@ object RelationalOps {
 
     Op("rrf_fusion",
       "reciprocal rank fusion of two ranked lists " +
-        "(handler/component/CombinedQueryComponent.java:67-76, search/combine/)",
-      Some("""WITH r1 AS (SELECT p_partkey, row_number() OVER (ORDER BY p_retailprice DESC, p_partkey) AS rk FROM part),
-             |r2 AS (SELECT p_partkey, row_number() OVER (ORDER BY p_size DESC, p_partkey) AS rk FROM part)
-             |SELECT r1.p_partkey, 1.0 / (60 + r1.rk) + 1.0 / (60 + r2.rk) AS rrf
-             |FROM r1 JOIN r2 ON r1.p_partkey = r2.p_partkey
-             |ORDER BY rrf DESC, r1.p_partkey LIMIT 10""".stripMargin),
+        "(handler/component/CombinedQueryComponent.java:67-76, search/combine/). " +
+        "Reference semantics: each query contributes its RETRIEVED top-k " +
+        "window (k=100 here), docs outside a window contribute 0 to the " +
+        "fused score — so ranking is a distributed TakeOrdered top-100 per " +
+        "list followed by a row_number over that bounded page, never a " +
+        "full-corpus single-partition Window sort",
+      Some("""WITH w1 AS (SELECT p_partkey, row_number() OVER (ORDER BY p_retailprice DESC, p_partkey) AS rk
+             |  FROM (SELECT p_partkey, p_retailprice FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 100)),
+             |w2 AS (SELECT p_partkey, row_number() OVER (ORDER BY p_size DESC, p_partkey) AS rk
+             |  FROM (SELECT p_partkey, p_size FROM part ORDER BY p_size DESC, p_partkey LIMIT 100))
+             |SELECT coalesce(w1.p_partkey, w2.p_partkey) AS p_partkey,
+             |  round(coalesce(1.0 / (60 + w1.rk), 0) + coalesce(1.0 / (60 + w2.rk), 0), 6) AS rrf
+             |FROM w1 FULL OUTER JOIN w2 ON w1.p_partkey = w2.p_partkey
+             |ORDER BY rrf DESC, p_partkey LIMIT 10""".stripMargin),
       (s, dir) => {
         val p = t(s, dir, "part")
-        val r1 = p.select(col("p_partkey"),
-          row_number().over(Window.orderBy(col("p_retailprice").desc, col("p_partkey"))).as("rk1"))
-        val r2 = p.select(col("p_partkey").as("pk2"),
-          row_number().over(Window.orderBy(col("p_size").desc, col("p_partkey"))).as("rk2"))
-        r1.join(r2, col("p_partkey") === col("pk2"))
-          .select(col("p_partkey"),
-            (lit(1.0) / (lit(60) + col("rk1")) + lit(1.0) / (lit(60) + col("rk2"))).as("rrf"))
+        // bounded page per list: orderBy+limit = TakeOrdered (distributed
+        // partial top-k, merge on one reducer); the Window then ranks only
+        // the 100-row page. The constant partition key pmod(key,1) keeps the
+        // spec non-empty (a foldable lit(0) is optimized away, reintroducing
+        // the unpartitioned-Window full-sort shape) — one partition here is
+        // BOUNDED by the limit, not a full-table single-partition sort
+        def window(sortCol: String, rkName: String) = p
+          .select(col("p_partkey"), col(sortCol))
+          .orderBy(col(sortCol).desc, col("p_partkey")).limit(100)
+          .select(col("p_partkey"), row_number().over(
+            Window.partitionBy(pmod(col("p_partkey"), lit(1)))
+              .orderBy(col(sortCol).desc, col("p_partkey"))).as(rkName))
+        val r1 = window("p_retailprice", "rk1")
+        val r2 = window("p_size", "rk2").withColumnRenamed("p_partkey", "pk2")
+        r1.join(r2, col("p_partkey") === col("pk2"), "full_outer")
+          .select(coalesce(col("p_partkey"), col("pk2")).as("p_partkey"),
+            round(coalesce(lit(1.0) / (lit(60) + col("rk1")), lit(0))
+              + coalesce(lit(1.0) / (lit(60) + col("rk2")), lit(0)), 6).as("rrf"))
           .orderBy(col("rrf").desc, col("p_partkey"))
           .limit(10)
       }),

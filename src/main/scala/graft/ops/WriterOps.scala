@@ -122,10 +122,11 @@ object WriterOps {
         val joined = t(s, dir, "customer")
           .join(broadcast(t(s, dir, "nation")),
             col("c_nationkey") === col("n_nationkey"))
+        // top-3 parents via orderBy+limit (distributed TakeOrdered) — the
+        // rank itself is unused, so no Window (let alone an unpartitioned
+        // one) is needed here
         val l1 = joined.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("cnt").desc, col("n_name"))))
-          .where(col("rk") <= 3).drop("rk")
+          .orderBy(col("cnt").desc, col("n_name")).limit(3)
         val l2 = joined
           .join(broadcast(l1.select(col("n_name").as("keep"))),
             col("n_name") === col("keep"))
@@ -267,10 +268,17 @@ object WriterOps {
       (s, dir) => {
         val priced = t(s, dir, "orders")
           .select(col("o_orderkey"), dec2(col("o_totalprice")).as("p"))
+        // [docid] positions exist only within the returned page: take the
+        // page first (orderBy+limit = distributed TakeOrdered), then number
+        // the 20 surviving rows. pmod(key,1) = non-foldable constant
+        // partition key (a foldable lit(0) is optimized away, reintroducing
+        // the unpartitioned-Window shape); one partition here is BOUNDED by
+        // the limit, vs the old full-table unpartitioned Window sort
         priced
+          .orderBy(col("p").desc, col("o_orderkey")).limit(20)
           .withColumn("docid", (row_number().over(
-            Window.orderBy(col("p").desc, col("o_orderkey"))) - 1).cast("int"))
-          .where(col("docid") < 20)
+            Window.partitionBy(pmod(col("o_orderkey"), lit(1)))
+              .orderBy(col("p").desc, col("o_orderkey"))) - 1).cast("int"))
           .select(col("o_orderkey"), col("docid"),
             lit("testdata").as("source_tag"),
             concat(lit("price="), col("p").cast("string")).as("explain"))

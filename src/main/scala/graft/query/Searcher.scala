@@ -605,7 +605,11 @@ final class Searcher(
   /** Full search: top-k hits joined back to stored fields, ranked. */
   def search(q: String, k: Int): DataFrame = {
     val hits = topKHits(q, k)
+    // ranks only the <=k-row hit page; pmod(doc_id,1) keeps the partition
+    // spec non-empty (one partition, BOUNDED by k — a foldable constant key
+    // would be optimized back to the unpartitioned full-sort Window shape)
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod($"doc_id", lit(1)))
       .orderBy($"score".desc, $"doc_id".asc)
     hits.join(docs, "doc_id") // hits is <= k rows; Catalyst broadcasts it
       .withColumn("rank", row_number().over(w))

@@ -339,4 +339,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"a task read $worst shuffle records — duplicate group leaked into a bucket")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("graph_bfs_fixpoint: forced shuffle-join path == broadcast path") {
+    // the BFS size-switches frontier/visited from broadcast to shuffle
+    // (anti-)joins above graft.bfs.bcast.max nodes; force the cap to 0 so
+    // EVERY round takes the shuffle path and assert the (dist, nodes)
+    // histogram is identical to the default broadcast path
+    val dir = "/root/testdata/sf0.001"
+    def rows() = SparkEntry.queries("graph_bfs_fixpoint")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    val viaBroadcast = rows()
+    sys.props("graft.bfs.bcast.max") = "0"
+    try {
+      val viaShuffle = rows()
+      assert(viaShuffle == viaBroadcast,
+        s"shuffle-path BFS diverged: $viaShuffle vs $viaBroadcast")
+      assert(viaBroadcast.nonEmpty)
+    } finally sys.props.remove("graft.bfs.bcast.max")
+  }
 }
