@@ -180,6 +180,47 @@ object ExtendedOps {
         FtsOps.bm25DoubleTopKPublic(s, FtsOps.index(s, dir, "documents"), parsed.should)
       }),
 
+    Op("fts_synonym_phrase",
+      "multi-word synonym as a POSITIONAL phrase: query 'data' with " +
+        "thesaurus data => \"merge group\" — SynonymGraphFilter keeps a " +
+        "multi-token expansion as a unit in the query graph " +
+        "(managed-schema.xml:312, expand=true), so the parser rewrite " +
+        "yields a Phrase clause matched consecutively from positional " +
+        "postings, NOT two independent terms. Integer artifact per doc: " +
+        "(term freq of the original term, phrase freq of the synonym); " +
+        "both derived from the PARSER output so the whole rewrite path is " +
+        "pinned. Oracle recomputes both freqs from raw text",
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |tf AS (SELECT doc_id, len(list_filter(w, x -> x = 'data')) AS tfreq FROM toks),
+             |pf AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN
+             |    len(list_filter(generate_series(1, len(w) - 1), i -> w[i] = 'merge' AND w[i+1] = 'group'))
+             |    ELSE 0 END AS pfreq FROM toks)
+             |SELECT t.doc_id, CAST(t.tfreq AS BIGINT) AS tfreq, CAST(p.pfreq AS BIGINT) AS pfreq
+             |FROM tf t JOIN pf p USING (doc_id)
+             |WHERE t.tfreq > 0 OR p.pfreq > 0
+             |ORDER BY pfreq DESC, tfreq DESC, doc_id LIMIT 100""".stripMargin),
+      (s, dir) => {
+        val synonyms = Map("data" -> Seq("merge group"))
+        val parsed = graft.query.QueryParser.parseWithSynonyms("data", synonyms)
+        require(parsed.phrases.nonEmpty && parsed.phrases.head.terms == Vector("merge", "group"),
+          "parser must rewrite the multi-token synonym into a Phrase clause")
+        val idx = FtsOps.index(s, dir, "documents")
+        val sr = FtsOps.searcherPublic(s, dir, "documents")
+        val idmap = s.read.parquet(s"$idx/docs")
+          .select(col("doc_id").as("did"),
+            regexp_extract(col("conv_id"), "(\\d+)", 1).cast("long").as("doc_id"))
+        val tfreq = sr.phraseFreqs(parsed.should)
+          .withColumnRenamed("freq", "tfreq")
+        val pfreq = sr.phraseFreqs(parsed.phrases.head.terms)
+          .withColumnRenamed("freq", "pfreq")
+        tfreq.join(pfreq, Seq("did"), "full_outer")
+          .na.fill(0L, Seq("tfreq", "pfreq"))
+          .join(idmap, "did")
+          .select(col("doc_id"), col("tfreq"), col("pfreq"))
+          .orderBy(col("pfreq").desc, col("tfreq").desc, col("doc_id"))
+          .limit(100)
+      }),
+
     Op("graph_bfs_fixpoint",
       "iterative BFS to fixpoint: min-distance frontier expansion over the " +
         "part<->supplier bipartite graph from lineitem, depth <= 3 — the " +
@@ -241,6 +282,103 @@ object ExtendedOps {
         val out = visited.groupBy(col("dist").cast("int").as("dist"))
           .agg(count(lit(1)).as("nodes"))
           .orderBy(col("dist"))
+        bi.unpersist()
+        out
+      }),
+
+    Op("graph_shortest_path",
+      "shortest-path ENUMERATION: all shortest paths p0 -> target over the " +
+        "part<->supplier bipartite graph from lineitem, maxDepth 3 — " +
+        "ShortestPathStream semantics (solrj-streaming .../io/graph/" +
+        "ShortestPathStream.java:64: BFS keeping per-level parent pointers, " +
+        "then walking them back to emit every path). Target = the smallest " +
+        "supplier NOT adjacent to p0 (falls back to the smallest supplier " +
+        "when the graph is so dense every supplier is adjacent). Scale " +
+        "shape: the forward pass stores only (child, parent, depth) EDGES — " +
+        "linear in edges visited, never materialized paths — and the " +
+        "combinatorial path expansion happens only BACKWARD from the one " +
+        "target, bounded by (#shortest paths x depth); frontier/visited " +
+        "joins size-switch off broadcast like graph_bfs_fixpoint",
+      Some("""WITH RECURSIVE e AS (SELECT DISTINCT 'p' || l_partkey AS a, 's' || l_suppkey AS b FROM lineitem),
+             |bi AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+             |tgt AS (SELECT coalesce(
+             |    (SELECT 's' || min(l_suppkey) FROM lineitem
+             |     WHERE l_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_partkey = 0)),
+             |    (SELECT 's' || min(l_suppkey) FROM lineitem)) AS t),
+             |walk(node, dist, path) AS (
+             |  SELECT 'p0', 0, 'p0'
+             |  UNION ALL
+             |  SELECT bi.b, walk.dist + 1, walk.path || '->' || bi.b
+             |  FROM walk JOIN bi ON bi.a = walk.node WHERE walk.dist < 3),
+             |d AS (SELECT min(dist) AS dt FROM walk, tgt WHERE node = t)
+             |SELECT path FROM walk, tgt, d WHERE node = t AND dist = dt ORDER BY path""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        // long node ids (part k -> 2k, supplier k -> 2k+1), presentation
+        // strings only at the end — same encoding as graph_bfs_fixpoint
+        val e = li.select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b")).distinct()
+        val bi = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+        val adj = li.where(col("l_partkey") === 0)
+          .select(col("l_suppkey").as("x")).distinct()
+        val nonAdjMin = li.select(col("l_suppkey")).distinct()
+          .join(adj, col("l_suppkey") === col("x"), "left_anti")
+          .agg(min(col("l_suppkey"))).head()
+        val tgtSupp =
+          if (nonAdjMin.isNullAt(0)) li.agg(min(col("l_suppkey"))).head().getLong(0)
+          else nonAdjMin.getLong(0)
+        val target = tgtSupp * 2 + 1
+        var frontier = Seq(0L).toDF("node")
+        var visited = frontier
+        var parents = Seq.empty[(Long, Long, Int)].toDF("child", "parent", "d")
+        var frontierCount = 1L
+        var visitedCount = 1L
+        var found = false
+        var depth = 0
+        while (depth < 3 && !found && frontierCount > 0) {
+          depth += 1
+          val fSide =
+            if (frontierCount <= ExtendedOps.BfsBroadcastMaxNodes) broadcast(frontier)
+            else frontier
+          val seen = visited.select(col("node").as("seen"))
+          val vSide =
+            if (visitedCount <= ExtendedOps.BfsBroadcastMaxNodes) broadcast(seen)
+            else seen
+          // ALL (parent in frontier, child new this level) edges survive:
+          // a child reached from two frontier nodes has two shortest parents
+          val newEdges = bi.join(fSide, col("node") === col("a"))
+            .select(col("b").as("child"), col("a").as("parent"))
+            .join(vSide, col("child") === col("seen"), "left_anti")
+            .localCheckpoint(true)
+          val newNodes = newEdges.select(col("child").as("node"))
+            .distinct().localCheckpoint(true)
+          parents = parents.unionByName(newEdges.withColumn("d", lit(depth)))
+          frontier = newNodes
+          frontierCount = frontier.count()
+          visitedCount += frontierCount
+          visited = visited.unionByName(frontier)
+          found = frontier.where(col("node") === target).limit(1).count() > 0
+        }
+        def render(c: org.apache.spark.sql.Column) =
+          when(c % 2 === 0, concat(lit("p"), (c / 2).cast("long")))
+            .otherwise(concat(lit("s"), ((c - 1) / 2).cast("long")))
+        val out =
+          if (!found) Seq.empty[String].toDF("path")
+          else {
+            // backward expansion from the single target through the parent
+            // edges, one bounded join per level
+            var acc = Seq(target).toDF("cur")
+              .select(col("cur"), render(col("cur")).as("path"))
+            for (d <- depth to 1 by -1) {
+              val pe = parents.where(col("d") === d)
+                .select(col("child"), col("parent"))
+              acc = acc.join(pe, col("cur") === col("child"))
+                .select(col("parent").as("cur"),
+                  concat(render(col("parent")), lit("->"), col("path")).as("path"))
+            }
+            acc.select(col("path")).orderBy(col("path"))
+          }
         bi.unpersist()
         out
       }),

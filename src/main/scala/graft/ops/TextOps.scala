@@ -365,6 +365,41 @@ object TextOps {
         .orderBy(col("cnt").desc, col("h"))
         .limit(20)),
 
+    Op("text_decontaminate",
+      "training-data decontamination: flag corpus docs sharing >= 5 " +
+        "distinct word-3-grams with any doc of a benchmark/eval set (the " +
+        "standard n-gram-overlap hygiene pass run before LLM training). " +
+        "The benchmark here is the deterministic ~1% slice doc_id % 17 = 0 " +
+        "standing in for a held-out eval set. Scale shape: the benchmark " +
+        "side is SMALL BY CONSTRUCTION (eval sets are MBs against a 100 TB " +
+        "corpus), so its exploded shingle table broadcasts and the corpus " +
+        "side is one linear scan + partial aggregation — no corpus-vs-" +
+        "corpus shuffle ever forms; shingles come from the dedup family's " +
+        "shared memoized table",
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+             |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+             |bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 17 = 0),
+             |hits AS (SELECT s.doc_id, b.bench_id, count(*) AS overlap
+             |  FROM sh s JOIN bench b USING (g)
+             |  WHERE s.doc_id <> b.bench_id GROUP BY 1, 2)
+             |SELECT doc_id, bench_id, CAST(overlap AS BIGINT) AS overlap
+             |FROM hits WHERE overlap >= 5 ORDER BY doc_id, bench_id""".stripMargin),
+      (s, dir) => {
+        val sh = shingleTable(s, dir)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val bench = sh.where(col("doc_id") % 17 === 0)
+          .select(col("doc_id").as("bench_id"), col("g"))
+        sh.join(broadcast(bench), "g")
+          .where(col("doc_id") =!= col("bench_id"))
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).as("overlap"))
+          .where(col("overlap") >= 5)
+          .select(col("doc_id"), col("bench_id"), col("overlap"))
+          .orderBy(col("doc_id"), col("bench_id"))
+      }),
+
     Op("text_dedup_ngram_jaccard",
       "exact near-dup pairs by word-3-gram Jaccard >= 0.6 via inverted " +
         "shingle join (the exact baseline the MinHash path approximates)",

@@ -83,20 +83,53 @@ object QueryParser {
     * the term plus its synonyms as SHOULD clauses (sum-scoring — the
     * SCORING_BOOLEAN rendering of SynonymQuery; blended-df is a documented
     * divergence); MUST → a grouped disjunction; MUST_NOT → all expansions
-    * excluded. Synonym terms pass through the analyzer. */
+    * excluded. Synonym terms pass through the analyzer.
+    *
+    * A synonym that ANALYZES to multiple tokens ("nyc" -> "new york")
+    * becomes an exact Phrase clause, not flattened independent terms —
+    * SynonymGraphFilter keeps a multi-token expansion as a positional unit
+    * in the query graph, so only docs containing the tokens CONSECUTIVELY
+    * match it. Divergence (documented subset): a multi-token synonym of a
+    * MUST term renders as a SHOULD phrase next to the MUST group of
+    * single-token expansions (the group type holds terms only), so a doc
+    * matching ONLY the phrase does not satisfy the MUST — the nested
+    * (term OR phrase) requirement is not expressible yet. */
   def parseWithSynonyms(q: String, synonyms: Map[String, Seq[String]],
       analyzer: Analyzer = Analyzer.default): ParsedQuery = {
     val p = parse(q, analyzer)
     if (synonyms.isEmpty) return p
-    def expandList(ts: Vector[String]): Vector[String] =
-      ts.flatMap(t => t +: synonyms.getOrElse(t, Seq.empty)
-        .flatMap(s => analyzer.analyze(s)).toVector).distinct
+    // analyzed expansions of one term, split single-token vs multi-token
+    def expansions(t: String): (Vector[String], Vector[Vector[String]]) = {
+      val anas = synonyms.getOrElse(t, Seq.empty)
+        .map(s => analyzer.analyze(s).toVector).filter(_.nonEmpty).toVector
+      val (multi, single) = anas.partition(_.length > 1)
+      (single.flatten, multi)
+    }
+    def expandList(ts: Vector[String]): (Vector[String], Vector[Vector[String]]) = {
+      val flat = Vector.newBuilder[String]
+      val phr = Vector.newBuilder[Vector[String]]
+      ts.foreach { t =>
+        val (single, multi) = expansions(t)
+        flat += t; flat ++= single; phr ++= multi
+      }
+      (flat.result().distinct, phr.result().distinct)
+    }
+    val (shouldFlat, shouldPhr) = expandList(p.should)
+    val (notFlat, notPhr) = expandList(p.mustNot)
     val (withSyn, without) = p.must.partition(t => synonyms.contains(t))
+    val mustGroups = withSyn.map { t =>
+      val (single, _) = expansions(t)
+      Group((t +: single).distinct)
+    }
+    val mustPhr = withSyn.flatMap(t => expansions(t)._2).distinct
     p.copy(
-      should = expandList(p.should),
+      should = shouldFlat,
       must = without,
-      groups = p.groups ++ withSyn.map(t => Group(expandList(Vector(t)))),
-      mustNot = expandList(p.mustNot))
+      groups = p.groups ++ mustGroups,
+      mustNot = notFlat,
+      phrases = p.phrases ++
+        (shouldPhr ++ mustPhr).map(ts => Phrase(ts, occur = 1)) ++
+        notPhr.map(ts => Phrase(ts, occur = 2)))
   }
 
   private sealed trait Occur

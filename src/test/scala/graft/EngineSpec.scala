@@ -289,6 +289,25 @@ class EngineSpec extends AnyFunSuite {
     assert(a == b, "synonym expansion diverged from the hand-expanded query")
   }
 
+  test("multi-token synonym becomes a Phrase clause, not flattened terms") {
+    val syn = Map("error" -> Seq("merge group"))
+    val p = QueryParser.parseWithSynonyms("error retry", syn)
+    assert(p.should == Vector("error", "retry"),
+      "multi-token expansion must NOT leak into the flat term list")
+    assert(p.phrases == Vector(graft.query.Phrase(Vector("merge", "group"), occur = 1)))
+    // matches the hand-written query with an explicit quoted phrase
+    val a = searcher.topKHits(p, 10).collect().toSeq
+    val b = searcher.topKHits(QueryParser.parse("error retry \"merge group\""), 10).collect().toSeq
+    assert(a == b, "synonym phrase diverged from the hand-quoted phrase query")
+    // MUST term: single-token expansions group, multi-token becomes a
+    // SHOULD phrase (documented subset); MUST_NOT excludes via phrase
+    val pm = QueryParser.parseWithSynonyms("+error", Map("error" -> Seq("timeout", "merge group")))
+    assert(pm.groups == Vector(graft.query.Group(Vector("error", "timeout"))))
+    assert(pm.phrases == Vector(graft.query.Phrase(Vector("merge", "group"), occur = 1)))
+    val pn = QueryParser.parseWithSynonyms("retry -error", Map("error" -> Seq("merge group")))
+    assert(pn.phrases == Vector(graft.query.Phrase(Vector("merge", "group"), occur = 2)))
+  }
+
   test("early termination: unlimited budget == exact; small budget is a valid partial") {
     for (q <- Seq("the data", "spark shuffle partition", "+query merge")) {
       val parsed = QueryParser.parse(q)

@@ -91,6 +91,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls.forall(_ >= 0.9), s"recall@10 too low: $recalls")
   }
 
+  test("vec_ann_int8: recall@10 >= 0.95 vs exact; over=all candidates == brute force") {
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = ids(SparkEntry.queries("vec_ann_topk")(spark, dir))
+      val q = ids(graft.ops.VectorOps.int8TopK(spark, dir, k = 10, over = 4))
+      val recall = exact.toSet.intersect(q.toSet).size.toDouble / exact.size
+      assert(recall >= 0.95, s"$dir int8 recall@10 $recall < 0.95")
+      // over covering the whole corpus makes candidate selection a no-op:
+      // the quantized path must then reproduce the exact ranking
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count().toInt
+      val full = ids(graft.ops.VectorOps.int8TopK(spark, dir, k = 10, over = n))
+      assert(full == exact, s"$dir full-overfetch int8 diverged from brute force")
+    }
+  }
+
   test("vec_ann_ivf: full probe == brute force exactly; partial probe holds its recall floor") {
     // The synthetic embeddings are uniform on the sphere (no cluster
     // structure), so a partition-pruning method's partial-probe recall is
