@@ -41,6 +41,56 @@ object ExtendedOps {
           .orderBy(col("r_regionkey"))
       }),
 
+    Op("xml_ingest",
+      "XML loader: each row arrives as a Solr <add><doc> update-XML " +
+        "payload (<field name=...>...</field> children — handler/loader/" +
+        "XMLLoader.java's wire format) and is parsed back into typed " +
+        "columns with the JDK StAX pull parser inside a compiled UDF — " +
+        "per-row parse, no driver involvement, distributes like any " +
+        "projection; round-trip equality with the source table is the " +
+        "oracle. (Javabin/CBOR loaders stay out of scope: binary " +
+        "Lucene-wire formats)",
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin),
+      (s, dir) => {
+        // build the <add><doc> payload column, then parse it back
+        val payload = t(s, dir, "nation").select(concat(
+          lit("<add><doc><field name=\"n_nationkey\">"), col("n_nationkey"),
+          lit("</field><field name=\"n_name\">"), col("n_name"),
+          lit("</field><field name=\"n_regionkey\">"), col("n_regionkey"),
+          lit("</field></doc></add>")).as("xml"))
+        val parseUdf = udf((xml: String) => {
+          val f = javax.xml.stream.XMLInputFactory.newInstance()
+          f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+          val r = f.createXMLStreamReader(new java.io.StringReader(xml))
+          val fields = scala.collection.mutable.Map.empty[String, String]
+          var cur: String = null
+          val sb = new StringBuilder
+          while (r.hasNext) {
+            r.next() match {
+              case javax.xml.stream.XMLStreamConstants.START_ELEMENT
+                  if r.getLocalName == "field" =>
+                cur = r.getAttributeValue(null, "name"); sb.clear()
+              case javax.xml.stream.XMLStreamConstants.CHARACTERS if cur != null =>
+                sb.append(r.getText)
+              case javax.xml.stream.XMLStreamConstants.END_ELEMENT
+                  if r.getLocalName == "field" =>
+                fields(cur) = sb.toString; cur = null
+              case _ =>
+            }
+          }
+          r.close()
+          (fields.getOrElse("n_nationkey", ""), fields.getOrElse("n_name", ""),
+            fields.getOrElse("n_regionkey", ""))
+        })
+        payload.select(parseUdf(col("xml")).as("d"))
+          .select(col("d._1").cast("long").as("n_nationkey"),
+            col("d._2").as("n_name"),
+            col("d._3").cast("long").as("n_regionkey"))
+          .orderBy(col("n_nationkey"))
+      }),
+
     Op("csv_stream_parse",
       "Csv/TsvStream: rows arriving as raw delimited TEXT parsed into " +
         "typed columns with from_csv + explicit schema " +

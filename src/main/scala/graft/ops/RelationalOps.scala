@@ -580,6 +580,32 @@ object RelationalOps {
           .limit(10)
       }),
 
+    Op("query_elevation_exclude",
+      "query elevation with markExcludes: elevated ids pinned on top IN " +
+        "CONFIG ORDER (the elevate.xml sequence, not the organic sort), " +
+        "excluded ids removed from the result set entirely " +
+        "(QueryElevationComponent.java markExcludes / forced-out ids)",
+      Some("""SELECT p_partkey, p_name, elevated FROM (
+             |  SELECT p_partkey, p_name,
+             |    CASE WHEN p_partkey IN (7, 11, 13) THEN 1 ELSE 0 END AS elevated,
+             |    CASE p_partkey WHEN 7 THEN 0 WHEN 11 THEN 1 WHEN 13 THEN 2 ELSE 999 END AS elev_pos,
+             |    p_retailprice
+             |  FROM part WHERE p_partkey NOT IN (2, 5))
+             |ORDER BY elevated DESC, elev_pos, p_retailprice DESC, p_partkey LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val k = col("p_partkey")
+        t(s, dir, "part")
+          .where(!k.isin(2, 5)) // markExcludes: forced out of the results
+          .withColumn("elevated", when(k.isin(7, 11, 13), 1).otherwise(0))
+          // config-order pin: the elevate.xml sequence, organic sort after
+          .withColumn("elev_pos",
+            when(k === 7, 0).when(k === 11, 1).when(k === 13, 2).otherwise(999))
+          .orderBy(col("elevated").desc, col("elev_pos"),
+            col("p_retailprice").desc, k)
+          .select(k, col("p_name"), col("elevated"))
+          .limit(10)
+      }),
+
     Op("query_elevation",
       "query elevation: pin chosen ids above the organic ranking " +
         "(handler/component/QueryElevationComponent.java)",

@@ -352,6 +352,17 @@ object TextOps {
   private[ops] def repPairsPublic(s: SparkSession, dir: String, minJ: Double): DataFrame =
     jaccardRepPairsCached(s, dir, minJ)
 
+  /** Fixed single-token vocabulary for the subword-count proxy (the "top of
+    * the merges table" — words any BPE vocabulary of practical size keeps
+    * whole). Frozen by contract: changing it changes every count. */
+  private val SubwordVocab: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "data", "query", "error", "merge", "group", "user", "log", "fast",
+    "retry", "window", "index", "search", "spark", "shuffle", "partition")
+
+  private def subwordVocabSql: String =
+    SubwordVocab.map(w => s"'$w'").mkString(", ")
+
   def ops: Seq[Op] = Seq(
 
     Op("text_dedup_exact",
@@ -616,6 +627,17 @@ object TextOps {
           labels = next
           if (s2 == lastSum) converged = true else lastSum = s2
         }
+        // the round cap is a SAFETY VALVE, not a convergence criterion: a
+        // near-dup chain with graph diameter > 32 (versioned-document
+        // corpora can produce one) would exit here with wrongly split
+        // components — fail loudly instead of returning silently-wrong
+        // groups; the fix at that scale is the Kiveris large-star/
+        // small-star alternation cited above (O(log^2) rounds)
+        if (!converged)
+          throw new IllegalStateException(
+            s"text_dedup_groups: min-label propagation not converged after $rounds " +
+              "rounds (graph diameter exceeds the cap); use the large-star/" +
+              "small-star CC variant for adversarial-diameter graphs")
         // expand rep components through the duplicate groups; a dup group
         // with >= 2 members but no rep-level edge is its own component
         // (grp = its rep = its min doc_id)
@@ -736,6 +758,34 @@ object TextOps {
           length(col("text")).as("n_chars"))
         .orderBy(col("doc_id"))
         .limit(100)),
+
+    Op("text_token_count_subword",
+      "subword token counting for LLM training-cost estimation: words in a " +
+        "FIXED published vocabulary count 1 token, out-of-vocabulary words " +
+        "split into ceil(len/4) pieces — the standard ~4-chars-per-token " +
+        "deterministic proxy for a BPE tokenizer (the vocabulary stands in " +
+        "for the merges table; an actual merge loop is not SQL-oracle-able, " +
+        "and cost estimation needs determinism, not a specific tokenizer). " +
+        "One narrow aggregation, no shuffle beyond the per-doc groupBy",
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |  FROM documents WHERE length(text) > 0)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |  CAST(sum(CASE WHEN w IN ($subwordVocabSql) THEN 1
+              |    ELSE greatest(1, CAST(ceil(length(w) / 4.0) AS INT)) END) AS BIGINT) AS n_subwords
+              |FROM toks GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin),
+      (s, dir) => {
+        val inVocab = col("w").isin(SubwordVocab: _*)
+        t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(when(inVocab, 1).otherwise(
+              greatest(lit(1), ceil(length(col("w")) / 4.0).cast("int"))))
+              .as("n_subwords"))
+          .orderBy(col("doc_id"))
+          .limit(100)
+      }),
 
     Op("text_multimodal_stub",
       "multimodal plumbing: opaque binary payload column + deterministic " +

@@ -191,8 +191,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // (batch GD on the reference's weak-scaled tf-idf features converges
       // slowly past ~0.91 — the serial-SGD reference makes n updates per
       // pass, this makes 1; the gate is learning, not saturation)
+      // SAME predicate as the training label (exact token membership): a
+      // substring LIKE would also count 'database' etc. and miscalibrate
+      // the gate on corpora where such tokens exist
       val pos = spark.read.parquet(s"$dir/documents.parquet")
-        .where(org.apache.spark.sql.functions.expr("text LIKE '%data%'")).count().toDouble
+        .where(org.apache.spark.sql.functions
+          .expr("array_contains(split(text, ' '), 'data')")).count().toDouble
       val base = math.max(pos / total, 1.0 - pos / total)
       assert(acc >= 0.9 && acc >= base + 0.25 - math.max(0.0, base - 0.65),
         s"$dir: accuracy $acc vs base rate $base")
