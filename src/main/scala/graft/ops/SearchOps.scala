@@ -308,9 +308,11 @@ object SearchOps {
         "windows score by (distinct query terms, total hits, earliest " +
         "start), the best window per doc is emitted as the passage text. " +
         "All integer/string math, so the oracle reproduces the exact " +
-        "passage choice. Shape note: the window join is an equi-join on " +
-        "doc_id with a bounded range predicate on position — hit-list " +
-        "sized, never corpus-quadratic",
+        "passage choice. Shape note: one groupBy(doc) collects the sorted " +
+        "hit list, and a two-pointer sliding window scores every candidate " +
+        "in a single in-task pass — O(hits x windowWidth) per doc (Spark " +
+        "has no band join; the join rendering enumerated all hit PAIRS " +
+        "before the range predicate filtered, per-doc quadratic)",
       Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
              |  FROM documents WHERE length(text) > 0),
              |hits AS (SELECT doc_id, i AS p, w[i] AS tm
@@ -335,17 +337,43 @@ object SearchOps {
         val hits = toks.where(col("col").isin(terms: _*))
           .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
             col("col").as("tm"))
-        val wnd = hits.as("a")
-          .join(hits.as("b"),
-            col("a.doc_id") === col("b.doc_id") &&
-              col("b.p") >= col("a.p") && col("b.p") <= col("a.p") + 7)
-          .groupBy(col("a.doc_id").as("doc_id"), col("a.p").as("start"))
-          .agg(countDistinct(col("b.tm")).as("nd"), count(lit(1)).as("nt"))
-        val best = wnd.withColumn("rk", row_number().over(
-            Window.partitionBy(col("doc_id"))
-              .orderBy(col("nd").desc, col("nt").desc, col("start"))))
-          .where(col("rk") === 1)
-          .select(col("doc_id"), col("start"), col("nd"))
+        // per-doc sorted hit list (positions are unique per doc, so the
+        // struct sort is deterministic), then ONE linear two-pointer pass
+        // scores every start's [p, p+7] window and keeps the best by
+        // (nd desc, nt desc, start asc) — the same ordering the window
+        // join + row_number rendering produced, without the hit-pair blowup
+        val bestUdf = udf((ps: Seq[Long], tms: Seq[String]) => {
+          val pa = ps.toArray
+          val ta = tms.toArray
+          val n = pa.length
+          var bestNd = -1
+          var bestNt = -1
+          var bestStart = Long.MaxValue
+          var i = 0
+          var j = 0
+          while (i < n) {
+            val end = pa(i) + 7
+            if (j < i) j = i
+            while (j < n && pa(j) <= end) j += 1
+            val seen = new java.util.HashSet[String]()
+            var nd = 0
+            var k = i
+            while (k < j) { if (seen.add(ta(k))) nd += 1; k += 1 }
+            val nt = j - i
+            if (nd > bestNd || (nd == bestNd &&
+                (nt > bestNt || (nt == bestNt && pa(i) < bestStart)))) {
+              bestNd = nd; bestNt = nt; bestStart = pa(i)
+            }
+            i += 1
+          }
+          (bestStart, bestNd)
+        })
+        val best = hits.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("p"), col("tm")))).as("hs"))
+          .select(col("doc_id"),
+            bestUdf(expr("transform(hs, x -> x.p)"),
+              expr("transform(hs, x -> x.tm)")).as("b"))
+          .select(col("doc_id"), col("b._1").as("start"), col("b._2").as("nd"))
         best.join(docs, "doc_id")
           .where(col("nd") >= 2)
           .select(col("doc_id"), col("start"), col("nd"),
