@@ -51,8 +51,12 @@ object Oracle {
     val groupsAlive = parsed.groups
       .map(g => Group(g.terms.filter(t => dfMap.getOrElse(t, 0L) > 0)))
     if (groupsAlive.exists(_.terms.isEmpty)) return spark.emptyDataset[Hit]
+    // a conjunction group with any dead member can never match — drops out
+    val conjAlive = parsed.conjGroups
+      .filter(_.terms.forall(t => dfMap.getOrElse(t, 0L) > 0))
     val scoringLive = scoring.filter(t => dfMap.getOrElse(t, 0L) > 0)
-    if (scoringLive.isEmpty && groupsAlive.isEmpty && phrasesAlive.forall(_.occur == 2))
+    if (scoringLive.isEmpty && groupsAlive.isEmpty &&
+      phrasesAlive.forall(_.occur == 2) && conjAlive.forall(_.occur == 2))
       return spark.emptyDataset[Hit]
     val qpos = scoringLive.zipWithIndex.toMap
     val idfs = scoringLive.map(t => t -> bm25.idf(n, dfMap(t))).toMap
@@ -146,7 +150,31 @@ object Oracle {
         .select($"doc_id", lit(gq).as("qpos"), $"partial", lit(1).as("is_must"))
     }
 
-    val allPartials = (phrasePartials ++ groupPartials).foldLeft(termPartials)(_ unionByName _)
+    // SHOULD conjunction-group partials: only docs matching EVERY member
+    // score the group (sum of member partials in member order)
+    val conjPartials = conjAlive.zipWithIndex.filter(_._1.occur == 1).map { case (g, ci) =>
+      val cq = scoringLive.length + phrasesAlive.length + groupsAlive.length + ci
+      val mIdx = g.terms.zipWithIndex.toMap
+      val mIdf = g.terms.map(t => t -> (parsed.boostOf(t) * bm25.idf(n, dfMap(t)))).toMap
+      val mPartial = udf((term: String, tf: Int, dl: Int) =>
+        bm25.score(tf, SmallFloat.intToByte4(dl), mIdf(term), avgdl))
+      val memberSum = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+        val arr = xs.map(r => (r.getInt(0), r.getFloat(1))).sortBy(_._1).map(_._2).toArray
+        bm25.sum(arr)
+      })
+      tf.where($"term".isin(g.terms: _*))
+        .join(dl, "doc_id")
+        .withColumn("mi", udf((t: String) => mIdx(t)).apply($"term"))
+        .withColumn("mp", mPartial($"term", $"tf", $"dl"))
+        .groupBy($"doc_id")
+        .agg(memberSum(collect_list(struct($"mi", $"mp"))).as("partial"),
+          countDistinct($"mi").as("nm"))
+        .where($"nm" === g.terms.length)
+        .select($"doc_id", lit(cq).as("qpos"), $"partial", lit(0).as("is_must"))
+    }
+
+    val allPartials = (phrasePartials ++ groupPartials ++ conjPartials)
+      .foldLeft(termPartials)(_ unionByName _)
 
     val orderedSum = udf((xs: Seq[org.apache.spark.sql.Row]) => {
       val arr = xs.map(r => (r.getInt(0), r.getFloat(1))).sortBy(_._1).map(_._2).toArray
@@ -167,6 +195,13 @@ object Oracle {
     }
     phrasesAlive.filter(_.occur == 2).foreach { p =>
       scored = scored.join(phraseDocs(p).select($"doc_id"), Seq("doc_id"), "left_anti")
+    }
+    // MUST_NOT conjunction: exclude exactly the docs matching ALL members
+    conjAlive.filter(_.occur == 2).foreach { g =>
+      val matched = tf.where($"term".isin(g.terms: _*))
+        .groupBy($"doc_id").agg(countDistinct($"term").as("nm"))
+        .where($"nm" === g.terms.length).select($"doc_id")
+      scored = scored.join(matched, Seq("doc_id"), "left_anti")
     }
     if (parsed.filters.nonEmpty || parsed.rangeFilters.nonEmpty) {
       val conds = parsed.filters.map { case (f, v) => col(f) === lit(v) } ++

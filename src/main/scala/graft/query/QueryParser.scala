@@ -42,6 +42,13 @@ final case class Phrase(terms: Vector[String], occur: Int, slop: Int = 0)
   * bare and negated groups flatten into should/mustNot instead). */
 final case class Group(terms: Vector[String])
 
+/** A SHOULD- or MUST_NOT-level conjunction group: `x OR (a AND b)` makes
+  * `(a AND b)` one optional clause that matches (and contributes the sum of
+  * its members' scores) only when EVERY member matches; `-(a AND b)`
+  * excludes exactly the docs matching all members. occur: 1 = SHOULD,
+  * 2 = MUST_NOT. (`+(a AND b)` still distributes to `+a +b` — equivalent.) */
+final case class ConjGroup(terms: Vector[String], occur: Int)
+
 /** A multi-term clause awaiting index-time expansion: kind 0 = prefix
   * (`body*`), kind 1 = fuzzy (`body~maxEdits`), kind 2 = general wildcard
   * (`body` is a glob with `*` = any run, `?` = any one char — leading /
@@ -63,12 +70,15 @@ final case class ParsedQuery(
     groups: Vector[Group] = Vector.empty,
     boosts: Map[String, Float] = Map.empty,
     multiTerms: Vector[MultiTerm] = Vector.empty,
-    rangeFilters: Vector[RangeFilter] = Vector.empty) {
+    rangeFilters: Vector[RangeFilter] = Vector.empty,
+    conjGroups: Vector[ConjGroup] = Vector.empty) {
   def allTerms: Vector[String] =
-    (must ++ should ++ mustNot ++ phrases.flatMap(_.terms) ++ groups.flatMap(_.terms)).distinct
+    (must ++ should ++ mustNot ++ phrases.flatMap(_.terms) ++
+      groups.flatMap(_.terms) ++ conjGroups.flatMap(_.terms)).distinct
   def positiveClauses: Int =
     should.length + must.length + groups.length +
-      phrases.count(_.occur != 2) + multiTerms.count(_.occur != 2)
+      phrases.count(_.occur != 2) + multiTerms.count(_.occur != 2) +
+      conjGroups.count(_.occur != 2)
   def isEmpty: Boolean = positiveClauses == 0
   def boostOf(t: String): Float = boosts.getOrElse(t, 1f)
 }
@@ -151,6 +161,7 @@ object QueryParser {
     val filters = Vector.newBuilder[(String, String)]
     val rangeFilters = Vector.newBuilder[RangeFilter]
     val groups = Vector.newBuilder[Group]
+    val conjGroups = Vector.newBuilder[ConjGroup]
     val multiTerms = Vector.newBuilder[MultiTerm]
     val boosts = scala.collection.mutable.Map.empty[String, Float]
     var nextNegated = false
@@ -278,11 +289,15 @@ object QueryParser {
           i = j
           val ms = member.result().distinct
           if (ms.nonEmpty) {
-            if (hasAnd) {
-              // conjunction group: distributes — each member a MUST clause
-              // (`+(a AND b)` == `+a +b`; SHOULD-level conjunction groups
-              // are promoted the same way — the supported subset)
-              ms.foreach(m => clauses += Clause(Must, m, phrase = false, 1f))
+            if (hasAnd) occur match {
+              // MUST conjunction distributes: `+(a AND b)` == `+a +b`.
+              // SHOULD / MUST_NOT conjunctions do NOT (`x OR (a AND b)`
+              // must not require a AND b globally; `-(a AND b)` excludes
+              // only docs matching BOTH) — they become ConjGroup clauses
+              // scored/excluded as a unit (Lucene's nested BooleanQuery)
+              case Must => ms.foreach(m => clauses += Clause(Must, m, phrase = false, 1f))
+              case Should => conjGroups += ConjGroup(ms, 1)
+              case MustNot => conjGroups += ConjGroup(ms, 2)
             } else occur match {
               case Must => groups += Group(ms) // true nested disjunction
               case Should => ms.foreach(m => clauses += Clause(Should, m, phrase = false, 1f))
@@ -321,7 +336,7 @@ object QueryParser {
     ParsedQuery(should.result().distinct, must.result().distinct,
       mustNot.result().distinct, filters.result(), phrases.result(),
       groups.result(), boosts.filter(_._2 != 1f).toMap,
-      multiTerms.result(), rangeFilters.result())
+      multiTerms.result(), rangeFilters.result(), conjGroups.result())
   }
 
   /** Tokenize: whitespace-split with three cohesive spans — double-quoted

@@ -243,8 +243,13 @@ final class Searcher(
     val groupsAlive = parsed.groups
       .map(g => Group(g.terms.filter(t => dfs.getOrElse(t, 0L) > 0)))
     if (groupsAlive.exists(_.terms.isEmpty)) return None
+    // a conjunction group (SHOULD or MUST_NOT) with ANY dead member can
+    // never match — it simply drops out (it is optional either way)
+    val conjAlive = parsed.conjGroups
+      .filter(_.terms.forall(t => dfs.getOrElse(t, 0L) > 0))
     if (must.isEmpty && should.isEmpty && groupsAlive.isEmpty &&
-      phrasesAlive.forall(_.occur == 2)) return None
+      phrasesAlive.forall(_.occur == 2) && conjAlive.forall(_.occur == 2))
+      return None
 
     // scoring order = MUST terms, SHOULD terms, then phrases, then groups,
     // each in query order (fixed accumulation order for bit-exact sums)
@@ -253,7 +258,8 @@ final class Searcher(
       (must.zipWithIndex.map { case (t, i) => t -> (i, 0) } ++
         should.zipWithIndex.map { case (t, i) => t -> (must.length + i, 1) } ++
         mustNot.zipWithIndex.map { case (t, i) =>
-          t -> (scoring.length + phrasesAlive.length + groupsAlive.length + i, 2) }).toMap
+          t -> (scoring.length + phrasesAlive.length + groupsAlive.length +
+            conjAlive.length + i, 2) }).toMap
     // (phrase terms, occur, queryPos, slop) — idf resolved executor-side
     val phraseMeta: Vector[(Vector[String], Int, Int, Int)] =
       phrasesAlive.zipWithIndex.map { case (p, i) =>
@@ -262,6 +268,11 @@ final class Searcher(
     val groupMeta: Vector[(Vector[String], Int)] =
       groupsAlive.zipWithIndex.map { case (g, i) =>
         (g.terms, scoring.length + phrasesAlive.length + i)
+      }
+    // (conj terms, occur 1|2, queryPos) — after the MUST groups in order
+    val conjMeta: Vector[(Vector[String], Int, Int)] =
+      conjAlive.zipWithIndex.map { case (g, i) =>
+        (g.terms, g.occur, scoring.length + phrasesAlive.length + groupsAlive.length + i)
       }
     val idfs: Map[String, Float] =
       dfs.map { case (t, df) => t -> bm25.idf(corpus.doc_count, df) }
@@ -312,9 +323,11 @@ final class Searcher(
       case _ => null // no filter, or the DocSet rides as rows (Right)
     }
     val bcMeta = spark.sparkContext.broadcast(
-      Searcher.QueryMeta(meta, phraseMeta, groupMeta, idfs, parsed.boosts, nc, fmap, hasFilter))
+      Searcher.QueryMeta(meta, phraseMeta, groupMeta, idfs, parsed.boosts, nc,
+        fmap, hasFilter, conjMeta))
 
-    val queried = (meta.keys ++ phraseMeta.flatMap(_._1) ++ groupMeta.flatMap(_._1)).toSeq.distinct
+    val queried = (meta.keys ++ phraseMeta.flatMap(_._1) ++
+      groupMeta.flatMap(_._1) ++ conjMeta.flatMap(_._1)).toSeq.distinct
     // the norms sidecar rides along as the term=="" rows: one filtered scan
     // carries everything a segment needs to score itself
     val rows = postings
@@ -734,7 +747,8 @@ object Searcher {
       boosts: Map[String, Float],
       normCache: Array[Float],
       fmap: Map[Int, Array[Byte]], // null when !hasFilter OR the DocSet rides as FqRowTerm rows
-      hasFilter: Boolean)
+      hasFilter: Boolean,
+      conjMeta: Vector[(Vector[String], Int, Int)] = Vector.empty) // (terms, occur 1|2, queryPos)
 
   /** Score one segment's rows (sidecar row + queried-term rows) — the
     * shared body of the no-shuffle mapPartitions path and the groupByKey
@@ -810,6 +824,16 @@ object Searcher {
         val members = present.map(t =>
           new PostingCursor(byTerm(t).blocks, wIdf(t), nc, 0)).toArray
         mustCur += new DisjunctionCursor(members, qpos)
+      }
+    }
+    qm.conjMeta.foreach { case (terms, occ, qpos) =>
+      // a conjunction group needs EVERY member in this segment; with any
+      // absent it matches nothing here — no cursor (it is optional)
+      if (terms.forall(byTerm.contains)) {
+        val members = terms.map(t =>
+          new PostingCursor(byTerm(t).blocks, wIdf(t), nc, 0)).toArray
+        val cc = new ConjunctionCursor(members, qpos)
+        if (occ == 1) shouldCur += cc else notCur += cc
       }
     }
     if (missingMust) None // a MUST clause can't match here

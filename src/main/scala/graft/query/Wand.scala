@@ -350,6 +350,78 @@ final class DisjunctionCursor(
   }
 }
 
+/** SHOULD- / MUST_NOT-level conjunction group `x OR (a AND b)` as ONE
+  * clause: matches only where EVERY member matches (leapfrog alignment, the
+  * PhraseCursor doc loop without position verification), scoring the sum of
+  * member scores in member (query) order — Lucene's nested BooleanQuery of
+  * MUST clauses sitting in an outer SHOULD/MUST_NOT slot. maxScore = sum of
+  * member bounds (safe: the conj score is the sum at a shared doc). */
+final class ConjunctionCursor(
+    members: Array[PostingCursor],
+    val queryPos: Int) extends Cursor {
+
+  val maxScore: Float = {
+    var s = 0f
+    members.foreach(s += _.maxScore)
+    s
+  }
+
+  var doc: Long = -1L
+
+  private def align(target0: Long): Long = {
+    var target = target0
+    var aligned = false
+    while (!aligned) {
+      var max = target
+      var i = 0
+      while (i < members.length) {
+        val d = if (members(i).doc < target) members(i).advanceTo(target) else members(i).doc
+        if (d == Long.MaxValue) { doc = Long.MaxValue; return doc }
+        if (d > max) max = d
+        i += 1
+      }
+      aligned = true
+      var j = 0
+      while (j < members.length) {
+        if (members(j).doc != max) aligned = false
+        j += 1
+      }
+      target = max
+      if (aligned) doc = max
+    }
+    doc
+  }
+
+  align(0L) // position on the first aligned doc (or exhaust)
+
+  def score(norm: Byte): Float = {
+    var acc = 0f
+    var i = 0
+    while (i < members.length) { acc += members(i).score(norm); i += 1 }
+    acc
+  }
+
+  def shallowTo(target: Long): Unit = members.foreach(_.shallowTo(target))
+
+  def blockMaxScore: Float = {
+    var s = 0f
+    members.foreach(s += _.blockMaxScore)
+    s
+  }
+
+  def blockLastDoc: Long = {
+    var m = Long.MaxValue
+    members.foreach(c => if (c.blockLastDoc < m) m = c.blockLastDoc)
+    m
+  }
+
+  def advanceTo(target: Long): Long =
+    if (doc >= target) doc else align(target)
+
+  def next(): Long =
+    if (doc == Long.MaxValue) doc else align(doc + 1)
+}
+
 final case class Hit(doc_id: Long, score: Float)
 
 /** Bounded top-k heap ordered worst-first by (score asc, docId desc) so the

@@ -66,7 +66,12 @@ class EngineSpec extends AnyFunSuite {
     "data -\"merge shuffle\"~3", // sloppy phrase, MUST_NOT
     "err*r data",              // general wildcard: infix *
     "s??rk shuffle",           // general wildcard: ?
-    "*tion the"                // general wildcard: leading *
+    "*tion the",               // general wildcard: leading *
+    "error OR (data AND query)", // SHOULD conjunction group (nested bool)
+    "the (data AND query)",    // bare conj group stays optional
+    "-(data AND query) error", // MUST_NOT conj: exclude only both-match docs
+    "(data AND qzxqzx) error", // conj with dead member drops out
+    "retry AND (data AND query)" // AND-promoted group still distributes
   )
 
   private def assertRankIdentical(q: String, k: Int): Unit = {
