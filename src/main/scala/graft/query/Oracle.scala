@@ -49,8 +49,10 @@ object Oracle {
     if (parsed.phrases.exists(p => p.occur == 0 && !phrasesAlive.contains(p)))
       return spark.emptyDataset[Hit]
     val groupsAlive = parsed.groups
-      .map(g => Group(g.terms.filter(t => dfMap.getOrElse(t, 0L) > 0)))
-    if (groupsAlive.exists(_.terms.isEmpty)) return spark.emptyDataset[Hit]
+      .map(g => Group(g.terms.filter(t => dfMap.getOrElse(t, 0L) > 0),
+        g.phrases.filter(_.forall(t => dfMap.getOrElse(t, 0L) > 0))))
+    if (groupsAlive.exists(g => g.terms.isEmpty && g.phrases.isEmpty))
+      return spark.emptyDataset[Hit]
     // a conjunction group with any dead member can never match — drops out
     val conjAlive = parsed.conjGroups
       .filter(_.terms.forall(t => dfMap.getOrElse(t, 0L) > 0))
@@ -130,7 +132,8 @@ object Oracle {
       }
 
     // MUST-group (grouped disjunction) partials: a doc matches if any live
-    // member matches; matching members' scores sum in member order
+    // member matches; matching members' scores sum in member order (term
+    // members first, then phrase members — the engine's cursor order)
     val groupPartials = groupsAlive.zipWithIndex.map { case (g, gi) =>
       val gq = scoringLive.length + phrasesAlive.length + gi
       val mIdx = g.terms.zipWithIndex.toMap
@@ -141,11 +144,26 @@ object Oracle {
         val arr = xs.map(r => (r.getInt(0), r.getFloat(1))).sortBy(_._1).map(_._2).toArray
         bm25.sum(arr)
       })
-      tf.where($"term".isin(g.terms: _*))
-        .join(dl, "doc_id")
-        .withColumn("mi", udf((t: String) => mIdx(t)).apply($"term"))
-        .withColumn("mp", mPartial($"term", $"tf", $"dl"))
-        .groupBy($"doc_id")
+      val termM =
+        if (g.terms.isEmpty) None
+        else Some(tf.where($"term".isin(g.terms: _*))
+          .join(dl, "doc_id")
+          .withColumn("mi", udf((t: String) => mIdx(t)).apply($"term"))
+          .withColumn("mp", mPartial($"term", $"tf", $"dl"))
+          .select($"doc_id", $"mi", $"mp"))
+      val phraseM = g.phrases.zipWithIndex.map { case (pts, pi) =>
+        var idfSum = 0f
+        pts.foreach(t => idfSum += bm25.idf(n, dfMap(t)))
+        val pPartial = udf((freq: Int, dlv: Int) =>
+          bm25.score(freq, SmallFloat.intToByte4(dlv), idfSum, avgdl))
+        docs.select($"doc_id", phraseFreqUdf(pts, 0)($"text").as("freq"))
+          .where($"freq" > 0)
+          .join(dl, "doc_id")
+          .select($"doc_id", lit(g.terms.length + pi).as("mi"),
+            pPartial($"freq", $"dl").as("mp"))
+      }
+      val allM = (termM.toSeq ++ phraseM).reduce(_ unionByName _)
+      allM.groupBy($"doc_id")
         .agg(memberSum(collect_list(struct($"mi", $"mp"))).as("partial"))
         .select($"doc_id", lit(gq).as("qpos"), $"partial", lit(1).as("is_must"))
     }

@@ -39,8 +39,12 @@ final case class Phrase(terms: Vector[String], occur: Int, slop: Int = 0)
 
 /** A MUST-grouped disjunction `+(a b ...)`: the doc must match at least one
   * member; matching members all contribute score (BooleanQuery nesting —
-  * bare and negated groups flatten into should/mustNot instead). */
-final case class Group(terms: Vector[String])
+  * bare and negated groups flatten into should/mustNot instead). Members
+  * may be terms or exact phrases (`+(a "b c")`, and multi-token synonyms
+  * of a MUST term): `phrases` holds each phrase member's analyzed terms,
+  * scored after the term members in member order. */
+final case class Group(terms: Vector[String],
+    phrases: Vector[Vector[String]] = Vector.empty)
 
 /** A SHOULD- or MUST_NOT-level conjunction group: `x OR (a AND b)` makes
   * `(a AND b)` one optional clause that matches (and contributes the sum of
@@ -74,7 +78,8 @@ final case class ParsedQuery(
     conjGroups: Vector[ConjGroup] = Vector.empty) {
   def allTerms: Vector[String] =
     (must ++ should ++ mustNot ++ phrases.flatMap(_.terms) ++
-      groups.flatMap(_.terms) ++ conjGroups.flatMap(_.terms)).distinct
+      groups.flatMap(g => g.terms ++ g.phrases.flatten) ++
+      conjGroups.flatMap(_.terms)).distinct
   def positiveClauses: Int =
     should.length + must.length + groups.length +
       phrases.count(_.occur != 2) + multiTerms.count(_.occur != 2) +
@@ -99,11 +104,10 @@ object QueryParser {
     * becomes an exact Phrase clause, not flattened independent terms —
     * SynonymGraphFilter keeps a multi-token expansion as a positional unit
     * in the query graph, so only docs containing the tokens CONSECUTIVELY
-    * match it. Divergence (documented subset): a multi-token synonym of a
-    * MUST term renders as a SHOULD phrase next to the MUST group of
-    * single-token expansions (the group type holds terms only), so a doc
-    * matching ONLY the phrase does not satisfy the MUST — the nested
-    * (term OR phrase) requirement is not expressible yet. */
+    * match it. A multi-token synonym of a MUST term becomes a phrase
+    * MEMBER of the term's MUST group — the exact nested
+    * (term OR single-syns OR "multi syn") requirement: a doc matching
+    * only the phrase satisfies the MUST and scores the phrase. */
   def parseWithSynonyms(q: String, synonyms: Map[String, Seq[String]],
       analyzer: Analyzer = Analyzer.default): ParsedQuery = {
     val p = parse(q, analyzer)
@@ -128,17 +132,16 @@ object QueryParser {
     val (notFlat, notPhr) = expandList(p.mustNot)
     val (withSyn, without) = p.must.partition(t => synonyms.contains(t))
     val mustGroups = withSyn.map { t =>
-      val (single, _) = expansions(t)
-      Group((t +: single).distinct)
+      val (single, multi) = expansions(t)
+      Group((t +: single).distinct, multi)
     }
-    val mustPhr = withSyn.flatMap(t => expansions(t)._2).distinct
     p.copy(
       should = shouldFlat,
       must = without,
       groups = p.groups ++ mustGroups,
       mustNot = notFlat,
       phrases = p.phrases ++
-        (shouldPhr ++ mustPhr).map(ts => Phrase(ts, occur = 1)) ++
+        shouldPhr.map(ts => Phrase(ts, occur = 1)) ++
         notPhr.map(ts => Phrase(ts, occur = 2)))
   }
 
@@ -163,6 +166,7 @@ object QueryParser {
     val groups = Vector.newBuilder[Group]
     val conjGroups = Vector.newBuilder[ConjGroup]
     val multiTerms = Vector.newBuilder[MultiTerm]
+    val phrases = Vector.newBuilder[Phrase] // quoted clauses + group phrase members
     val boosts = scala.collection.mutable.Map.empty[String, Float]
     var nextNegated = false
     var promoteNext = false // previous token was AND
@@ -277,31 +281,54 @@ object QueryParser {
             else clauseOccur()
           var j = i + 1
           val member = Vector.newBuilder[String]
+          val phraseMembers = Vector.newBuilder[Vector[String]]
           var hasAnd = false
           while (j < toks.length && toks(j) != ")") {
             toks(j) match {
               case "AND" | "&&" => hasAnd = true
               case "OR" | "||" => // default
-              case tok => analyzer.analyze(stripBoost(tok)._1).foreach(member += _)
+              case tok =>
+                val body = stripBoost(tok)._1
+                // a quoted member stays a positional unit: `+(a "b c")`
+                // matches a OR the exact phrase b c (Lucene's nested
+                // phrase-in-boolean); single-token quotes degrade to terms
+                if (body.length > 1 && body.head == '"' && body.last == '"') {
+                  val ts = analyzer.analyze(body.substring(1, body.length - 1)).toVector
+                  if (ts.length > 1) phraseMembers += ts
+                  else ts.foreach(member += _)
+                } else analyzer.analyze(body).foreach(member += _)
             }
             j += 1
           }
           i = j
           val ms = member.result().distinct
-          if (ms.nonEmpty) {
+          val pms = phraseMembers.result().distinct
+          if (ms.nonEmpty || pms.nonEmpty) {
             if (hasAnd) occur match {
               // MUST conjunction distributes: `+(a AND b)` == `+a +b`.
               // SHOULD / MUST_NOT conjunctions do NOT (`x OR (a AND b)`
               // must not require a AND b globally; `-(a AND b)` excludes
               // only docs matching BOTH) — they become ConjGroup clauses
-              // scored/excluded as a unit (Lucene's nested BooleanQuery)
-              case Must => ms.foreach(m => clauses += Clause(Must, m, phrase = false, 1f))
-              case Should => conjGroups += ConjGroup(ms, 1)
-              case MustNot => conjGroups += ConjGroup(ms, 2)
+              // scored/excluded as a unit (Lucene's nested BooleanQuery).
+              // A quoted member inside an AND group distributes as a MUST
+              // phrase (ConjGroup holds terms only — documented subset)
+              case Must =>
+                ms.foreach(m => clauses += Clause(Must, m, phrase = false, 1f))
+                pms.foreach(p => phrases += Phrase(p, occInt(Must)))
+              case Should =>
+                if (ms.nonEmpty) conjGroups += ConjGroup(ms, 1)
+                pms.foreach(p => phrases += Phrase(p, occInt(Should)))
+              case MustNot =>
+                if (ms.nonEmpty) conjGroups += ConjGroup(ms, 2)
+                pms.foreach(p => phrases += Phrase(p, occInt(MustNot)))
             } else occur match {
-              case Must => groups += Group(ms) // true nested disjunction
-              case Should => ms.foreach(m => clauses += Clause(Should, m, phrase = false, 1f))
-              case MustNot => ms.foreach(m => clauses += Clause(MustNot, m, phrase = false, 1f))
+              case Must => groups += Group(ms, pms) // true nested disjunction
+              case Should =>
+                ms.foreach(m => clauses += Clause(Should, m, phrase = false, 1f))
+                pms.foreach(p => phrases += Phrase(p, occInt(Should)))
+              case MustNot =>
+                ms.foreach(m => clauses += Clause(MustNot, m, phrase = false, 1f))
+                pms.foreach(p => phrases += Phrase(p, occInt(MustNot)))
             }
           }
         case tok =>
@@ -315,7 +342,6 @@ object QueryParser {
     val should = Vector.newBuilder[String]
     val must = Vector.newBuilder[String]
     val mustNot = Vector.newBuilder[String]
-    val phrases = Vector.newBuilder[Phrase]
     clauses.foreach { c =>
       val terms = analyzer.analyze(c.body).toVector
       if (terms.nonEmpty) {

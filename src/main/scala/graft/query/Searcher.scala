@@ -239,10 +239,12 @@ final class Searcher(
     val phrasesAlive = parsed.phrases
       .filter(_.terms.forall(t => dfs.getOrElse(t, 0L) > 0))
     if (parsed.phrases.exists(p => p.occur == 0 && !phrasesAlive.contains(p))) return None
-    // a MUST group (grouped disjunction) needs at least one live member
+    // a MUST group (grouped disjunction) needs at least one live member:
+    // term members with df>0, phrase members with every term live
     val groupsAlive = parsed.groups
-      .map(g => Group(g.terms.filter(t => dfs.getOrElse(t, 0L) > 0)))
-    if (groupsAlive.exists(_.terms.isEmpty)) return None
+      .map(g => Group(g.terms.filter(t => dfs.getOrElse(t, 0L) > 0),
+        g.phrases.filter(_.forall(t => dfs.getOrElse(t, 0L) > 0))))
+    if (groupsAlive.exists(g => g.terms.isEmpty && g.phrases.isEmpty)) return None
     // a conjunction group (SHOULD or MUST_NOT) with ANY dead member can
     // never match — it simply drops out (it is optional either way)
     val conjAlive = parsed.conjGroups
@@ -265,9 +267,9 @@ final class Searcher(
       phrasesAlive.zipWithIndex.map { case (p, i) =>
         (p.terms, p.occur, scoring.length + i, p.slop)
       }
-    val groupMeta: Vector[(Vector[String], Int)] =
+    val groupMeta: Vector[(Vector[String], Vector[Vector[String]], Int)] =
       groupsAlive.zipWithIndex.map { case (g, i) =>
-        (g.terms, scoring.length + phrasesAlive.length + i)
+        (g.terms, g.phrases, scoring.length + phrasesAlive.length + i)
       }
     // (conj terms, occur 1|2, queryPos) — after the MUST groups in order
     val conjMeta: Vector[(Vector[String], Int, Int)] =
@@ -327,7 +329,8 @@ final class Searcher(
         fmap, hasFilter, conjMeta))
 
     val queried = (meta.keys ++ phraseMeta.flatMap(_._1) ++
-      groupMeta.flatMap(_._1) ++ conjMeta.flatMap(_._1)).toSeq.distinct
+      groupMeta.flatMap(g => g._1 ++ g._2.flatten) ++
+      conjMeta.flatMap(_._1)).toSeq.distinct
     // the norms sidecar rides along as the term=="" rows: one filtered scan
     // carries everything a segment needs to score itself
     val rows = postings
@@ -742,7 +745,7 @@ object Searcher {
   final case class QueryMeta(
       meta: Map[String, (Int, Int)], // term -> (queryPos, occur 0=must 1=should 2=not)
       phraseMeta: Vector[(Vector[String], Int, Int, Int)], // (terms, occur, queryPos, slop)
-      groupMeta: Vector[(Vector[String], Int)],
+      groupMeta: Vector[(Vector[String], Vector[Vector[String]], Int)], // (terms, phrase members, queryPos)
       idfs: Map[String, Float],
       boosts: Map[String, Float],
       normCache: Array[Float],
@@ -817,14 +820,24 @@ object Searcher {
         }
       } else if (occ == 0) missingMust = true
     }
-    qm.groupMeta.foreach { case (terms, qpos) =>
+    qm.groupMeta.foreach { case (terms, phrases, qpos) =>
+      // member order: terms first, then phrase members — the score sums
+      // matching members in this order (fixed float accumulation)
       val present = terms.filter(byTerm.contains)
-      if (present.isEmpty) missingMust = true // MUST group can't match here
-      else {
-        val members = present.map(t =>
-          new PostingCursor(byTerm(t).blocks, wIdf(t), nc, 0)).toArray
-        mustCur += new DisjunctionCursor(members, qpos)
-      }
+      val termCursors: Vector[Cursor] = present.map(t =>
+        new PostingCursor(byTerm(t).blocks, wIdf(t), nc, 0))
+      val phraseCursors: Vector[Cursor] = phrases
+        .filter(_.forall(byTerm.contains))
+        .map { pts =>
+          val members = pts.map(t =>
+            new PostingCursor(byTerm(t).blocks, qm.idfs(t), nc, 0)).toArray
+          var idfSum = 0f
+          pts.foreach(t => idfSum += qm.idfs(t))
+          new PhraseCursor(members, idfSum, nc, 0, 0)
+        }
+      val all = (termCursors ++ phraseCursors).toArray
+      if (all.isEmpty) missingMust = true // MUST group can't match here
+      else mustCur += new DisjunctionCursor(all, qpos)
     }
     qm.conjMeta.foreach { case (terms, occ, qpos) =>
       // a conjunction group needs EVERY member in this segment; with any

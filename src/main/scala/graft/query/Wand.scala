@@ -282,9 +282,11 @@ final class PhraseCursor(
 
 /** Grouped disjunction `+(a b ...)` as a single MUST clause: matches when
   * any member matches; every matching member contributes score, summed in
-  * member (query) order — Lucene's nested BooleanQuery-as-clause shape. */
+  * member (query) order — Lucene's nested BooleanQuery-as-clause shape.
+  * Members are any cursors: term postings or phrase members (`+(a "b c")`,
+  * multi-token synonyms of a MUST term). */
 final class DisjunctionCursor(
-    members: Array[PostingCursor],
+    members: Array[Cursor],
     val queryPos: Int) extends Cursor {
 
   val maxScore: Float = {

@@ -304,13 +304,43 @@ class EngineSpec extends AnyFunSuite {
     val a = searcher.topKHits(p, 10).collect().toSeq
     val b = searcher.topKHits(QueryParser.parse("error retry \"merge group\""), 10).collect().toSeq
     assert(a == b, "synonym phrase diverged from the hand-quoted phrase query")
-    // MUST term: single-token expansions group, multi-token becomes a
-    // SHOULD phrase (documented subset); MUST_NOT excludes via phrase
+    // MUST term: single-token expansions group as terms, multi-token
+    // becomes a phrase MEMBER of the same group — the exact nested
+    // (term OR syn OR "multi syn") requirement; MUST_NOT excludes via phrase
     val pm = QueryParser.parseWithSynonyms("+error", Map("error" -> Seq("timeout", "merge group")))
-    assert(pm.groups == Vector(graft.query.Group(Vector("error", "timeout"))))
-    assert(pm.phrases == Vector(graft.query.Phrase(Vector("merge", "group"), occur = 1)))
+    assert(pm.groups == Vector(graft.query.Group(Vector("error", "timeout"),
+      Vector(Vector("merge", "group")))))
+    assert(pm.phrases.isEmpty)
     val pn = QueryParser.parseWithSynonyms("retry -error", Map("error" -> Seq("merge group")))
     assert(pn.phrases == Vector(graft.query.Phrase(Vector("merge", "group"), occur = 2)))
+  }
+
+  test("group with a phrase member: engine == oracle (synonym-MUST and quoted member)") {
+    // (1) via the synonym rewrite of a MUST term
+    val pm = QueryParser.parseWithSynonyms("+error retry",
+      Map("error" -> Seq("timeout", "merge group")))
+    // (2) via the grammar: a quoted member inside a MUST group
+    val pg = QueryParser.parse("+(error \"merge group\") retry")
+    assert(pg.groups == Vector(graft.query.Group(Vector("error"),
+      Vector(Vector("merge", "group")))))
+    for (parsed <- Seq(pm, pg)) {
+      val engine = searcher.topKHits(parsed, 10).collect()
+      val oracle = Oracle.topK(spark,
+        searcher.docs.select($"doc_id", $"text", $"role", $"tool"), parsed, 10).collect()
+      assert(engine.length == oracle.length && engine.nonEmpty)
+      engine.zip(oracle).foreach { case (e, o) =>
+        assert(e.doc_id == o.doc_id && e.score == o.score,
+          s"group-phrase diverged: $e vs $o")
+      }
+    }
+    // a doc matching ONLY the phrase member satisfies the MUST: the match
+    // set must be a superset of the term-only group's
+    val termOnly = QueryParser.parseWithSynonyms("+error", Map("error" -> Seq("timeout")))
+    val withPhrase = QueryParser.parseWithSynonyms("+error",
+      Map("error" -> Seq("timeout", "merge group")))
+    val a = searcher.topKHits(termOnly, 200).collect().map(_.doc_id).toSet
+    val b = searcher.topKHits(withPhrase, 200).collect().map(_.doc_id).toSet
+    assert(a.subsetOf(b), "phrase member must widen the MUST match set")
   }
 
   test("early termination: unlimited budget == exact; small budget is a valid partial") {
