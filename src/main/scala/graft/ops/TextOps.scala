@@ -411,6 +411,60 @@ object TextOps {
           .orderBy(col("doc_id"), col("bench_id"))
       }),
 
+    Op("pipeline_clean_corpus",
+      "the composed training-data hygiene FUNNEL every LLM pipeline runs — " +
+        "quality filter (>= 5 tokens) -> exact dedup (keep min doc_id per " +
+        "content hash) -> decontamination (drop docs sharing >= 5 3-gram " +
+        "shingles with the benchmark slice) — reported as docs surviving " +
+        "each stage, the funnel metric a pipeline owner actually monitors. " +
+        "Scale shape: stage 1 is a filter, stage 2 a hash groupBy, stage 3 " +
+        "the broadcast-benchmark overlap join — each stage linear, no " +
+        "corpus-vs-corpus shuffle anywhere",
+      Some("""WITH raw AS (SELECT doc_id, text FROM documents),
+             |q AS (SELECT doc_id, text FROM raw WHERE len(string_split(text, ' ')) >= 5),
+             |d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM raw
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+             |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+             |bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 17 = 0),
+             |contaminated AS (SELECT DISTINCT s.doc_id
+             |  FROM sh s JOIN bench b USING (g) WHERE s.doc_id <> b.bench_id
+             |  GROUP BY s.doc_id, b.bench_id HAVING count(*) >= 5),
+             |clean AS (SELECT doc_id FROM d WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+             |SELECT * FROM (
+             |  SELECT 0 AS ord, 'raw' AS stage, (SELECT CAST(count(*) AS BIGINT) FROM raw) AS docs
+             |  UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q)
+             |  UNION ALL SELECT 2, 'dedup', (SELECT count(*) FROM d)
+             |  UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM clean))
+             |ORDER BY ord""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val raw = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val q = raw.where(size(split(col("text"), " ")) >= 5)
+        val d = q.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        // contaminated ids: same shape as text_decontaminate (broadcast
+        // benchmark side), reduced to the distinct flagged doc set
+        val sh = shingleTable(s, dir)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val bench = sh.where(col("doc_id") % 17 === 0)
+          .select(col("doc_id").as("bench_id"), col("g"))
+        val contaminated = sh.join(broadcast(bench), "g")
+          .where(col("doc_id") =!= col("bench_id"))
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).as("ov"))
+          .where(col("ov") >= 5)
+          .select(col("doc_id")).distinct()
+        val clean = d.join(contaminated, Seq("doc_id"), "left_anti")
+        val counts = Seq(
+          (0, "raw", raw.count()),
+          (1, "quality", q.count()),
+          (2, "dedup", d.count()),
+          (3, "decontaminated", clean.count()))
+        counts.toDF("ord", "stage", "docs").orderBy(col("ord"))
+      }),
+
     Op("text_dedup_ngram_jaccard",
       "exact near-dup pairs by word-3-gram Jaccard >= 0.6 via inverted " +
         "shingle join (the exact baseline the MinHash path approximates)",
