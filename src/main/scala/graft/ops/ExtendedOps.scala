@@ -401,14 +401,18 @@ object ExtendedOps {
             .select(col("b").as("child"), col("a").as("parent"))
             .join(vSide, col("child") === col("seen"), "left_anti")
             .localCheckpoint(true)
-          val newNodes = newEdges.select(col("child").as("node"))
-            .distinct().localCheckpoint(true)
+          // frontier stays a cheap distinct over the CHECKPOINTED edges —
+          // two jobs per round total (edge checkpoint + the combined stats
+          // action below), not four (the count and target probe share one
+          // aggregation)
           parents = parents.unionByName(newEdges.withColumn("d", lit(depth)))
-          frontier = newNodes
-          frontierCount = frontier.count()
+          frontier = newEdges.select(col("child").as("node")).distinct()
+          val stats = frontier.agg(count(lit(1)),
+            max(when(col("node") === target, 1L))).head()
+          frontierCount = stats.getLong(0)
+          found = !stats.isNullAt(1) && stats.getLong(1) == 1L
           visitedCount += frontierCount
           visited = visited.unionByName(frontier)
-          found = frontier.where(col("node") === target).limit(1).count() > 0
         }
         def render(c: org.apache.spark.sql.Column) =
           when(c % 2 === 0, concat(lit("p"), (c / 2).cast("long")))
