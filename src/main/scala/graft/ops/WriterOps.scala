@@ -40,6 +40,49 @@ object WriterOps {
           .orderBy(col("bal").desc, col("c_custkey"))
       }),
 
+    Op("writer_xml",
+      "XML response writer: a result page serialized to the Solr wt=xml " +
+        "<result><doc><field> shape (solr/core/src/java/org/apache/solr/" +
+        "response/XMLWriter.java) in a compiled projection, then parsed " +
+        "back through the same StAX pull parser the XML loader uses — " +
+        "round-trip equality with the query is the oracle; serialization " +
+        "and parse both distribute as plain per-row projections",
+      Some("""SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""".stripMargin),
+      (s, dir) => {
+        val res = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val serialized = res.select(concat(
+          lit("<doc><field name=\"n_nationkey\">"), col("n_nationkey"),
+          lit("</field><field name=\"n_name\">"), col("n_name"),
+          lit("</field></doc>")).as("xml"))
+        val parseUdf = udf((xml: String) => {
+          val f = javax.xml.stream.XMLInputFactory.newInstance()
+          f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+          val r = f.createXMLStreamReader(new java.io.StringReader(xml))
+          val fields = scala.collection.mutable.Map.empty[String, String]
+          var cur: String = null
+          val sb = new StringBuilder
+          while (r.hasNext) {
+            r.next() match {
+              case javax.xml.stream.XMLStreamConstants.START_ELEMENT
+                  if r.getLocalName == "field" =>
+                cur = r.getAttributeValue(null, "name"); sb.clear()
+              case javax.xml.stream.XMLStreamConstants.CHARACTERS if cur != null =>
+                sb.append(r.getText)
+              case javax.xml.stream.XMLStreamConstants.END_ELEMENT
+                  if r.getLocalName == "field" =>
+                fields(cur) = sb.toString; cur = null
+              case _ =>
+            }
+          }
+          r.close()
+          (fields.getOrElse("n_nationkey", ""), fields.getOrElse("n_name", ""))
+        })
+        serialized.select(parseUdf(col("xml")).as("d"))
+          .select(col("d._1").cast("int").as("n_nationkey"), col("d._2").as("n_name"))
+          .orderBy(col("n_nationkey"))
+      }),
+
     Op("writer_csv",
       "CSV response writer: an aggregated result exported as quoted CSV " +
         "with header and read back typed — the /select?wt=csv path " +
