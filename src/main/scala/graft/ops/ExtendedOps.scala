@@ -722,6 +722,86 @@ object ExtendedOps {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(100)),
 
+    Op("eval_regression_surface",
+      "fourth tier of the streaming-expression evaluators: the regression " +
+        "family (solrj-streaming .../io/eval/RegressionEvaluator.java — " +
+        "slope/intercept/R/RSquared via commons-math SimpleRegression —, " +
+        "PredictEvaluator.java, CorrelationEvaluator.java, Covariance" +
+        "Evaluator.java) as grouped OLS of l_extendedprice on l_quantity. " +
+        "Parity recipe: the five sufficient statistics (n, Sx, Sy, Sxy, " +
+        "Sxx, Syy) accumulate as DECIMAL — exact and associative, so " +
+        "Spark's partial+final shuffle agg and DuckDB's single-pass agg " +
+        "agree bit-for-bit — and only the final slope/intercept/r/cov " +
+        "arithmetic runs in doubles, with the identical IEEE expression " +
+        "shape on both sides, rounded 6dp at the end. One shuffle (the " +
+        "groupBy), map-side partials, 3-column pruned scan. The remaining " +
+        "evaluator family (probability distributions) stays declared out " +
+        "of scope: Spark has no distribution objects and a UDF port would " +
+        "be numerics-porting, not query-engine work",
+      Some("""WITH s AS (
+             |  SELECT l_returnflag AS g, count(*) AS n0,
+             |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx0,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy0,
+             |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy0,
+             |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx0,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy0
+             |  FROM lineitem GROUP BY 1),
+             |d AS (SELECT g, CAST(n0 AS DOUBLE) AS nd,
+             |    CAST(sx0 AS DOUBLE) AS sx, CAST(sy0 AS DOUBLE) AS sy,
+             |    CAST(sxy0 AS DOUBLE) AS sxy, CAST(sxx0 AS DOUBLE) AS sxx,
+             |    CAST(syy0 AS DOUBLE) AS syy FROM s),
+             |raw AS (SELECT g, nd, sx, sy,
+             |    (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope_raw,
+             |    (nd * sxy - sx * sy) /
+             |      (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) AS r_raw,
+             |    (sxy - sx * sy / nd) / (nd - 1) AS cov_raw FROM d),
+             |raw2 AS (SELECT g, nd, slope_raw, r_raw, cov_raw,
+             |    (sy - slope_raw * sx) / nd AS icept_raw FROM raw)
+             |SELECT g, CAST(nd AS BIGINT) AS n,
+             |  round(slope_raw, 6) AS slope,
+             |  round(icept_raw, 6) AS intercept,
+             |  round(r_raw, 6) AS corr_r,
+             |  round(r_raw * r_raw, 6) AS r_squared,
+             |  round(cov_raw, 6) AS covariance,
+             |  round(icept_raw + slope_raw * 25.0, 6) AS predict_25
+             |FROM raw2 ORDER BY g""".stripMargin),
+      (s, dir) => {
+        import Op.dec2
+        val agg = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            dec2(col("l_quantity")).as("x"), dec2(col("l_extendedprice")).as("y"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n0"),
+            sum(col("x")).as("sx0"), sum(col("y")).as("sy0"),
+            sum(col("x") * col("y")).as("sxy0"),
+            sum(col("x") * col("x")).as("sxx0"),
+            sum(col("y") * col("y")).as("syy0"))
+        agg.select(col("g"),
+          col("n0").cast("double").as("nd"),
+          col("sx0").cast("double").as("sx"), col("sy0").cast("double").as("sy"),
+          col("sxy0").cast("double").as("sxy"), col("sxx0").cast("double").as("sxx"),
+          col("syy0").cast("double").as("syy"))
+          .withColumn("slope_raw",
+            (col("nd") * col("sxy") - col("sx") * col("sy")) /
+              (col("nd") * col("sxx") - col("sx") * col("sx")))
+          .withColumn("r_raw",
+            (col("nd") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("nd") * col("syy") - col("sy") * col("sy"))))
+          .withColumn("cov_raw",
+            (col("sxy") - col("sx") * col("sy") / col("nd")) / (col("nd") - 1))
+          .withColumn("icept_raw",
+            (col("sy") - col("slope_raw") * col("sx")) / col("nd"))
+          .select(col("g"), col("nd").cast("long").as("n"),
+            round(col("slope_raw"), 6).as("slope"),
+            round(col("icept_raw"), 6).as("intercept"),
+            round(col("r_raw"), 6).as("corr_r"),
+            round(col("r_raw") * col("r_raw"), 6).as("r_squared"),
+            round(col("cov_raw"), 6).as("covariance"),
+            round(col("icept_raw") + col("slope_raw") * lit(25.0), 6).as("predict_25"))
+          .orderBy(col("g"))
+      }),
+
     Op("filter_geofilt",
       "{!geofilt} great-circle distance filter (search/" +
         "SpatialFilterQParserPlugin.java; the geodist() function of " +

@@ -828,10 +828,11 @@ object FtsOps {
         "(ExtendedDismaxQParser boost param handling, " +
         "search/BoostQParserPlugin.java, FunctionQParser.java; recip is " +
         "the standard date-boost idiom in the reference docs). Age is " +
-        "derived from doc_id (the synthetic ts is doc_id-linear), so the " +
-        "whole expression is double math with one fixed shape on both " +
-        "sides; boost applies to EVERY matching doc before ranking, not " +
-        "to a rerank window",
+        "derived from doc_id (the synthetic ts is doc_id-linear) against a " +
+        "horizon of max(doc_id)+1 computed from the corpus on BOTH sides — " +
+        "not a hardcoded constant, so the age stays >= 0 and the recip " +
+        "denominator positive at any corpus size; boost applies to EVERY " +
+        "matching doc before ranking, not to a rerank window",
       Some(s"""WITH lut AS ($byte4LookupSql),
               |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1)) t(w, qp)),
               |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -850,17 +851,22 @@ object FtsOps {
               |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
               |base AS (SELECT doc_id,
               |    round(list_reduce(list(p ORDER BY qp), (a, v) -> a + v), 6) AS score
-              |  FROM partials GROUP BY doc_id)
+              |  FROM partials GROUP BY doc_id),
+              |hor AS (SELECT CAST(max(doc_id) + 1 AS DOUBLE) AS horizon FROM documents)
               |SELECT doc_id, score,
-              |  round(score * (1000.0 / (1.0 * (10000.0 - CAST(doc_id AS DOUBLE)) + 1000.0)), 6) AS boosted
-              |FROM base
+              |  round(score * (1000.0 / (1.0 * (hor.horizon - CAST(doc_id AS DOUBLE)) + 1000.0)), 6) AS boosted
+              |FROM base, hor
               |ORDER BY boosted DESC, doc_id LIMIT 20""".stripMargin),
       (s, dir) => {
         val idx = index(s, dir, "documents")
+        val hor = t(s, dir, "documents")
+          .agg((max(col("doc_id")) + 1).cast("double").as("horizon"))
         bm25DoubleScores(s, idx, Seq("data", "query"))
+          .crossJoin(broadcast(hor))
           .withColumn("boosted",
             round(col("score") *
-              (lit(1000.0) / (lit(1.0) * (lit(10000.0) - col("doc_id").cast("double")) + lit(1000.0))), 6))
+              (lit(1000.0) / (lit(1.0) * (col("horizon") - col("doc_id").cast("double")) + lit(1000.0))), 6))
+          .select(col("doc_id"), col("score"), col("boosted"))
           .orderBy(col("boosted").desc, col("doc_id"))
           .limit(20)
       }),

@@ -257,6 +257,25 @@ object VectorOps {
       None,
       (s, dir) => int8TopK(s, dir, k = 10, over = 4)),
 
+    Op("vec_ann_binary",
+      "binary-quantized ANN: 1-bit sign quantization per component (the " +
+        "BinaryQuantizedDenseVectorField analogue — solr/core/src/java/org/" +
+        "apache/solr/schema/BinaryQuantizedDenseVectorField.java), packing " +
+        "the 64-dim sign pattern into ONE int64 per vector; candidates are " +
+        "the k*over lowest Hamming distances to the query bits (pure " +
+        "codegen: bit_count(xor) — no UDF in the scan), then the candidate " +
+        "ids join back to the float tier for exact cosine rerank. Memory " +
+        "math: 64-dim float32 = 256 B/vector; 1 bit/dim = 8 B (32x) — at " +
+        "10^9 vectors the hot tier drops 256 GB -> 8 GB, small enough to " +
+        "stay RAM-resident per executor, and sign bits are scale-invariant " +
+        "so no normalization pass is needed. At scale the bit tier is a " +
+        "materialized sidecar column (like the index), not recomputed per " +
+        "query. Candidate selection is a partition-parallel TakeOrdered; " +
+        "recall@10 vs the exact op and the over=all identity are pinned by " +
+        "OpsSpec. Engine-only (approximate), no SQL oracle",
+      None,
+      (s, dir) => binTopK(s, dir, k = 10, over = 8)),
+
     Op("vec_ann_ivf",
       "IVF ANN: deterministic k-means coarse quantizer (16 lists, trained " +
         "on a bounded driver-side sample, 8 Lloyd iterations on L2-" +
@@ -309,6 +328,38 @@ object VectorOps {
       .crossJoin(broadcast(qSide))
       .select(col("vec_id"), dot8Udf(col("q8"), col("query8")).as("d8"))
       .orderBy(col("d8").desc, col("vec_id"))
+      .limit(k * over)
+    // exact rerank: only the k*over candidate ids touch the float tier
+    val qe = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.join(broadcast(cand.select(col("vec_id"))), "vec_id")
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Binary-quantized top-k (see the `vec_ann_binary` op doc). Exposed with
+    * explicit (k, over) so OpsSpec can gate recall and the over=all
+    * identity. */
+  def binTopK(s: SparkSession, dir: String, k: Int, over: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // sign bits are invariant under positive scaling, so quantization needs
+    // no L2 normalization; dims > 64 would shard into an array<long>
+    val bitsUdf = udf((v: Seq[Float]) => {
+      var bits = 0L
+      val n = math.min(64, v.length)
+      var i = 0
+      while (i < n) { if (v(i) > 0) bits |= (1L << i); i += 1 }
+      bits
+    })
+    val qz = e.select(col("vec_id"), bitsUdf(col("embedding")).as("b64"))
+    val qSide = qz.where(col("vec_id") === 0).select(col("b64").as("qb"))
+    // the candidate scan touches ONLY (vec_id, b64): 8 B/vector resident
+    // tier, distance = popcount(xor) — whole-stage-codegen arithmetic
+    val cand = qz.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qSide))
+      .select(col("vec_id"), expr("bit_count(b64 ^ qb)").as("ham"))
+      .orderBy(col("ham").asc, col("vec_id"))
       .limit(k * over)
     // exact rerank: only the k*over candidate ids touch the float tier
     val qe = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))

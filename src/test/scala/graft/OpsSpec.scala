@@ -107,6 +107,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vec_ann_binary: recall@10 >= 0.9 vs exact; over=all candidates == brute force") {
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = ids(SparkEntry.queries("vec_ann_topk")(spark, dir))
+      // registry config: k=10, over=8 — 1 bit/dim is the coarsest tier, so
+      // its recall floor sits below int8's 0.95 at the same overfetch
+      val q = ids(graft.ops.VectorOps.binTopK(spark, dir, k = 10, over = 8))
+      val recall = exact.toSet.intersect(q.toSet).size.toDouble / exact.size
+      assert(recall >= 0.9, s"$dir binary recall@10 $recall < 0.9")
+      // over covering the whole corpus makes Hamming candidate selection a
+      // no-op: the quantized path must then reproduce the exact ranking
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count().toInt
+      val full = ids(graft.ops.VectorOps.binTopK(spark, dir, k = 10, over = n))
+      assert(full == exact, s"$dir full-overfetch binary diverged from brute force")
+    }
+  }
+
   test("vec_ann_ivf: full probe == brute force exactly; partial probe holds its recall floor") {
     // The synthetic embeddings are uniform on the sphere (no cluster
     // structure), so a partition-pruning method's partial-probe recall is
