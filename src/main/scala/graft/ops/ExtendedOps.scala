@@ -802,6 +802,88 @@ object ExtendedOps {
           .orderBy(col("g"))
       }),
 
+    Op("eval_distribution_surface",
+      "fifth tier of the streaming-expression evaluators: the probability-" +
+        "distribution family's DETERMINISTIC surface — density/pmf and " +
+        "cumulative probability (solrj-streaming .../io/eval/" +
+        "NormalDistributionEvaluator.java, UniformDistributionEvaluator, " +
+        "PoissonDistributionEvaluator, GeometricDistributionEvaluator, " +
+        "BinomialDistributionEvaluator, LogNormalDistributionEvaluator, " +
+        "WeibullDistributionEvaluator, applied through DensityEvaluator / " +
+        "CumulativeProbabilityEvaluator — the reference wraps commons-math " +
+        "distribution objects) rendered as closed-form column math at " +
+        "x = l_quantity. Parity recipe: every formula is ONE fixed IEEE " +
+        "expression shape on both sides — the normal CDF uses the " +
+        "Abramowitz-Stegun 7.1.26 erf polynomial (|eps| < 1.5e-7, absorbed " +
+        "by round 6dp) in identical Horner form, pmfs use exact integer " +
+        "factorial(k) for k <= 14 — so Spark and DuckDB agree bit-for-bit " +
+        "before the final round. Pure narrow projection: no shuffle, " +
+        "3-column pruned scan. sample()/random draws stay out of scope " +
+        "(non-deterministic by definition); empirical/enumerated " +
+        "distributions are the t-digest/facet surfaces already covered",
+      Some("""WITH b AS (SELECT l_orderkey, l_linenumber,
+             |    CAST(l_quantity AS DOUBLE) AS x,
+             |    CAST(CAST(floor(l_quantity) AS INT) % 15 AS INT) AS k15,
+             |    CAST(CAST(floor(l_quantity) AS INT) % 11 AS INT) AS k11
+             |  FROM lineitem),
+             |z AS (SELECT *, (x - 25.0) / (10.0 * sqrt(2.0)) AS zz FROM b),
+             |e AS (SELECT *, abs(zz) AS az,
+             |    1.0 / (1.0 + 0.3275911 * abs(zz)) AS tt FROM z),
+             |f AS (SELECT *,
+             |    CASE WHEN zz = 0.0 THEN 0.0 ELSE (CASE WHEN zz > 0.0 THEN 1.0 ELSE -1.0 END) END *
+             |      (1.0 - tt * (0.254829592 + tt * (-0.284496736 + tt *
+             |        (1.421413741 + tt * (-1.453152027 + tt * 1.061405429)))) *
+             |        exp(-az * az)) AS erf_v
+             |  FROM e)
+             |SELECT l_orderkey, l_linenumber, x,
+             |  round(exp(-((x - 25.0) * (x - 25.0)) / 200.0) / (10.0 * sqrt(2.0 * pi())), 6) AS norm_pdf,
+             |  round(0.5 * (1.0 + erf_v), 6) AS norm_cdf,
+             |  round(0.05 * exp(-0.05 * x), 6) AS exp_pdf,
+             |  round(1.0 - exp(-0.05 * x), 6) AS exp_cdf,
+             |  round(least(1.0, x / 50.0), 6) AS unif_cdf,
+             |  round(power(4.0, k15) * exp(-4.0) / CAST(factorial(k15) AS DOUBLE), 6) AS pois_pmf,
+             |  round(0.25 * power(0.75, k15), 6) AS geom_pmf,
+             |  round(CAST(factorial(10) AS DOUBLE) /
+             |    (CAST(factorial(k11) AS DOUBLE) * CAST(factorial(10 - k11) AS DOUBLE)) *
+             |    power(0.3, k11) * power(0.7, 10 - k11), 6) AS binom_pmf,
+             |  round(1.0 - exp(-power(x / 30.0, 1.5)), 6) AS weib_cdf,
+             |  round(exp(-((ln(x) - 3.0) * (ln(x) - 3.0)) / 2.0) / (x * sqrt(2.0 * pi())), 6) AS lognorm_pdf
+             |FROM f ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+      (s, dir) => {
+        val x = col("x"); val k15 = col("k15"); val k11 = col("k11")
+        val sqrt2pi = sqrt(lit(2.0) * lit(math.Pi))
+        val base = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("double").as("x"),
+            (floor(col("l_quantity")).cast("int") % 15).cast("int").as("k15"),
+            (floor(col("l_quantity")).cast("int") % 11).cast("int").as("k11"))
+          .withColumn("zz", (x - 25.0) / (lit(10.0) * sqrt(lit(2.0))))
+          .withColumn("az", abs(col("zz")))
+          .withColumn("tt", lit(1.0) / (lit(1.0) + lit(0.3275911) * abs(col("zz"))))
+        val tt = col("tt"); val az = col("az"); val zz = col("zz")
+        val erfV =
+          when(zz === 0.0, 0.0).otherwise(when(zz > 0.0, 1.0).otherwise(-1.0)) *
+            (lit(1.0) - tt * (lit(0.254829592) + tt * (lit(-0.284496736) + tt *
+              (lit(1.421413741) + tt * (lit(-1.453152027) + tt * lit(1.061405429))))) *
+              exp(-az * az))
+        base.withColumn("erf_v", erfV)
+          .select(col("l_orderkey"), col("l_linenumber"), x,
+            round(exp(-((x - 25.0) * (x - 25.0)) / 200.0) / (lit(10.0) * sqrt2pi), 6).as("norm_pdf"),
+            round(lit(0.5) * (lit(1.0) + col("erf_v")), 6).as("norm_cdf"),
+            round(lit(0.05) * exp(lit(-0.05) * x), 6).as("exp_pdf"),
+            round(lit(1.0) - exp(lit(-0.05) * x), 6).as("exp_cdf"),
+            round(least(lit(1.0), x / 50.0), 6).as("unif_cdf"),
+            round(pow(lit(4.0), k15) * exp(lit(-4.0)) / factorial(k15).cast("double"), 6).as("pois_pmf"),
+            round(lit(0.25) * pow(lit(0.75), k15), 6).as("geom_pmf"),
+            round(factorial(lit(10)).cast("double") /
+              (factorial(k11).cast("double") * factorial(lit(10) - k11).cast("double")) *
+              pow(lit(0.3), k11) * pow(lit(0.7), lit(10) - k11), 6).as("binom_pmf"),
+            round(lit(1.0) - exp(-pow(x / 30.0, 1.5)), 6).as("weib_cdf"),
+            round(exp(-((log(x) - 3.0) * (log(x) - 3.0)) / 2.0) / (x * sqrt2pi), 6).as("lognorm_pdf"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .limit(100)
+      }),
+
     Op("filter_geofilt",
       "{!geofilt} great-circle distance filter (search/" +
         "SpatialFilterQParserPlugin.java; the geodist() function of " +
