@@ -503,22 +503,31 @@ object Bench {
         graft.ops.TextOps.prewarm(s, sfDir)
         results("dedup_prep_sec") = sec(System.nanoTime() - td)
       } catch { case _: Throwable => }
+      var sweepFailed = 0
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(s, sfDir).count() } catch { case _: Throwable => }
+        // a throwing op must NOT masquerade as a fast green one in the
+        // summary: count it, keep the sweep going, surface the total
+        try { fn(s, sfDir).count() } catch {
+          case e: Throwable =>
+            sweepFailed += 1
+            System.err.println(s"[sweep] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         results(name) = sec(System.nanoTime() - t0)
         sweepOps += name
       }
       stopSession(s)
       // sweep summary into the headline (the driver's tail-capture window is
       // 2 KB, too small for the full 130+-op map — these keys prove the
-      // "every op bounded" claim in the captured line itself)
+      // "every op bounded" claim in the captured line itself; sweep_failed
+      // proves the "every op RAN" half of it)
       val times = sweepOps.map(results)
       if (times.nonEmpty) {
         results("sweep_ops") = times.length.toDouble
         results("sweep_max_sec") = times.max
         results("sweep_over_2s") = times.count(_ > 2.0).toDouble
         results("sweep_total_sec") = times.sum
+        results("sweep_failed") = sweepFailed.toDouble
       }
     }
 
@@ -555,6 +564,7 @@ object Bench {
       "scaling_efficiency", "index_turns", "scaling_gated",
       "query_p50_ms", "query_p95_ms", "query_mean_ms", "query_gated",
       "sweep_ops", "sweep_max_sec", "sweep_over_2s", "sweep_total_sec",
+      "sweep_failed",
       "fts_index_build_sec", "fts_searcher_init_sec", "dedup_prep_sec")
     val headline = headlineKeys.flatMap(k => results.get(k).map(k -> _))
     println(s"""{"metric":"bench_total","value":$total,"unit":"sec","queries":${fmt(headline)},"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")

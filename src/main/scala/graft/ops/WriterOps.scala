@@ -52,30 +52,11 @@ object WriterOps {
         val res = t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))
         val serialized = res.select(concat(
-          lit("<doc><field name=\"n_nationkey\">"), col("n_nationkey"),
-          lit("</field><field name=\"n_name\">"), col("n_name"),
+          lit("<doc><field name=\"n_nationkey\">"), XmlCodec.esc(col("n_nationkey")),
+          lit("</field><field name=\"n_name\">"), XmlCodec.esc(col("n_name")),
           lit("</field></doc>")).as("xml"))
         val parseUdf = udf((xml: String) => {
-          val f = javax.xml.stream.XMLInputFactory.newInstance()
-          f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
-          val r = f.createXMLStreamReader(new java.io.StringReader(xml))
-          val fields = scala.collection.mutable.Map.empty[String, String]
-          var cur: String = null
-          val sb = new StringBuilder
-          while (r.hasNext) {
-            r.next() match {
-              case javax.xml.stream.XMLStreamConstants.START_ELEMENT
-                  if r.getLocalName == "field" =>
-                cur = r.getAttributeValue(null, "name"); sb.clear()
-              case javax.xml.stream.XMLStreamConstants.CHARACTERS if cur != null =>
-                sb.append(r.getText)
-              case javax.xml.stream.XMLStreamConstants.END_ELEMENT
-                  if r.getLocalName == "field" =>
-                fields(cur) = sb.toString; cur = null
-              case _ =>
-            }
-          }
-          r.close()
+          val fields = XmlCodec.parseFields(xml)
           (fields.getOrElse("n_nationkey", ""), fields.getOrElse("n_name", ""))
         })
         serialized.select(parseUdf(col("xml")).as("d"))

@@ -53,9 +53,11 @@ object Oracle {
         g.phrases.filter(_.forall(t => dfMap.getOrElse(t, 0L) > 0))))
     if (groupsAlive.exists(g => g.terms.isEmpty && g.phrases.isEmpty))
       return spark.emptyDataset[Hit]
-    // a conjunction group with any dead member can never match — drops out
+    // a conjunction group with any dead member (term or phrase term) can
+    // never match — drops out
     val conjAlive = parsed.conjGroups
-      .filter(_.terms.forall(t => dfMap.getOrElse(t, 0L) > 0))
+      .filter(g => g.terms.forall(t => dfMap.getOrElse(t, 0L) > 0) &&
+        g.phrases.forall(_.forall(t => dfMap.getOrElse(t, 0L) > 0)))
     val scoringLive = scoring.filter(t => dfMap.getOrElse(t, 0L) > 0)
     if (scoringLive.isEmpty && groupsAlive.isEmpty &&
       phrasesAlive.forall(_.occur == 2) && conjAlive.forall(_.occur == 2))
@@ -168,8 +170,9 @@ object Oracle {
         .select($"doc_id", lit(gq).as("qpos"), $"partial", lit(1).as("is_must"))
     }
 
-    // SHOULD conjunction-group partials: only docs matching EVERY member
-    // score the group (sum of member partials in member order)
+    // SHOULD conjunction-group partials: only docs matching EVERY member —
+    // term or exact-phrase — score the group (sum of member partials in
+    // member order: terms first, then phrase members, like the engine)
     val conjPartials = conjAlive.zipWithIndex.filter(_._1.occur == 1).map { case (g, ci) =>
       val cq = scoringLive.length + phrasesAlive.length + groupsAlive.length + ci
       val mIdx = g.terms.zipWithIndex.toMap
@@ -180,14 +183,29 @@ object Oracle {
         val arr = xs.map(r => (r.getInt(0), r.getFloat(1))).sortBy(_._1).map(_._2).toArray
         bm25.sum(arr)
       })
-      tf.where($"term".isin(g.terms: _*))
-        .join(dl, "doc_id")
-        .withColumn("mi", udf((t: String) => mIdx(t)).apply($"term"))
-        .withColumn("mp", mPartial($"term", $"tf", $"dl"))
+      val termM =
+        if (g.terms.isEmpty) None
+        else Some(tf.where($"term".isin(g.terms: _*))
+          .join(dl, "doc_id")
+          .withColumn("mi", udf((t: String) => mIdx(t)).apply($"term"))
+          .withColumn("mp", mPartial($"term", $"tf", $"dl"))
+          .select($"doc_id", $"mi", $"mp"))
+      val phraseM = g.phrases.zipWithIndex.map { case (pts, pi) =>
+        var idfSum = 0f
+        pts.foreach(t => idfSum += bm25.idf(n, dfMap(t)))
+        val pPartial = udf((freq: Int, dlv: Int) =>
+          bm25.score(freq, SmallFloat.intToByte4(dlv), idfSum, avgdl))
+        docs.select($"doc_id", phraseFreqUdf(pts, 0)($"text").as("freq"))
+          .where($"freq" > 0)
+          .join(dl, "doc_id")
+          .select($"doc_id", lit(g.terms.length + pi).as("mi"),
+            pPartial($"freq", $"dl").as("mp"))
+      }
+      (termM.toSeq ++ phraseM).reduce(_ unionByName _)
         .groupBy($"doc_id")
         .agg(memberSum(collect_list(struct($"mi", $"mp"))).as("partial"),
           countDistinct($"mi").as("nm"))
-        .where($"nm" === g.terms.length)
+        .where($"nm" === (g.terms.length + g.phrases.length))
         .select($"doc_id", lit(cq).as("qpos"), $"partial", lit(0).as("is_must"))
     }
 
@@ -215,10 +233,19 @@ object Oracle {
       scored = scored.join(phraseDocs(p).select($"doc_id"), Seq("doc_id"), "left_anti")
     }
     // MUST_NOT conjunction: exclude exactly the docs matching ALL members
+    // (term members AND every exact-phrase member)
     conjAlive.filter(_.occur == 2).foreach { g =>
-      val matched = tf.where($"term".isin(g.terms: _*))
-        .groupBy($"doc_id").agg(countDistinct($"term").as("nm"))
-        .where($"nm" === g.terms.length).select($"doc_id")
+      var matched =
+        if (g.terms.isEmpty) docs.select($"doc_id")
+        else tf.where($"term".isin(g.terms: _*))
+          .groupBy($"doc_id").agg(countDistinct($"term").as("nm"))
+          .where($"nm" === g.terms.length).select($"doc_id")
+      g.phrases.foreach { pts =>
+        matched = matched.join(
+          docs.select($"doc_id", phraseFreqUdf(pts, 0)($"text").as("freq"))
+            .where($"freq" > 0).select($"doc_id"),
+          Seq("doc_id"), "left_semi")
+      }
       scored = scored.join(matched, Seq("doc_id"), "left_anti")
     }
     if (parsed.filters.nonEmpty || parsed.rangeFilters.nonEmpty) {

@@ -50,8 +50,12 @@ final case class Group(terms: Vector[String],
   * `(a AND b)` one optional clause that matches (and contributes the sum of
   * its members' scores) only when EVERY member matches; `-(a AND b)`
   * excludes exactly the docs matching all members. occur: 1 = SHOULD,
-  * 2 = MUST_NOT. (`+(a AND b)` still distributes to `+a +b` — equivalent.) */
-final case class ConjGroup(terms: Vector[String], occur: Int)
+  * 2 = MUST_NOT. (`+(a AND b)` still distributes to `+a +b` — equivalent.)
+  * Members may be exact phrases (`x OR (a AND "b c")`): `phrases` holds
+  * each phrase member's analyzed terms, required and scored after the term
+  * members in member order. */
+final case class ConjGroup(terms: Vector[String], occur: Int,
+    phrases: Vector[Vector[String]] = Vector.empty)
 
 /** A multi-term clause awaiting index-time expansion: kind 0 = prefix
   * (`body*`), kind 1 = fuzzy (`body~maxEdits`), kind 2 = general wildcard
@@ -79,7 +83,7 @@ final case class ParsedQuery(
   def allTerms: Vector[String] =
     (must ++ should ++ mustNot ++ phrases.flatMap(_.terms) ++
       groups.flatMap(g => g.terms ++ g.phrases.flatten) ++
-      conjGroups.flatMap(_.terms)).distinct
+      conjGroups.flatMap(g => g.terms ++ g.phrases.flatten)).distinct
   def positiveClauses: Int =
     should.length + must.length + groups.length +
       phrases.count(_.occur != 2) + multiTerms.count(_.occur != 2) +
@@ -170,6 +174,7 @@ object QueryParser {
     val boosts = scala.collection.mutable.Map.empty[String, Float]
     var nextNegated = false
     var promoteNext = false // previous token was AND
+    var lastElemGroup = false // previous clause-like element was a (group)
     var i = 0
 
     /** Strip a trailing `^boost`; returns (body, boost). */
@@ -268,14 +273,19 @@ object QueryParser {
     while (i < toks.length) {
       toks(i) match {
         case "AND" | "&&" =>
-          if (clauses.nonEmpty && clauses.last.occur == Should)
+          // backward promotion binds the clause immediately BEFORE the AND;
+          // when that element was a parenthesized group the group itself
+          // was already promoted by its own forward peek (below) — touching
+          // clauses.last here would wrongly promote an earlier, unrelated
+          // clause ("x (a b) AND c" must keep x optional)
+          if (!lastElemGroup && clauses.nonEmpty && clauses.last.occur == Should)
             clauses(clauses.length - 1) = clauses.last.copy(occur = Must)
           promoteNext = true
         case "OR" | "||" => // default
         case "NOT" | "!" => nextNegated = true
         case t if t == "(" || ((t.startsWith("+") || t.startsWith("-")) && t.drop(1) == "(") =>
           // grouped disjunction: collect tokens until the matching ')'
-          val occur: Occur =
+          val occur0: Occur =
             if (t.startsWith("+")) Must
             else if (t.startsWith("-")) MustNot
             else clauseOccur()
@@ -301,26 +311,29 @@ object QueryParser {
             j += 1
           }
           i = j
+          // a following AND binds this group as its left operand —
+          // "(a AND b) AND c" is Lucene's +(+a +b) +c — so an implicit
+          // SHOULD group promotes to MUST (explicit +/- prefixes win)
+          val occur: Occur =
+            if (occur0 == Should && i + 1 < toks.length &&
+              (toks(i + 1) == "AND" || toks(i + 1) == "&&")) Must
+            else occur0
           val ms = member.result().distinct
           val pms = phraseMembers.result().distinct
           if (ms.nonEmpty || pms.nonEmpty) {
             if (hasAnd) occur match {
-              // MUST conjunction distributes: `+(a AND b)` == `+a +b`.
+              // MUST conjunction distributes: `+(a AND b)` == `+a +b`
+              // (phrase members distribute as MUST phrases the same way).
               // SHOULD / MUST_NOT conjunctions do NOT (`x OR (a AND b)`
               // must not require a AND b globally; `-(a AND b)` excludes
               // only docs matching BOTH) — they become ConjGroup clauses
-              // scored/excluded as a unit (Lucene's nested BooleanQuery).
-              // A quoted member inside an AND group distributes as a MUST
-              // phrase (ConjGroup holds terms only — documented subset)
+              // scored/excluded as a unit (Lucene's nested BooleanQuery),
+              // phrase members riding inside the group
               case Must =>
                 ms.foreach(m => clauses += Clause(Must, m, phrase = false, 1f))
                 pms.foreach(p => phrases += Phrase(p, occInt(Must)))
-              case Should =>
-                if (ms.nonEmpty) conjGroups += ConjGroup(ms, 1)
-                pms.foreach(p => phrases += Phrase(p, occInt(Should)))
-              case MustNot =>
-                if (ms.nonEmpty) conjGroups += ConjGroup(ms, 2)
-                pms.foreach(p => phrases += Phrase(p, occInt(MustNot)))
+              case Should => conjGroups += ConjGroup(ms, 1, pms)
+              case MustNot => conjGroups += ConjGroup(ms, 2, pms)
             } else occur match {
               case Must => groups += Group(ms, pms) // true nested disjunction
               case Should =>
@@ -331,8 +344,10 @@ object QueryParser {
                 pms.foreach(p => phrases += Phrase(p, occInt(MustNot)))
             }
           }
+          lastElemGroup = true
         case tok =>
           emitTerm(tok, clauseOccur())
+          lastElemGroup = false
       }
       i += 1
     }

@@ -245,10 +245,11 @@ final class Searcher(
       .map(g => Group(g.terms.filter(t => dfs.getOrElse(t, 0L) > 0),
         g.phrases.filter(_.forall(t => dfs.getOrElse(t, 0L) > 0))))
     if (groupsAlive.exists(g => g.terms.isEmpty && g.phrases.isEmpty)) return None
-    // a conjunction group (SHOULD or MUST_NOT) with ANY dead member can
-    // never match — it simply drops out (it is optional either way)
+    // a conjunction group (SHOULD or MUST_NOT) with ANY dead member —
+    // term or phrase — can never match; it simply drops out (optional)
     val conjAlive = parsed.conjGroups
-      .filter(_.terms.forall(t => dfs.getOrElse(t, 0L) > 0))
+      .filter(g => g.terms.forall(t => dfs.getOrElse(t, 0L) > 0) &&
+        g.phrases.forall(_.forall(t => dfs.getOrElse(t, 0L) > 0)))
     if (must.isEmpty && should.isEmpty && groupsAlive.isEmpty &&
       phrasesAlive.forall(_.occur == 2) && conjAlive.forall(_.occur == 2))
       return None
@@ -271,10 +272,12 @@ final class Searcher(
       groupsAlive.zipWithIndex.map { case (g, i) =>
         (g.terms, g.phrases, scoring.length + phrasesAlive.length + i)
       }
-    // (conj terms, occur 1|2, queryPos) — after the MUST groups in order
-    val conjMeta: Vector[(Vector[String], Int, Int)] =
+    // (conj terms, phrase members, occur 1|2, queryPos) — after the MUST
+    // groups in order
+    val conjMeta: Vector[(Vector[String], Vector[Vector[String]], Int, Int)] =
       conjAlive.zipWithIndex.map { case (g, i) =>
-        (g.terms, g.occur, scoring.length + phrasesAlive.length + groupsAlive.length + i)
+        (g.terms, g.phrases, g.occur,
+          scoring.length + phrasesAlive.length + groupsAlive.length + i)
       }
     val idfs: Map[String, Float] =
       dfs.map { case (t, df) => t -> bm25.idf(corpus.doc_count, df) }
@@ -330,7 +333,7 @@ final class Searcher(
 
     val queried = (meta.keys ++ phraseMeta.flatMap(_._1) ++
       groupMeta.flatMap(g => g._1 ++ g._2.flatten) ++
-      conjMeta.flatMap(_._1)).toSeq.distinct
+      conjMeta.flatMap(g => g._1 ++ g._2.flatten)).toSeq.distinct
     // the norms sidecar rides along as the term=="" rows: one filtered scan
     // carries everything a segment needs to score itself
     val rows = postings
@@ -751,7 +754,8 @@ object Searcher {
       normCache: Array[Float],
       fmap: Map[Int, Array[Byte]], // null when !hasFilter OR the DocSet rides as FqRowTerm rows
       hasFilter: Boolean,
-      conjMeta: Vector[(Vector[String], Int, Int)] = Vector.empty) // (terms, occur 1|2, queryPos)
+      conjMeta: Vector[(Vector[String], Vector[Vector[String]], Int, Int)] =
+        Vector.empty) // (terms, phrase members, occur 1|2, queryPos)
 
   /** Score one segment's rows (sidecar row + queried-term rows) — the
     * shared body of the no-shuffle mapPartitions path and the groupByKey
@@ -839,13 +843,23 @@ object Searcher {
       if (all.isEmpty) missingMust = true // MUST group can't match here
       else mustCur += new DisjunctionCursor(all, qpos)
     }
-    qm.conjMeta.foreach { case (terms, occ, qpos) =>
+    qm.conjMeta.foreach { case (terms, phrases, occ, qpos) =>
       // a conjunction group needs EVERY member in this segment; with any
-      // absent it matches nothing here — no cursor (it is optional)
-      if (terms.forall(byTerm.contains)) {
-        val members = terms.map(t =>
-          new PostingCursor(byTerm(t).blocks, wIdf(t), nc, 0)).toArray
-        val cc = new ConjunctionCursor(members, qpos)
+      // absent (term or phrase term) it matches nothing here — no cursor
+      // (it is optional). Member order: terms first, then phrase members —
+      // score(norm) sums members in this fixed order
+      if (terms.forall(byTerm.contains) &&
+        phrases.forall(_.forall(byTerm.contains))) {
+        val termCursors: Vector[Cursor] = terms.map(t =>
+          new PostingCursor(byTerm(t).blocks, wIdf(t), nc, 0))
+        val phraseCursors: Vector[Cursor] = phrases.map { pts =>
+          val pcs = pts.map(t =>
+            new PostingCursor(byTerm(t).blocks, qm.idfs(t), nc, 0)).toArray
+          var idfSum = 0f
+          pts.foreach(t => idfSum += qm.idfs(t))
+          new PhraseCursor(pcs, idfSum, nc, 0, 0)
+        }
+        val cc = new ConjunctionCursor((termCursors ++ phraseCursors).toArray, qpos)
         if (occ == 1) shouldCur += cc else notCur += cc
       }
     }

@@ -357,9 +357,11 @@ final class DisjunctionCursor(
   * PhraseCursor doc loop without position verification), scoring the sum of
   * member scores in member (query) order — Lucene's nested BooleanQuery of
   * MUST clauses sitting in an outer SHOULD/MUST_NOT slot. maxScore = sum of
-  * member bounds (safe: the conj score is the sum at a shared doc). */
+  * member bounds (safe: the conj score is the sum at a shared doc).
+  * Members are any cursors: term postings or exact-phrase members
+  * (`x OR (a AND "b c")`). */
 final class ConjunctionCursor(
-    members: Array[PostingCursor],
+    members: Array[Cursor],
     val queryPos: Int) extends Cursor {
 
   val maxScore: Float = {

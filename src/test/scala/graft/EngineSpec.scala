@@ -71,7 +71,11 @@ class EngineSpec extends AnyFunSuite {
     "the (data AND query)",    // bare conj group stays optional
     "-(data AND query) error", // MUST_NOT conj: exclude only both-match docs
     "(data AND qzxqzx) error", // conj with dead member drops out
-    "retry AND (data AND query)" // AND-promoted group still distributes
+    "retry AND (data AND query)", // AND-promoted group still distributes
+    "(data AND query) AND retry", // AND binds its LEFT group operand too
+    "the (error retry) AND data", // group-then-AND: promotes the GROUP, not 'the'
+    "error OR (data AND \"merge group\")", // conj group with a phrase member
+    "retry -(data AND \"merge group\")" // NOT conj with a phrase member
   )
 
   private def assertRankIdentical(q: String, k: Int): Unit = {
@@ -313,6 +317,48 @@ class EngineSpec extends AnyFunSuite {
     assert(pm.phrases.isEmpty)
     val pn = QueryParser.parseWithSynonyms("retry -error", Map("error" -> Seq("merge group")))
     assert(pn.phrases == Vector(graft.query.Phrase(Vector("merge", "group"), occur = 2)))
+  }
+
+  test("conjunction groups: AND left-binding and phrase members (parser shape)") {
+    // "(a AND b) AND c" is Lucene's +(+a +b) +c == +a +b +c — the group
+    // before the AND is a MUST operand, not an optional leftover
+    val p1 = QueryParser.parse("(data AND query) AND retry")
+    assert(p1.must.toSet == Set("data", "query", "retry"), p1.toString)
+    assert(p1.conjGroups.isEmpty && p1.should.isEmpty)
+    // a group followed by AND promotes the GROUP itself; an earlier,
+    // unrelated clause must stay optional
+    val p2 = QueryParser.parse("the (error retry) AND data")
+    assert(p2.should == Vector("the"), p2.toString)
+    assert(p2.groups == Vector(graft.query.Group(Vector("error", "retry"))))
+    assert(p2.must == Vector("data"))
+    // a quoted member of a SHOULD/NOT conjunction stays INSIDE the group
+    // (hoisting it would over-include / over-exclude — De Morgan)
+    val p3 = QueryParser.parse("error OR (data AND \"merge group\")")
+    assert(p3.should == Vector("error"))
+    assert(p3.conjGroups == Vector(graft.query.ConjGroup(Vector("data"), 1,
+      Vector(Vector("merge", "group")))), p3.toString)
+    assert(p3.phrases.isEmpty)
+    val p4 = QueryParser.parse("retry -(data AND \"merge group\")")
+    assert(p4.conjGroups == Vector(graft.query.ConjGroup(Vector("data"), 2,
+      Vector(Vector("merge", "group")))), p4.toString)
+    assert(p4.phrases.isEmpty)
+  }
+
+  test("conjunction-group semantics: exact numFound set identities") {
+    def nf(q: String): Long =
+      searcher.topKWithCount(QueryParser.parse(q), 10).totalHits
+    // exclusion: |retry| - |retry \ (data ∩ "merge group")| = |retry ∩ data ∩ phrase|
+    assert(nf("retry -(data AND \"merge group\")") ==
+      nf("retry") - nf("+retry +data +\"merge group\""),
+      "MUST_NOT conj must exclude exactly the docs matching ALL members")
+    // inclusion-exclusion: |error ∪ (data ∩ phrase)|
+    assert(nf("error OR (data AND \"merge group\")") ==
+      nf("error") + nf("+data +\"merge group\"") - nf("+error +data +\"merge group\""),
+      "SHOULD conj must match exactly the all-members docs")
+    // left-binding: "(data AND query) AND retry" == +data +query +retry
+    assert(nf("(data AND query) AND retry") == nf("+data +query +retry"))
+    assert(nf("(data AND query) AND retry") < nf("retry"),
+      "docs matching only 'retry' must NOT match")
   }
 
   test("group with a phrase member: engine == oracle (synonym-MUST and quoted member)") {

@@ -35,6 +35,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("XmlCodec: escape + StAX parse round-trips hostile values") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the registry ops run over clean dimension values; this pins the
+    // escape path for the values the loader is actually advertised for
+    val vals = Seq("a & b", "<tag attr=\"x\">", "x > y & z < w",
+      "plain", "&amp; already-encoded", "a&&b<<c")
+    val df = vals.toDF("v").select(concat(
+      lit("<doc><field name=\"v\">"), graft.ops.XmlCodec.esc(col("v")),
+      lit("</field></doc>")).as("xml"))
+    val back = df.collect().map(r =>
+      graft.ops.XmlCodec.parseFields(r.getString(0))("v")).toSeq
+    assert(back == vals, s"round-trip diverged: $back")
+  }
+
   test("oracleSql only references registered query names") {
     val names = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
