@@ -62,8 +62,21 @@ object IndexBuilder {
     * schema change would poison every reader with FIELD_NOT_FOUND.
     * v3: postings carry single-token FIELD terms (`role:<v>`, `tool:<v>`)
     * so role/tool are scored qf fields, not just filters (the copyField +
-    * per-field postings role of DocumentBuilder.java:99-123). */
-  val LayoutVersion = 3
+    * per-field postings role of DocumentBuilder.java:99-123).
+    * v4: field-term keys are namespaced `\u0002field:value` instead of the
+    * bare `field:value` — the analyzer can legally emit a colon-joined TEXT
+    * token like `role:system` (UAX#29 WB6/7 MidLetter), and under v3 that
+    * token shared a postings key with the role-field term, interleaving two
+    * writers on one list (duplicate docIds = corrupt postings) and scoring
+    * field postings for what the query parsed as a text term. U+0002 is a
+    * control char the analyzer can never emit, so the namespaces are
+    * disjoint by construction (same convention as the U+0001 sentinels). */
+  val LayoutVersion = 4
+
+  /** Key prefix of field-term postings rows (layout v4): postings/terms rows
+    * whose term starts with this are structured `field:value` terms (dismax
+    * qf scoring), not text vocabulary. */
+  val FieldTermPrefix = "\u0002"
 
   /** Index-store parquet codec. zstd, not the Spark default snappy: the
     * snappy write path collapses under write-task concurrency on this host
@@ -526,8 +539,10 @@ object IndexBuilder {
           // single-token field postings (`role:user` keying): tf = 1,
           // norm = dl 1 — scored with the field's own stats, filtered
           // structurally; positions are not needed (no phrases on fields)
-          if (role != null && role.nonEmpty) buf(seg, "role:" + role).add(docId, 1, one)
-          if (tool != null && tool.nonEmpty) buf(seg, "tool:" + tool).add(docId, 1, one)
+          if (role != null && role.nonEmpty)
+            buf(seg, FieldTermPrefix + "role:" + role).add(docId, 1, one)
+          if (tool != null && tool.nonEmpty)
+            buf(seg, FieldTermPrefix + "tool:" + tool).add(docId, 1, one)
           tp.clear()
           var i = 0
           while (i < terms.length) {

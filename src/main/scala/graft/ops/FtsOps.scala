@@ -219,9 +219,9 @@ object FtsOps {
              |SELECT w AS term, count(DISTINCT doc_id) AS df, count(*) AS ttf
              |FROM toks GROUP BY w ORDER BY df DESC, term LIMIT 25""".stripMargin),
       (s, dir) => s.read.parquet(s"${index(s, dir, "documents")}/terms")
-        // layout v3 adds structured field terms (role:/tool:) to the terms
-        // table; the text-vocabulary oracle sees only real tokens
-        .where(!col("term").contains(":"))
+        // layout v4 namespaces structured field terms (\u0002role:/...) in
+        // the terms table; the text-vocabulary oracle sees only real tokens
+        .where(!col("term").startsWith(graft.index.IndexBuilder.FieldTermPrefix))
         .select(col("term"), col("df"), col("ttf"))
         .orderBy(col("df").desc, col("term"))
         .limit(25)),
@@ -242,7 +242,8 @@ object FtsOps {
              |HAVING count(DISTINCT doc_id) >= 2
              |ORDER BY df DESC, term LIMIT 20""".stripMargin),
       (s, dir) => s.read.parquet(s"${index(s, dir, "documents")}/terms")
-        .where(col("term").startsWith("d") && !col("term").contains(":") &&
+        .where(col("term").startsWith("d") &&
+          !col("term").startsWith(graft.index.IndexBuilder.FieldTermPrefix) &&
           col("df") >= 2)
         .select(col("term"), col("df"))
         .orderBy(col("df").desc, col("term"))

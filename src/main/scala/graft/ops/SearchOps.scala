@@ -243,7 +243,8 @@ object SearchOps {
              |ORDER BY df DESC, w LIMIT 10""".stripMargin),
       (s, dir) => s.read
         .parquet(s"${FtsOps.index(s, dir, "documents")}/terms")
-        .where(!col("term").contains(":") && col("term").startsWith("d"))
+        .where(!col("term").startsWith(graft.index.IndexBuilder.FieldTermPrefix) &&
+          col("term").startsWith("d"))
         .select(col("term").as("suggestion"), col("df").as("weight"))
         .orderBy(col("weight").desc, col("suggestion"))
         .limit(10)),

@@ -248,11 +248,15 @@ object Oracle {
       }
       scored = scored.join(matched, Seq("doc_id"), "left_anti")
     }
-    if (parsed.filters.nonEmpty || parsed.rangeFilters.nonEmpty) {
+    if (parsed.filters.nonEmpty || parsed.notFilters.nonEmpty ||
+      parsed.rangeFilters.nonEmpty) {
       val conds = parsed.filters.map { case (f, v) => col(f) === lit(v) } ++
+        parsed.notFilters.map { case (f, v) => !(col(f) <=> lit(v)) } ++
         parsed.rangeFilters.map { r =>
-          if (r.inclusive) col(r.field) >= lit(r.lo) && col(r.field) <= lit(r.hi)
-          else col(r.field) > lit(r.lo) && col(r.field) < lit(r.hi)
+          val in =
+            if (r.inclusive) col(r.field) >= lit(r.lo) && col(r.field) <= lit(r.hi)
+            else col(r.field) > lit(r.lo) && col(r.field) < lit(r.hi)
+          if (r.negated) !coalesce(in, lit(false)) else in
         }
       scored = scored.join(docs.where(conds.reduce(_ && _)).select($"doc_id"), Seq("doc_id"), "left_semi")
     }

@@ -66,14 +66,17 @@ final case class ConjGroup(terms: Vector[String], occur: Int,
 final case class MultiTerm(kind: Int, body: String, maxEdits: Int, occur: Int, boost: Float)
 
 /** A structured range filter `field:[lo TO hi]` (inclusive) or `{lo TO hi}`
-  * (exclusive) on a non-text field. */
-final case class RangeFilter(field: String, lo: String, hi: String, inclusive: Boolean)
+  * (exclusive) on a non-text field; `negated` renders `-field:[lo TO hi]`
+  * (exclude the range instead of requiring it). */
+final case class RangeFilter(field: String, lo: String, hi: String,
+    inclusive: Boolean, negated: Boolean = false)
 
 final case class ParsedQuery(
     should: Vector[String],
     must: Vector[String],
     mustNot: Vector[String],
     filters: Vector[(String, String)], // (field, value) exact-match filters
+    notFilters: Vector[(String, String)] = Vector.empty, // `-field:value` exclusions
     phrases: Vector[Phrase] = Vector.empty,
     groups: Vector[Group] = Vector.empty,
     boosts: Map[String, Float] = Map.empty,
@@ -166,6 +169,7 @@ object QueryParser {
     val toks = lex(q)
     val clauses = scala.collection.mutable.ArrayBuffer.empty[Clause]
     val filters = Vector.newBuilder[(String, String)]
+    val notFilters = Vector.newBuilder[(String, String)]
     val rangeFilters = Vector.newBuilder[RangeFilter]
     val groups = Vector.newBuilder[Group]
     val conjGroups = Vector.newBuilder[ConjGroup]
@@ -204,12 +208,17 @@ object QueryParser {
       if (colon > 0 && FilterFields.contains(core.substring(0, colon))) {
         val field = core.substring(0, colon)
         val v = core.substring(colon + 1)
-        // range filter: field:[lo TO hi] or field:{lo TO hi}
+        // range filter: field:[lo TO hi] or field:{lo TO hi}; a MUST_NOT
+        // occur (`-field:...` / `NOT field:...`) excludes instead of
+        // requiring — Lucene's negated fielded clause
         if ((v.startsWith("[") && v.endsWith("]")) || (v.startsWith("{") && v.endsWith("}"))) {
           val inclusive = v.startsWith("[")
           val parts = v.substring(1, v.length - 1).split("\\s+TO\\s+")
-          if (parts.length == 2) rangeFilters += RangeFilter(field, parts(0), parts(1), inclusive)
-        } else filters += ((field, v))
+          if (parts.length == 2)
+            rangeFilters += RangeFilter(field, parts(0), parts(1), inclusive,
+              negated = occur == MustNot)
+        } else if (occur == MustNot) notFilters += ((field, v))
+        else filters += ((field, v))
         return
       }
       // quoted phrase, with an optional trailing `~slop` suffix
@@ -375,8 +384,8 @@ object QueryParser {
       }
     }
     ParsedQuery(should.result().distinct, must.result().distinct,
-      mustNot.result().distinct, filters.result(), phrases.result(),
-      groups.result(), boosts.filter(_._2 != 1f).toMap,
+      mustNot.result().distinct, filters.result(), notFilters.result(),
+      phrases.result(), groups.result(), boosts.filter(_._2 != 1f).toMap,
       multiTerms.result(), rangeFilters.result(), conjGroups.result())
   }
 

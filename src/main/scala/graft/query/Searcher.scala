@@ -165,9 +165,12 @@ final class Searcher(
     * fuzzy runs a distributed edit-distance filter over the vocabulary. */
   def expand(parsed: ParsedQuery): ParsedQuery = {
     if (parsed.multiTerms.isEmpty) return parsed
-    // field postings (role:x / tool:y, layout v3) are NOT text vocabulary:
-    // a fuzzy body like `roles~2` must not expand into `role:x`
-    val vocab = termsDF.where(!$"term".contains(":"))
+    // field postings (role:x / tool:y, layout v4) are NOT text
+    // vocabulary: a fuzzy body like `roles~2` must not expand into a field
+    // term. The v4 namespace makes the test exact — colon-joined TEXT
+    // tokens (`err:code`, UAX#29 MidLetter) stay expandable.
+    val vocab = termsDF.where(
+      !$"term".startsWith(graft.index.IndexBuilder.FieldTermPrefix))
     var p = parsed
     p.multiTerms.foreach { mt =>
       val expanded: Vector[String] = (mt.kind match {
@@ -282,14 +285,18 @@ final class Searcher(
     val idfs: Map[String, Float] =
       dfs.map { case (t, df) => t -> bm25.idf(corpus.doc_count, df) }
     val nc = bm25.normCache(avgdl)
-    val hasFilter = parsed.filters.nonEmpty || parsed.rangeFilters.nonEmpty
+    val hasFilter = parsed.filters.nonEmpty || parsed.notFilters.nonEmpty ||
+      parsed.rangeFilters.nonEmpty
     val fqEntry: FqEntry =
       if (!hasFilter) null
-      else if (!cacheEnabled) resolveFq(parsed.filters, parsed.rangeFilters)
+      else if (!cacheEnabled)
+        resolveFq(parsed.filters, parsed.notFilters, parsed.rangeFilters)
       else {
         // canonical key: clause order is irrelevant to the DocSet
         val key = (parsed.filters.map(f => s"eq:${f._1}=${f._2}") ++
-          parsed.rangeFilters.map(r => s"rg:${r.field}:${r.lo}:${r.hi}:${r.inclusive}")).sorted
+          parsed.notFilters.map(f => s"ne:${f._1}=${f._2}") ++
+          parsed.rangeFilters.map(r =>
+            s"rg:${r.field}:${r.lo}:${r.hi}:${r.inclusive}:${r.negated}")).sorted
         // NOT computeIfAbsent: the mapping function would run multi-job
         // Spark work inside the bin lock (blocking same-bin queries for the
         // job's duration) and the eviction's it.remove() would mutate the
@@ -299,7 +306,7 @@ final class Searcher(
         val cached = fqCache.get(key)
         if (cached != null) cached
         else {
-          val entry = resolveFq(parsed.filters, parsed.rangeFilters)
+          val entry = resolveFq(parsed.filters, parsed.notFilters, parsed.rangeFilters)
           // bounded like the reference's CaffeineCache filterCache
           fqCache.synchronized {
             while (fqCache.size >= Searcher.FqCacheMax) {
@@ -546,7 +553,7 @@ final class Searcher(
   /** edismax served by the engine index: each analyzed query term scores as
     * a disjunction-max over the qf FIELDS — "text" uses the text postings
     * with the doc-length norm, other fields use the single-token field
-    * postings (`role:<v>` keying, layout v3) with dl = avgdl = 1 — combined
+    * postings (`\u0002role:<v>` keying, layout v4) with dl = avgdl = 1 — combined
     * as max + tie·(sum − max) per term and gated by mm matched terms
     * (ExtendedDismaxQParser.java:392-445,994-1036). Runs on the same
     * one-stage colocated path as topKHits.
@@ -557,7 +564,8 @@ final class Searcher(
     val empty = spark.emptyDataset[Hit]
     val qterms = analyzer.analyze(q).toVector.distinct
     if (qterms.isEmpty || qf.isEmpty || k <= 0) return empty
-    def keyOf(f: String, t: String) = if (f == "text") t else s"$f:$t"
+    def keyOf(f: String, t: String) =
+      if (f == "text") t else graft.index.IndexBuilder.FieldTermPrefix + s"$f:$t"
     val allKeys = for (t <- qterms; (f, _) <- qf) yield keyOf(f, t)
     val dfs = termStats(allKeys.distinct)
     // per term (query order): live (key, weighted idf, isTextField) per
@@ -641,11 +649,17 @@ final class Searcher(
     * `solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:1207,1242-1250`).
     * Filter semantics: restricts results, does NOT change corpus stats. */
   private def fqDocSetDS(filters: Vector[(String, String)],
+      notFilters: Vector[(String, String)],
       ranges: Vector[RangeFilter]): Dataset[(Int, Array[Byte])] = {
     val conds = filters.map { case (f, v) => col(f) === lit(v) } ++
+      // null-safe negation: a doc with a NULL field is NOT the excluded
+      // value, so it stays in (Lucene MUST_NOT on an absent field matches)
+      notFilters.map { case (f, v) => !(col(f) <=> lit(v)) } ++
       ranges.map { r =>
-        if (r.inclusive) col(r.field) >= lit(r.lo) && col(r.field) <= lit(r.hi)
-        else col(r.field) > lit(r.lo) && col(r.field) < lit(r.hi)
+        val in =
+          if (r.inclusive) col(r.field) >= lit(r.lo) && col(r.field) <= lit(r.hi)
+          else col(r.field) > lit(r.lo) && col(r.field) < lit(r.hi)
+        if (r.negated) !coalesce(in, lit(false)) else in
       }
     val cond = conds.reduce(_ && _)
     val firstB = spark.sparkContext.broadcast(segFirstDoc)
@@ -668,8 +682,9 @@ final class Searcher(
     * corpus is tens of GB even run-compressed — the DocSet stays a
     * persisted executor-side dataset joined into the scoring shuffle. */
   private def resolveFq(filters: Vector[(String, String)],
+      notFilters: Vector[(String, String)],
       ranges: Vector[RangeFilter]): FqEntry = {
-    val ds = fqDocSetDS(filters, ranges).persist()
+    val ds = fqDocSetDS(filters, notFilters, ranges).persist()
     val totalBytes = ds.map(_._2.length.toLong).toDF("n")
       .agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
     if (totalBytes <= fqBroadcastMaxBytes) {

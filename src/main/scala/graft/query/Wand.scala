@@ -27,7 +27,7 @@ trait Cursor {
   *                 accumulation order for bit-exact scores, SURVEY.md §4.2)
   * @param fixedC   when not NaN, overrides the norm-cache lookup with a
   *                 constant k1·(1−b+b·dl/avgdl) — single-token FIELD terms
-  *                 (role:x / tool:y) have dl = avgdl = 1 regardless of the
+  *                 (\u0002role:x / \u0002tool:y) have dl = avgdl = 1 regardless of the
   *                 doc's text length, so their c is the field's k1
   */
 final class PostingCursor(

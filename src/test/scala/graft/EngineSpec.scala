@@ -56,6 +56,9 @@ class EngineSpec extends AnyFunSuite {
     "par* data",               // prefix wildcard (partition, parquet, ...)
     "errer~1 data",            // fuzzy -> error
     "role:[system TO user] data", // lexicographic range filter
+    "data -role:system",       // negated filter: exclude role=system
+    "error -role:[system TO user]", // negated range filter
+    "-role:assistant role:[assistant TO user] data", // mixed pos/neg filters
     "+data data",              // occur collision: MUST wins over SHOULD dup
     "data data^2 query",       // duplicate clauses: boosts sum (1+2 = 3x)
     "dat* data",               // wildcard expansion colliding with a scored term
@@ -141,10 +144,10 @@ class EngineSpec extends AnyFunSuite {
     assert(searcher.corpus.sum_dl == expectedSumDl)
     assert(searcher.corpus.doc_count == corpus.count())
     val dfSpark = toks.groupBy($"t").agg(count(lit(1))).count() // distinct terms
-    // exclude the layout-v3 structured field terms (role:/tool:) — they are
-    // not text vocabulary
+    // exclude the layout-v4 structured field terms (\u0002-prefixed) —
+    // they are not text vocabulary
     val termsTable = spark.read.parquet(s"$indexDir/terms")
-      .where(!col("term").contains(":"))
+      .where(!col("term").startsWith(IndexBuilder.FieldTermPrefix))
     assert(termsTable.count() == dfSpark)
     // spot-check df of one hot term
     val dfThe = corpus.where(array_contains(analyzeUdf($"text"), "the")).count()
@@ -731,19 +734,61 @@ class EngineSpec extends AnyFunSuite {
 
   test("randomized queries: engine == oracle on 40 seeded random term sets") {
     val rnd = new scala.util.Random(4242)
+    // text vocabulary only: the v4 field-term namespace (\u0002-prefixed)
+    // is not queryable as bare terms
     val terms = spark.read.parquet(s"$indexDir/terms")
+      .where(!col("term").startsWith(IndexBuilder.FieldTermPrefix))
       .orderBy(desc("df")).limit(300).select("term").as[String].collect()
     for (_ <- 0 until 40) {
       val n = 1 + rnd.nextInt(4)
       val qTerms = Seq.fill(n)(terms(rnd.nextInt(terms.length))).distinct
-      val op = rnd.nextInt(3)
+      val op = rnd.nextInt(5)
       val q = op match {
         case 0 => qTerms.mkString(" ")
         case 1 => qTerms.mkString(" AND ")
-        case _ if qTerms.length > 1 => qTerms.head + " -" + qTerms.last
+        case 2 if qTerms.length > 1 => qTerms.head + " -" + qTerms.last
+        case 3 if qTerms.length > 2 =>
+          s"${qTerms.head} OR (${qTerms(1)} AND ${qTerms(2)})" // SHOULD conj group
+        case 4 if qTerms.length > 1 =>
+          s"(${qTerms.head} AND ${qTerms(1)}) AND ${qTerms.last}" // left-bound group
         case _ => qTerms.mkString(" ")
       }
       assertRankIdentical(q, 10)
     }
+  }
+
+  test("v4 namespace: a literal text token `role:assistant` never collides with the role-field posting") {
+    import java.sql.Timestamp
+    // UAX#29 keeps `role:assistant` one token (MidLetter colon) — under the
+    // v3 layout this doc's text posting and the role-field posting shared a
+    // key, interleaving two writers on one list; v4 namespaces field keys
+    val ts = new Timestamp(0L)
+    val turns = Seq(
+      graft.index.Turn("c0", 0, "assistant", "the deploy emitted role:assistant twice role:assistant", null, ts),
+      graft.index.Turn("c0", 1, "user", "plain text without the marker", null, ts),
+      graft.index.Turn("c1", 0, "assistant", "another assistant turn about deploy", null, ts),
+      graft.index.Turn("c1", 1, "system", "role:assistant appears in system text", null, ts))
+    val dir = TestSpark.tmpDir("idx-collide")
+    IndexBuilder.build(spark, turns.toDF(), dir, IndexBuilder.Config(numSegments = 2))
+    val s = new Searcher(spark, dir)
+    // terms table holds BOTH keys, disjoint namespaces, correct dfs
+    val t = spark.read.parquet(s"$dir/terms")
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    assert(t("role:assistant") == 2L) // text token in docs 0 and 3
+    assert(t(IndexBuilder.FieldTermPrefix + "role:assistant") == 2L) // role value docs 0, 2
+    // a group member `role:assistant` is a TEXT term (scored from text
+    // postings) and stays rank-identical to the brute-force oracle
+    val parsed = s.expand(QueryParser.parse("(role:assistant deploy)"))
+    val engine = s.topKHits(parsed, 10).collect()
+    val oracle = Oracle.topK(spark,
+      s.docs.select($"doc_id", $"text", $"role", $"tool"), parsed, 10).collect()
+    assert(engine.length == oracle.length && engine.length == 3)
+    engine.zip(oracle).foreach { case (e, o) =>
+      assert(e.doc_id == o.doc_id && e.score == o.score)
+    }
+    // the dismax qf path still reaches the FIELD posting via the namespace
+    val dm = s.dismaxTopK("assistant", Seq("role" -> 1f), tie = 0f, mm = 1, k = 10).collect()
+    assert(dm.map(_.doc_id).toSet == Set(0L, 2L))
+    s.close()
   }
 }
