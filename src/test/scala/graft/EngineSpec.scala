@@ -742,7 +742,8 @@ class EngineSpec extends AnyFunSuite {
     for (_ <- 0 until 40) {
       val n = 1 + rnd.nextInt(4)
       val qTerms = Seq.fill(n)(terms(rnd.nextInt(terms.length))).distinct
-      val op = rnd.nextInt(5)
+      val op = rnd.nextInt(9)
+      val roles = Seq("system", "user", "assistant")
       val q = op match {
         case 0 => qTerms.mkString(" ")
         case 1 => qTerms.mkString(" AND ")
@@ -751,6 +752,15 @@ class EngineSpec extends AnyFunSuite {
           s"${qTerms.head} OR (${qTerms(1)} AND ${qTerms(2)})" // SHOULD conj group
         case 4 if qTerms.length > 1 =>
           s"(${qTerms.head} AND ${qTerms(1)}) AND ${qTerms.last}" // left-bound group
+        case 5 => // random boosts on a disjunction
+          qTerms.map(t => s"$t^${1 + rnd.nextInt(3)}").mkString(" ")
+        case 6 if qTerms.length > 1 => // random exact/sloppy phrase + a term
+          s""""${qTerms.head} ${qTerms(1)}"~${rnd.nextInt(3)} ${qTerms.last}"""
+        case 7 => // positive or negated role filter over a scored tail
+          val neg = if (rnd.nextBoolean()) "-" else ""
+          s"${qTerms.mkString(" ")} ${neg}role:${roles(rnd.nextInt(roles.length))}"
+        case 8 if qTerms.length > 1 => // MUST group with a phrase member
+          s"""+(${qTerms.head} "${qTerms(1)} ${qTerms.head}") ${qTerms.last}"""
         case _ => qTerms.mkString(" ")
       }
       assertRankIdentical(q, 10)
