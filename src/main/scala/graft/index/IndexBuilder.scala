@@ -27,6 +27,8 @@ import graft.codec.SmallFloat
   *              norms sidecar (norms blob in `norms`, dl sum in `ttf`)
   *   terms/     TermStats parquet (exact global df/ttf)
   *   corpus/    single CorpusStats row
+  *   metrics/   MetricsRow parquet — per-segment build metrics (docs, dl
+  *              sum, vocabulary, posting entries; north-rule metrics table)
   *   lineage/   LineageRow parquet — completed steps, for resume
   *
   * Resumability (north rule): the build is decomposed into steps
@@ -366,7 +368,21 @@ object IndexBuilder {
     else {
       val t0 = System.nanoTime()
       val postings = spark.read.parquet(s"$dir/postings")
-        .select($"term", $"doc_count", $"ttf").persist()
+        .select($"segment_id", $"term", $"doc_count", $"ttf").persist()
+      // per-partition metrics table (north rule) off the SAME cached scan:
+      // norms rows (term=="") carry the segment's doc count / dl sum, real
+      // rows its vocabulary and posting-entry counts
+      val tsNow = now()
+      postings
+        .groupBy($"segment_id")
+        .agg(
+          sum(when($"term" === "", $"doc_count").otherwise(0L)).cast("long").as("n_docs"),
+          sum(when($"term" === "", $"ttf").otherwise(0L)).cast("long").as("sum_dl"),
+          sum(when($"term" =!= "", 1L).otherwise(0L)).cast("long").as("n_terms"),
+          sum(when($"term" =!= "", $"doc_count").otherwise(0L)).cast("long").as("n_postings"))
+        .withColumn("finished_ts", lit(tsNow))
+        .as[MetricsRow]
+        .write.mode("overwrite").parquet(s"$dir/metrics")
       postings.where($"term" =!= "")
         .groupBy($"term")
         .agg(sum($"doc_count").cast("long").as("df"), sum($"ttf").as("ttf"))

@@ -73,6 +73,21 @@ case class LineageRow(
     wall_ms: Long,
     finished_ts: Timestamp)
 
+/** Per-partition (= per-segment) build metrics, written with the stats
+  * step off the same postings scan (north rule: "per-partition lineage and
+  * metrics tables"). One row per non-empty segment: document count, token
+  * sum, distinct term count, and total posting entries — the operational
+  * surface for skew inspection (a segment whose n_postings or sum_dl is an
+  * outlier is the salting/repartition trigger) and for audit against the
+  * corpus stats row (sums must match exactly; pinned by EngineSpec). */
+case class MetricsRow(
+    segment_id: Int,
+    n_docs: Long,
+    sum_dl: Long,
+    n_terms: Long,
+    n_postings: Long,
+    finished_ts: Timestamp)
+
 /** Intermediate token row emitted by the per-partition analysis pass.
   * `term == ""` marks the one-per-doc length row (dl in `tf`) used for the
   * norms sidecar and corpus stats; the analyzer never emits empty tokens. */

@@ -63,6 +63,7 @@ object StreamingIndexer {
     }
     deletePrefixed(fs, new Path(s"$indexDir/docs"), s"b$batchId-")
     deletePrefixed(fs, new Path(s"$indexDir/postings"), s"b$batchId-")
+    deletePrefixed(fs, new Path(s"$indexDir/metrics"), s"b$batchId-")
     fs.delete(staging, true)
 
     val hasIndex = fs.exists(new Path(s"$indexDir/corpus"))
@@ -115,9 +116,12 @@ object StreamingIndexer {
         val lenBuf = buf("")
         lenBuf.isLenRow = true
         lenBuf.add(docId, dl, norm)
-        // same single-token field postings as the batch builder (layout v3)
-        if (role != null && role.nonEmpty) buf("role:" + role).add(docId, 1, one)
-        if (tool != null && tool.nonEmpty) buf("tool:" + tool).add(docId, 1, one)
+        // same namespaced single-token field postings as the batch builder
+        // (layout v4: \u0002-prefixed keys, disjoint from text vocabulary)
+        if (role != null && role.nonEmpty)
+          buf(graft.index.IndexBuilder.FieldTermPrefix + "role:" + role).add(docId, 1, one)
+        if (tool != null && tool.nonEmpty)
+          buf(graft.index.IndexBuilder.FieldTermPrefix + "tool:" + tool).add(docId, 1, one)
         tp.clear()
         var i = 0
         while (i < terms.length) {
@@ -153,10 +157,22 @@ object StreamingIndexer {
       .agg(coalesce(sum($"doc_count"), lit(0L)).cast("long"),
         coalesce(sum($"ttf"), lit(0L)).cast("long"))
       .as[(Long, Long)].head()
+    // per-partition metrics row for the appended segment (north-rule
+    // metrics table; same shape as the batch builder's stats-step rows).
+    // Staged + promoted under the batch's deterministic prefix like
+    // docs/postings, so a crashed-then-replayed batch never duplicates it.
+    val (batchTerms, batchPostings) = stagedPostings.where($"term" =!= "")
+      .agg(count(lit(1)).cast("long"),
+        coalesce(sum($"doc_count"), lit(0L)).cast("long"))
+      .as[(Long, Long)].head()
+    Seq(graft.index.MetricsRow(baseSeg, batchDocs, batchDl, batchTerms,
+      batchPostings, new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDS().coalesce(1).write.mode("overwrite").parquet(s"$staging/metrics")
 
     // ---- promote staged files under deterministic names -----------------
     promote(fs, new Path(s"$staging/docs"), new Path(s"$indexDir/docs"), s"b$batchId-")
     promote(fs, new Path(s"$staging/postings"), new Path(s"$indexDir/postings"), s"b$batchId-")
+    promote(fs, new Path(s"$staging/metrics"), new Path(s"$indexDir/metrics"), s"b$batchId-")
 
     // ---- incremental stats merge: old terms + delta (O(vocab), not
     // O(index) — the r1 version re-aggregated ALL postings per batch) -----

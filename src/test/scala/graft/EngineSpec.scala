@@ -767,6 +767,21 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("metrics table: per-segment rows reconcile exactly with docs and corpus stats") {
+    val m = spark.read.parquet(s"$indexDir/metrics")
+      .select($"segment_id", $"n_docs", $"sum_dl", $"n_terms", $"n_postings")
+      .collect()
+    val fromDocs = searcher.docs.groupBy($"segment_id")
+      .agg(count(lit(1)).as("n")).as[(Int, Long)].collect().toMap
+    assert(m.map(_.getInt(0)).toSet == fromDocs.keySet)
+    m.foreach { r =>
+      assert(r.getLong(1) == fromDocs(r.getInt(0)), s"segment ${r.getInt(0)} n_docs")
+      assert(r.getLong(4) >= r.getLong(3) && r.getLong(3) > 0)
+    }
+    assert(m.map(_.getLong(1)).sum == searcher.corpus.doc_count)
+    assert(m.map(_.getLong(2)).sum == searcher.corpus.sum_dl)
+  }
+
   test("v4 namespace: a literal text token `role:assistant` never collides with the role-field posting") {
     import java.sql.Timestamp
     // UAX#29 keeps `role:assistant` one token (MidLetter colon) — under the
