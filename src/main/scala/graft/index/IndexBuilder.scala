@@ -72,8 +72,11 @@ object IndexBuilder {
     * writers on one list (duplicate docIds = corrupt postings) and scoring
     * field postings for what the query parsed as a text term. U+0002 is a
     * control char the analyzer can never emit, so the namespaces are
-    * disjoint by construction (same convention as the U+0001 sentinels). */
-  val LayoutVersion = 4
+    * disjoint by construction (same convention as the U+0001 sentinels).
+    * v5: adds the metrics/ table (per-segment build metrics) to the layout;
+    * a v4 index resumed under v5 code would skip the stats step and leave
+    * readers of metrics/ with FileNotFound, so it rebuilds instead. */
+  val LayoutVersion = 5
 
   /** Key prefix of field-term postings rows (layout v4): postings/terms rows
     * whose term starts with this are structured `field:value` terms (dismax

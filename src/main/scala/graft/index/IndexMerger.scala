@@ -57,6 +57,22 @@ object IndexMerger {
     // terms carry over unchanged (global stats are segment-invariant);
     // corpus records the new segment count
     spark.read.parquet(s"$indexDir/terms").write.mode("overwrite").parquet(s"$outDir/terms")
+
+    // per-segment metrics recomputed from the MERGED postings (same shape
+    // as the builder's stats step). Summing the source metrics rows would
+    // over-count n_terms: a term in several merged-away segments is one
+    // vocabulary entry of the merged segment, not k.
+    val tsNow = new java.sql.Timestamp(System.currentTimeMillis())
+    spark.read.parquet(s"$outDir/postings")
+      .groupBy($"segment_id")
+      .agg(
+        sum(when($"term" === "", $"doc_count").otherwise(0L)).cast("long").as("n_docs"),
+        sum(when($"term" === "", $"ttf").otherwise(0L)).cast("long").as("sum_dl"),
+        sum(when($"term" =!= "", 1L).otherwise(0L)).cast("long").as("n_terms"),
+        sum(when($"term" =!= "", $"doc_count").otherwise(0L)).cast("long").as("n_postings"))
+      .withColumn("finished_ts", lit(tsNow))
+      .as[MetricsRow]
+      .write.mode("overwrite").parquet(s"$outDir/metrics")
     val c = spark.read.parquet(s"$indexDir/corpus").as[CorpusStats].head()
     Seq(c.copy(num_segments = target)).toDS()
       .write.mode("overwrite").parquet(s"$outDir/corpus")

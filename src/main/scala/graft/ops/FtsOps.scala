@@ -286,6 +286,35 @@ object FtsOps {
           .limit(100)
       }),
 
+    Op("index_metrics_audit",
+      "north-rule metrics table audit: the per-segment build metrics rows " +
+        "(index metrics/ parquet, written with the stats step — one row per " +
+        "segment: doc count, token sum, distinct terms, posting entries; " +
+        "the skew-inspection surface the reference exposes via " +
+        "handler/admin/SegmentsInfoRequestHandler.java + per-core metrics, " +
+        "handler/admin/MetricsHandler.java) aggregate exactly to corpus " +
+        "ground truth: summed docs/tokens match the table, and summed " +
+        "posting entries equal distinct (doc, token) pairs plus the two " +
+        "single-token field postings (role=source, tool=lang) per doc. " +
+        "Segment grain is layout-dependent (the sorted-input fast path " +
+        "takes one segment per input file; the shuffle path per range cut) " +
+        "so per-segment rows are not SQL-expressible — they are reconciled " +
+        "against the docs/corpus tables by EngineSpec instead",
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents WHERE length(text) > 0)
+             |SELECT
+             |  (SELECT count(*) FROM documents) AS n_docs,
+             |  (SELECT count(*) FROM toks) AS sum_dl,
+             |  (SELECT count(*) FROM (SELECT DISTINCT doc_id, w FROM toks))
+             |    + (SELECT count(*) FROM documents WHERE source IS NOT NULL AND source <> '')
+             |    + (SELECT count(*) FROM documents WHERE lang IS NOT NULL AND lang <> '')
+             |    AS n_postings""".stripMargin),
+      (s, dir) => s.read.parquet(s"${index(s, dir, "documents")}/metrics")
+        .agg(
+          sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("sum_dl")).cast("long").as("sum_dl"),
+          sum(col("n_postings")).cast("long").as("n_postings"))),
+
     Op("fts_bm25_oracle",
       "driver-checkable BM25: per-doc scores recomputed from the INDEX " +
         "artifacts (decoded posting blocks for tf, norms sidecar for " +

@@ -57,6 +57,13 @@ class MergeStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     filtered.foreach { q =>
       assert(topK(s2, q) == topK(s8, q), s"filtered query '$q' diverged after merge")
     }
+    // merged metrics table follows the remap and still reconciles exactly
+    val m2 = spark.read.parquet(s"$d2/metrics")
+      .select($"segment_id", $"n_docs", $"sum_dl").as[(Int, Long, Long)]
+      .collect()
+    assert(m2.map(_._1).toSet == docSegs, s"metrics segments: ${m2.map(_._1).toSet}")
+    assert(m2.map(_._2).sum == s2.corpus.doc_count)
+    assert(m2.map(_._3).sum == s2.corpus.sum_dl)
     s8.close(); s2.close()
   }
 
@@ -77,6 +84,12 @@ class MergeStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy($"segment_id").count().as[(Int, Long)].collect().toMap
     assert(segDocs.keySet == Set(0, 1, 2), s"unexpected segments: ${segDocs.keySet}")
     assert(segDocs(2) == streamed.length.toLong)
+    // streamed append adds its own metrics row alongside the merged ones
+    val mSegs = spark.read.parquet(s"$d2/metrics")
+      .select($"segment_id", $"n_docs").as[(Int, Long)].collect().toMap
+    assert(mSegs.keySet == Set(0, 1, 2), s"metrics segments: ${mSegs.keySet}")
+    assert(mSegs(2) == streamed.length.toLong)
+    assert(mSegs.values.sum == all.length.toLong)
     // queries (incl. fq-filtered) match the batch oracle over ALL docs
     (queries ++ Seq("role:user the data")).foreach { q =>
       val parsed = QueryParser.parse(q)
