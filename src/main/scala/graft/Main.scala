@@ -12,6 +12,12 @@ import graft.query.Searcher
   *   spark-submit --class graft.Main app.jar build <transcriptsParquet> <indexDir> [numSegments] [batches]
   *   spark-submit --class graft.Main app.jar query <indexDir> <k> <query...>
   *   spark-submit --class graft.Main app.jar merge <indexDir> <outDir> <targetSegments>
+  *   spark-submit --class graft.Main app.jar compact <indexDir> <outDir> <maxSegments>
+  *   spark-submit --class graft.Main app.jar metrics <indexDir>
+  *
+  * `metrics` prints the per-segment build metrics table with each segment's
+  * share of docs/tokens/postings — the skew-inspection surface (an outlier
+  * n_postings or sum_dl segment is the salting/repartition trigger).
   *
   * `build` is resumable: re-submitting after a failure skips completed
   * lineage steps (SURVEY.md §2.8).
@@ -40,9 +46,24 @@ object Main {
       case "merge" :: dir :: out :: target :: Nil =>
         graft.index.IndexMerger.mergeSegments(spark, dir, out, target.toInt)
         println(s"[graft] merged $dir -> $out ($target segments)")
+      case "compact" :: dir :: out :: maxSegs :: Nil =>
+        val n = graft.index.MergePolicy.compact(spark, dir, out, maxSegs.toInt)
+        println(s"[graft] compacted $dir -> $out ($n segments)")
+      case "metrics" :: dir :: Nil =>
+        import org.apache.spark.sql.functions._
+        val m = spark.read.parquet(s"$dir/metrics")
+        // total via a scalar first (metrics is segment-count-sized), not a
+        // global Window — keeps the zero-unpartitioned-Window invariant
+        val total = math.max(1L, m.agg(sum(col("n_postings"))).head().getLong(0))
+        m.select(col("segment_id"), col("n_docs"), col("sum_dl"),
+            col("n_terms"), col("n_postings"),
+            round(col("n_postings") * lit(100.0) / lit(total), 2).as("postings_pct"))
+          .orderBy(col("segment_id"))
+          .show(1000, truncate = false)
       case _ =>
         System.err.println("usage: build <src> <indexDir> [segments] [batches] | " +
-          "query <indexDir> <k> <terms...> | merge <indexDir> <outDir> <segments>")
+          "query <indexDir> <k> <terms...> | merge <indexDir> <outDir> <segments> | " +
+          "compact <indexDir> <outDir> <maxSegments> | metrics <indexDir>")
         sys.exit(2)
     }
     spark.stop()

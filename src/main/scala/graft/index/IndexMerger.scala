@@ -32,15 +32,30 @@ object IndexMerger {
   def mergeSegments(spark: SparkSession, indexDir: String, outDir: String,
       targetSegments: Int): Unit = {
     import spark.implicits._
-    val postings = spark.read.parquet(s"$indexDir/postings").as[PostingRow]
-    val numOld = postings.agg(max($"segment_id")).as[Int].head() + 1
+    val numOld = spark.read.parquet(s"$indexDir/postings")
+      .agg(max($"segment_id")).as[Int].head() + 1
     val target = math.max(1, math.min(targetSegments, numOld))
+    // proportional remap: adjacent ranges stay adjacent
+    applyMap(spark, indexDir, outDir, (s: Int) => (s.toLong * target / numOld).toInt, target)
+  }
+
+  /** Merge under an explicit old->new segment map. The map must be dense
+    * (0..newCount-1), monotone non-decreasing in old id, and map only
+    * ADJACENT old segments together — segments own contiguous docId ranges
+    * in segment-id order, so only adjacent groups concatenate into a valid
+    * segment (blocks and norms sidecars are stitched in docId order, never
+    * decoded). [[MergePolicy]] produces such maps from the metrics table. */
+  def applyMap(spark: SparkSession, indexDir: String, outDir: String,
+      remap: Int => Int, newCount: Int): Unit = {
+    import spark.implicits._
+    val postings = spark.read.parquet(s"$indexDir/postings").as[PostingRow]
+    val target = newCount
 
     val merged = postings
-      .groupByKey(pr => (pr.segment_id.toLong * target / numOld, pr.term))
+      .groupByKey(pr => (remap(pr.segment_id), pr.term))
       .mapGroups { (key, rows) =>
         val sorted = rows.toArray.sortBy(_.first_doc)
-        concat(sorted).withKey(key._1.toInt, key._2)
+        concat(sorted).withKey(key._1, key._2)
       }
     merged
       .sortWithinPartitions($"term", $"segment_id")
@@ -51,7 +66,7 @@ object IndexMerger {
     // norms sidecar's segment_id — stale ids silently drop filtered matches
     // (and streaming appends would collide baseSeg with old doc segments).
     spark.read.parquet(s"$indexDir/docs").as[DocRow]
-      .map(d => d.copy(segment_id = (d.segment_id.toLong * target / numOld).toInt))
+      .map(d => d.copy(segment_id = remap(d.segment_id)))
       .write.mode("overwrite").option("compression", IndexBuilder.Zstd).parquet(s"$outDir/docs")
 
     // terms carry over unchanged (global stats are segment-invariant);

@@ -120,6 +120,67 @@ class MergeStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("merge policy plan: smallest adjacent pairs merge first, map stays dense and monotone") {
+    import graft.index.MergePolicy
+    // sizes: a big head segment then a tail of small streamed ones
+    val sizes = Seq(0 -> 1000L, 1 -> 10L, 2 -> 12L, 3 -> 900L, 4 -> 8L, 5 -> 9L)
+    val m4 = MergePolicy.plan(sizes, maxSegments = 4)
+    // dense 0..3, monotone in old id (adjacency preserved)
+    assert(m4.values.toSet == Set(0, 1, 2, 3))
+    assert((0 to 4).forall(i => m4(i) <= m4(i + 1)))
+    // the two smallest adjacent runs collapse: (1,2) and (4,5); the giants
+    // stay alone — TieredMergePolicy's similar-size preference
+    assert(m4(0) != m4(1) && m4(1) == m4(2) && m4(2) != m4(3))
+    assert(m4(3) != m4(4) && m4(4) == m4(5))
+    // tighter budget: the (4,5) run absorbs its giant neighbor before any
+    // giant-giant merge forms
+    val m3 = MergePolicy.plan(sizes, maxSegments = 3)
+    assert(m3.values.toSet == Set(0, 1, 2))
+    assert(m3(0) != m3(1) && m3(1) == m3(2) && m3(2) != m3(3))
+    assert(m3(3) == m3(4) && m3(4) == m3(5))
+    // within budget: identity-shaped, no merging
+    val id = MergePolicy.plan(sizes, maxSegments = 6)
+    assert((0 to 5).forall(i => id(i) == i))
+  }
+
+  test("compact: streamed segment pileup merges under policy, queries stay oracle-identical") {
+    import spark.implicits._
+    import graft.index.MergePolicy
+    val all = TranscriptGen.generate(spark, 60).collect().toSeq
+    val (offline, streamed) = all.splitAt(all.length / 2)
+    val dir = tmp()
+    IndexBuilder.build(spark, offline.toDF(), dir, IndexBuilder.Config(numSegments = 2))
+    // 2 batch segments + 4 micro-batch segments = 6
+    streamed.grouped(math.max(1, streamed.length / 4 + 1)).zipWithIndex.foreach {
+      case (b, i) => StreamingIndexer.appendBatch(spark, b.toDF(), dir, batchId = i)
+    }
+    val before = spark.read.parquet(s"$dir/metrics").count()
+    assert(before >= 5, s"expected a segment pileup, got $before")
+    val out = tmp()
+    val n = MergePolicy.compact(spark, dir, out, maxSegments = 3)
+    assert(n == 3)
+    val s = new Searcher(spark, out)
+    assert(s.corpus.doc_count == all.length)
+    assert(s.corpus.num_segments == 3)
+    (queries ++ Seq("role:user the data")).foreach { q =>
+      val parsed = QueryParser.parse(q)
+      val engine = s.topKHits(parsed, 10).collect().toSeq
+      val oracle = Oracle.topK(spark, s.docs, parsed, 10).collect().toSeq
+      assert(engine == oracle, s"query '$q' diverged after compaction")
+    }
+    // metrics rewritten for the compacted layout and still exact
+    val m = spark.read.parquet(s"$out/metrics")
+      .select($"segment_id", $"n_docs").as[(Int, Long)].collect().toMap
+    assert(m.keySet == Set(0, 1, 2))
+    assert(m.values.sum == all.length.toLong)
+    // a later append keeps working on the compacted index (baseSeg = 3)
+    StreamingIndexer.appendBatch(spark, Seq(all.head.copy(conv_id = "c-new")).toDF(), out, batchId = 99)
+    val s2 = new Searcher(spark, out)
+    assert(s2.corpus.doc_count == all.length + 1)
+    assert(s2.corpus.num_segments == 4)
+    s.close(); s2.close()
+  }
+
   private def decodeDocs(p: graft.index.PostingRow): Array[Long] = {
     val docs = new Array[Long](graft.codec.PostingsCodec.BlockSize)
     val tfs = new Array[Int](graft.codec.PostingsCodec.BlockSize)
