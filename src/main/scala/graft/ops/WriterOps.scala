@@ -203,6 +203,52 @@ object WriterOps {
           .orderBy(col("bucket"))
       }),
 
+    Op("facet_exclude_tags",
+      "multi-select faceting via tagged-filter exclusion: the query applies " +
+        "fq={!tag=SRC}source:src3 AND fq=lang:en, but the source facet runs " +
+        "over the domain with the SRC-tagged filter EXCLUDED (domain: " +
+        "{excludeTags:SRC} in the JSON Facet API — search/facet/FacetRequest" +
+        ".java domain parsing; legacy facet.field={!ex=SRC} in " +
+        "request/SimpleFacets.java) so the UI keeps showing every source's " +
+        "count under the OTHER filters while one is selected. Rows = top-5 " +
+        "facet buckets over (lang=en) only, plus the __results__ meta row " +
+        "counting the fully-filtered result set. Scale shape: two partial " +
+        "aggregations over one filtered scan, no extra shuffle",
+      Some("""WITH dom AS (SELECT source FROM documents WHERE lang = 'en'),
+             |top5 AS (SELECT source AS bucket, count(*) AS cnt FROM dom
+             |         GROUP BY source ORDER BY cnt DESC, bucket LIMIT 5)
+             |SELECT bucket, cnt FROM top5
+             |UNION ALL SELECT '__results__', count(*) FROM dom WHERE source = 'src3'
+             |ORDER BY cnt DESC, bucket""".stripMargin),
+      (s, dir) => {
+        val dom = t(s, dir, "documents")
+          .where(col("lang") === "en") // untagged fq: stays in the domain
+          .select(col("source"))
+        val top5 = dom.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("source")).limit(5)
+          .select(col("source").as("bucket"), col("cnt"))
+        val results = dom.where(col("source") === "src3") // tagged fq applies
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("__results__").as("bucket"), col("cnt"))
+        top5.unionByName(results)
+          .orderBy(col("cnt").desc, col("bucket"))
+      }),
+
+    Op("facet_prefix",
+      "terms facet restricted to buckets with a term prefix — facet.prefix " +
+        "(request/SimpleFacets.java prefix handling; JSON Facet API `prefix` " +
+        "in search/facet/FacetField.java), the facet-driven autocomplete " +
+        "idiom. The prefix predicate applies BEFORE aggregation, so at " +
+        "scale it prunes the scan (pushed filter), not the bucket list",
+      Some("""SELECT source AS bucket, count(*) AS cnt FROM documents
+             |WHERE source LIKE 'src1%' GROUP BY source
+             |ORDER BY cnt DESC, bucket""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .where(col("source").startsWith("src1"))
+        .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .select(col("source").as("bucket"), col("cnt"))
+        .orderBy(col("cnt").desc, col("bucket"))),
+
     Op("facet_range_other",
       "range facet with other=all: gap buckets over [50000, 250000) by " +
         "50000 plus the __before__/__after__/__between__ meta counts — " +
