@@ -181,6 +181,36 @@ class MergeStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     s.close(); s2.close()
   }
 
+  test("compacted index: phrase/slop/wildcard/filter queries stay rank-identical to the oracle") {
+    import spark.implicits._
+    import graft.index.MergePolicy
+    val all = TranscriptGen.generate(spark, 80).collect().toSeq
+    val (offline, streamed) = all.splitAt(all.length / 2)
+    val dir = tmp()
+    IndexBuilder.build(spark, offline.toDF(), dir, IndexBuilder.Config(numSegments = 3))
+    streamed.grouped(math.max(1, streamed.length / 3 + 1)).zipWithIndex.foreach {
+      case (b, i) => StreamingIndexer.appendBatch(spark, b.toDF(), dir, batchId = i)
+    }
+    val out = tmp()
+    assert(MergePolicy.compact(spark, dir, out, maxSegments = 2) == 2)
+    val s = new Searcher(spark, out)
+    // positions, slop, expansion, filters, boosts, nested groups — the
+    // shapes that stress stitched posting blocks and concatenated norms
+    val hard = Seq(
+      "\"the data\"", "+\"error retry\" timeout", "\"error retry\"~2 timeout",
+      "par* data", "errer~1 data", "data -\"merge shuffle\"",
+      "role:user spark index", "data -role:system",
+      "error OR (data AND query)", "data^2 query the")
+    hard.foreach { q =>
+      val parsed = s.expand(QueryParser.parse(q))
+      val engine = s.topKHits(parsed, 10).collect().toSeq
+      val oracle = Oracle.topK(spark,
+        s.docs.select($"doc_id", $"text", $"role", $"tool"), parsed, 10).collect().toSeq
+      assert(engine == oracle, s"query '$q' diverged on the compacted index")
+    }
+    s.close()
+  }
+
   private def decodeDocs(p: graft.index.PostingRow): Array[Long] = {
     val docs = new Array[Long](graft.codec.PostingsCodec.BlockSize)
     val tfs = new Array[Int](graft.codec.PostingsCodec.BlockSize)
