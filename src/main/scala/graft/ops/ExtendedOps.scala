@@ -897,6 +897,47 @@ object ExtendedOps {
           .orderBy(col("c_custkey")).limit(100)
       }),
 
+    Op("sort_geodist",
+      "spatial nearest-first sort — sort=geodist() asc with fl=_dist_: " +
+        "(the geodist() sort idiom of search/function/distance/" +
+        "HaversineConstFunction.java + GeoDistValueSource): the 20 nearest " +
+        "points to the query center by great-circle distance. Same rounded " +
+        "haversine as filter_geofilt so libm 1-ulp noise cannot reorder; " +
+        "the top-20 cut is a distributed TakeOrdered, never a global sort",
+      Some("""WITH pts AS (SELECT c_custkey,
+             |    CAST(c_custkey % 171 AS DOUBLE) - 85.0 + 0.5 AS lat,
+             |    CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+             |  FROM customer)
+             |SELECT c_custkey,
+             |  round(2 * 6371.0 * asin(sqrt(pow(sin(radians(lat - 40.0) / 2), 2) + cos(radians(40.0)) * cos(radians(lat)) * pow(sin(radians(lon - 10.0) / 2), 2))), 6) AS dist_km
+             |FROM pts
+             |ORDER BY dist_km, c_custkey LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val hav = "round(2 * 6371.0 * asin(sqrt(pow(sin(radians(lat - 40.0) / 2), 2) + " +
+          "cos(radians(40.0)) * cos(radians(lat)) * pow(sin(radians(lon - 10.0) / 2), 2))), 6)"
+        t(s, dir, "customer")
+          .selectExpr("c_custkey",
+            "CAST(c_custkey % 171 AS DOUBLE) - 85.0 + 0.5 AS lat",
+            "CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon")
+          .selectExpr("c_custkey", s"$hav AS dist_km")
+          .orderBy(col("dist_km"), col("c_custkey")).limit(20)
+      }),
+
+    Op("facet_sort_index",
+      "terms facet under facet.sort=index: buckets in term (index) order " +
+        "with limit+offset, instead of the default count order — " +
+        "FacetParams.FACET_SORT_INDEX handling in request/SimpleFacets" +
+        ".java and FacetFieldProcessorByArray's index-order walk. At scale " +
+        "this is the cheaper sort: bucket keys are already dictionary-" +
+        "ordered in the terms table, no count ranking pass",
+      Some("""SELECT source AS bucket, CAST(count(*) AS BIGINT) AS cnt
+             |FROM documents GROUP BY source
+             |ORDER BY bucket OFFSET 2 LIMIT 6""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .select(col("source").as("bucket"), col("cnt"))
+        .orderBy(col("bucket")).offset(2).limit(6)),
+
     Op("filter_bbox",
       "{!bbox} bounding-box spatial filter (search/SpatialBoxQParserPlugin" +
         ".java: the rectangle-approximation fast path of geofilt): pure " +
