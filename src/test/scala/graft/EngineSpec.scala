@@ -767,6 +767,47 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial skew: a 2000-turn conversation and an every-doc term still build balanced segments") {
+    import java.sql.Timestamp
+    // hot-term skew: "data" in EVERY doc; long-conversation skew: one conv
+    // holds ~87% of the corpus. The range partitioner cuts on the FULL
+    // (conv_id, turn_idx) key, so the giant conversation must split across
+    // segments instead of pinning one (the north rule's salting clause: no
+    // per-conversation partition may form)
+    val ts = new Timestamp(1700000000000L)
+    val big = (0 until 2000).map(i =>
+      graft.index.Turn("conv-big", i, if (i % 2 == 0) "user" else "assistant",
+        s"data turn $i retry error", null, ts))
+    val small = (0 until 100).flatMap(c => (0 until 3).map(i =>
+      graft.index.Turn(f"conv-s$c%03d", i, "user", s"data query $c window", null, ts)))
+    val dir = TestSpark.tmpDir("idx-skew")
+    IndexBuilder.build(spark, (big ++ small).toDF(), dir,
+      IndexBuilder.Config(numSegments = 8))
+    val m = spark.read.parquet(s"$dir/metrics")
+      .select($"segment_id", $"n_docs").as[(Int, Long)].collect().toMap
+    assert(m.keySet.size == 8, s"segments: ${m.keySet}")
+    val mean = m.values.sum.toDouble / m.size
+    assert(m.values.max <= (mean * 1.5).ceil.toLong,
+      s"segment imbalance under skew: ${m.values.toSeq.sorted} (mean $mean)")
+    // hot-term posting lists are segment-bounded by construction: the
+    // per-segment doc_count of the every-doc term equals that segment's size
+    val hot = spark.read.parquet(s"$dir/postings")
+      .where($"term" === "data")
+      .select($"segment_id", $"doc_count").as[(Int, Int)].collect().toMap
+    assert(hot.keySet == m.keySet)
+    hot.foreach { case (seg, dc) => assert(dc.toLong == m(seg), s"segment $seg") }
+    // and the skewed index still answers rank-identically to the oracle
+    val s = new Searcher(spark, dir)
+    Seq("data", "retry error", "\"data turn\"", "data -role:assistant").foreach { q =>
+      val parsed = s.expand(QueryParser.parse(q))
+      val engine = s.topKHits(parsed, 10).collect().toSeq
+      val oracle = Oracle.topK(spark,
+        s.docs.select($"doc_id", $"text", $"role", $"tool"), parsed, 10).collect().toSeq
+      assert(engine == oracle, s"query '$q' diverged on the skew corpus")
+    }
+    s.close()
+  }
+
   test("metrics table: per-segment rows reconcile exactly with docs and corpus stats") {
     val m = spark.read.parquet(s"$indexDir/metrics")
       .select($"segment_id", $"n_docs", $"sum_dl", $"n_terms", $"n_postings")
