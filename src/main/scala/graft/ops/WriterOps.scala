@@ -203,6 +203,52 @@ object WriterOps {
           .orderBy(col("bucket"))
       }),
 
+    Op("facet_subfacet_metrics",
+      "nested JSON-facet block with METRICS AT EVERY LEVEL — the signature " +
+        "composition of the JSON Facet API ({type:terms, facet:{avg:..., " +
+        "sub:{type:terms, facet:{avg:...}}}}; search/facet/FacetField.java " +
+        "nested facet parsing, FacetContext sub-processing): top-2 nations " +
+        "by count each carry count+avg(acctbal), and every mktsegment " +
+        "bucket nested under them carries its own count+avg. Decimal sums " +
+        "keep the avg hash-exact; parent cut is a TakeOrdered; both levels " +
+        "aggregate off one shared join, so the child pass adds one " +
+        "partial-agg stage, not a second corpus scan",
+      Some("""WITH j AS (SELECT n_name, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |l1 AS (SELECT n_name, count(*) AS cnt, sum(bal) AS s FROM j
+             |       GROUP BY n_name ORDER BY cnt DESC, n_name LIMIT 2)
+             |SELECT 1 AS level, NULL AS parent, n_name AS value, cnt,
+             |  round(CAST(s AS DOUBLE) / cnt, 6) AS avg_bal FROM l1
+             |UNION ALL
+             |SELECT 2, j.n_name, c_mktsegment, count(*),
+             |  round(CAST(sum(bal) AS DOUBLE) / count(*), 6)
+             |FROM j JOIN l1 USING (n_name) GROUP BY j.n_name, c_mktsegment
+             |ORDER BY level, parent NULLS FIRST, cnt DESC, value""".stripMargin),
+      (s, dir) => {
+        val j = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_mktsegment"),
+            Op.dec2(col("c_acctbal")).as("bal"))
+        val l1 = j.groupBy(col("n_name"))
+          .agg(count(lit(1)).as("cnt"), sum(col("bal")).as("s"))
+          .orderBy(col("cnt").desc, col("n_name")).limit(2)
+        val parents = l1.select(lit(1).as("level"),
+          lit(null).cast("string").as("parent"), col("n_name").as("value"),
+          col("cnt"), round(col("s").cast("double") / col("cnt"), 6).as("avg_bal"))
+        val children = j
+          .join(broadcast(l1.select(col("n_name").as("keep"))),
+            col("n_name") === col("keep"))
+          .groupBy(col("n_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"), sum(col("bal")).as("s"))
+          .select(lit(2).as("level"), col("n_name").as("parent"),
+            col("c_mktsegment").as("value"), col("cnt"),
+            round(col("s").cast("double") / col("cnt"), 6).as("avg_bal"))
+        parents.unionByName(children)
+          .orderBy(col("level"), col("parent").asc_nulls_first,
+            col("cnt").desc, col("value"))
+      }),
+
     Op("facet_exclude_tags",
       "multi-select faceting via tagged-filter exclusion: the query applies " +
         "fq={!tag=SRC}source:src3 AND fq=lang:en, but the source facet runs " +
