@@ -162,6 +162,73 @@ object VectorOps {
           .orderBy(col("i"), col("j"))
       }),
 
+    Op("vec_dedup_lsh",
+      "embedding near-duplicate PAIRS via SRP-LSH bucketing — the " +
+        "subquadratic scale path the exact op (vec_cosine_pairs) routes " +
+        "large corpora to. Sign-random-projection signatures, L=24 tables " +
+        "x 4 bits, candidate pairs = same-bucket self-join per table, " +
+        "distinct, then EXACT cosine verify >= 0.45 — so precision is 1.0 " +
+        "by construction and only recall is approximate (OpsSpec pins " +
+        "recall >= 0.9 vs the exact op). Scale: candidates are " +
+        "bucket-local (no O(n^2) gram), the per-table self-join shuffles " +
+        "on (table, sig); at production dedup thresholds (tau ~ 0.9, " +
+        "theta ~ 26deg) the same construction runs ~16 bits x 32 tables, " +
+        "giving ~n/65k-row buckets — the parameters trade bucket density " +
+        "against per-pair collision probability (1 - theta/pi)^bits. " +
+        "Engine-only (approximate recall), no SQL oracle",
+      None,
+      (s, dir) => {
+        val nBits = 4
+        val nTables = 24
+        val dim = 64
+        def mix(z0: Long): Long = {
+          var z = z0 + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        val planes: Array[Array[Array[Double]]] = Array.tabulate(nTables, nBits, dim) { (l, b, d) =>
+          mix(l * 15485863L + b * 32452843L + d * 49979687L).toDouble / Long.MaxValue
+        }
+        val bc = s.sparkContext.broadcast(planes)
+        val sigsUdf = udf((v: Seq[Float]) => {
+          val ps = bc.value
+          val arr = v.toArray
+          val n = math.min(dim, arr.length)
+          (0 until nTables).map { l =>
+            var sig = 0
+            var b = 0
+            while (b < nBits) {
+              val row = ps(l)(b)
+              var acc = 0.0
+              var d = 0
+              while (d < n) { acc += row(d) * arr(d); d += 1 }
+              if (acc > 0) sig |= (1 << b)
+              b += 1
+            }
+            (l, sig)
+          }
+        })
+        val tabled = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), explode(sigsUdf(col("embedding"))).as("ts"))
+          .select(col("vec_id"), col("embedding"),
+            col("ts._1").as("table"), col("ts._2").as("sig"))
+        // candidate ids: same-bucket pairs in ANY table, deduped once before
+        // the exact verify (one extra shuffle on the pair key; candidate
+        // count is bucket-local, not O(n^2))
+        val cand = tabled.as("a")
+          .join(tabled.as("b"),
+            col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+            col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+          .dropDuplicates("i", "j")
+        cand
+          .select(col("i"), col("j"), round(cosine(col("ea"), col("eb")), 4).as("cos"))
+          .where(col("cos") >= 0.45)
+          .orderBy(col("i"), col("j"))
+      }),
+
     Op("vec_ann_lsh",
       "LSH-bucketed ANN: sign-random-projection, L=16 independent 8-bit " +
         "hash tables with hamming<=2 multi-probe on the query side, exact " +

@@ -106,6 +106,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls.forall(_ >= 0.9), s"recall@10 too low: $recalls")
   }
 
+  test("vec_dedup_lsh: recall >= 0.9 vs exact pairs, precision 1.0") {
+    // the LSH near-dup pair path is approximate in RECALL only (candidates
+    // are exact-cosine verified, so every emitted pair is a true pair)
+    def pairs(name: String, dir: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = pairs("vec_cosine_pairs", dir)
+      val approx = pairs("vec_dedup_lsh", dir)
+      assert(approx.subsetOf(exact), s"false positives: ${approx.diff(exact)}")
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall too low in $dir: $recall (${approx.size}/${exact.size})")
+    }
+  }
+
   test("vec_ann_int8: recall@10 >= 0.95 vs exact; over=all candidates == brute force") {
     def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
       df.select("vec_id").collect().map(_.getLong(0)).toSeq
