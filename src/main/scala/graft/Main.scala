@@ -47,14 +47,22 @@ object Main {
         graft.index.IndexMerger.mergeSegments(spark, dir, out, target.toInt)
         println(s"[graft] merged $dir -> $out ($target segments)")
       case "compact" :: dir :: out :: maxSegs :: Nil =>
-        val n = graft.index.MergePolicy.compact(spark, dir, out, maxSegs.toInt)
-        println(s"[graft] compacted $dir -> $out ($n segments)")
+        graft.index.MergePolicy.compact(spark, dir, out, maxSegs.toInt) match {
+          case Some(n) => println(s"[graft] compacted $dir -> $out ($n segments)")
+          case None =>
+            // no-op: NOTHING was written to out — don't name it as usable
+            println(s"[graft] $dir already within budget (<= $maxSegs " +
+              s"segments); nothing written, keep querying $dir")
+        }
       case "metrics" :: dir :: Nil =>
         import org.apache.spark.sql.functions._
         val m = spark.read.parquet(s"$dir/metrics")
         // total via a scalar first (metrics is segment-count-sized), not a
         // global Window — keeps the zero-unpartitioned-Window invariant
-        val total = math.max(1L, m.agg(sum(col("n_postings"))).head().getLong(0))
+        // coalesce: sum over a zero-row metrics table is NULL, and getLong
+        // on it would NPE before the max(1) guard ever ran
+        val total = math.max(1L,
+          m.agg(coalesce(sum(col("n_postings")), lit(0L))).head().getLong(0))
         m.select(col("segment_id"), col("n_docs"), col("sum_dl"),
             col("n_terms"), col("n_postings"),
             round(col("n_postings") * lit(100.0) / lit(total), 2).as("postings_pct"))

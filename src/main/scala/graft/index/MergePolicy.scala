@@ -56,21 +56,21 @@ object MergePolicy {
 
   /** Compact an index to at most `maxSegments` segments, planning from its
     * metrics table and rewriting via [[IndexMerger.applyMap]]. Returns the
-    * resulting segment count. When already within budget this is a no-op
-    * (nothing written to `outDir`) and returns the current count — callers
-    * keep using `indexDir`. */
+    * resulting segment count, or None when the index is already within
+    * budget — then this is a no-op (nothing written to `outDir`) and
+    * callers keep using `indexDir`. */
   def compact(spark: SparkSession, indexDir: String, outDir: String,
-      maxSegments: Int): Int = {
+      maxSegments: Int): Option[Int] = {
     import spark.implicits._
     val sizes = spark.read.parquet(s"$indexDir/metrics")
       .select(col("segment_id"), col("n_postings"))
       .as[(Int, Long)].collect().toSeq // segment-count-sized by construction
-    if (sizes.length <= maxSegments) sizes.length
+    if (sizes.length <= maxSegments) None
     else {
       val m = plan(sizes, maxSegments)
       val newCount = m.values.max + 1
       IndexMerger.applyMap(spark, indexDir, outDir, m, newCount)
-      newCount
+      Some(newCount)
     }
   }
 }

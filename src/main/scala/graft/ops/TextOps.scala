@@ -74,6 +74,25 @@ object TextOps {
     *
     * mem(doc_id, rep): membership table; reps: shingle rows of
     * representatives only. Memoized per (session, dir) like shingleTable. */
+  /** Benchmark-overlap decontamination hits: (doc_id, bench_id, overlap)
+    * for corpus docs sharing >= 5 distinct 3-gram shingles with the
+    * benchmark slice (doc_id % 17 = 0). Shared by text_decontaminate and
+    * pipeline_clean_corpus so the funnel's stage-3 predicate can never
+    * drift from the standalone op. The benchmark side is small by
+    * construction (eval sets vs a 100 TB corpus) -> broadcast; the corpus
+    * side stays one linear scan + partial agg. */
+  private def contaminationHits(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val bench = sh.where(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    sh.join(broadcast(bench), "g")
+      .where(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= 5)
+  }
+
   private val collapseCache = scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
 
   private def collapsed(s: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
@@ -377,6 +396,7 @@ object TextOps {
         .limit(20)),
 
     Op("text_decontaminate",
+      // (impl shared with pipeline_clean_corpus via contaminationHits)
       "training-data decontamination: flag corpus docs sharing >= 5 " +
         "distinct word-3-grams with any doc of a benchmark/eval set (the " +
         "standard n-gram-overlap hygiene pass run before LLM training). " +
@@ -397,19 +417,9 @@ object TextOps {
              |  WHERE s.doc_id <> b.bench_id GROUP BY 1, 2)
              |SELECT doc_id, bench_id, CAST(overlap AS BIGINT) AS overlap
              |FROM hits WHERE overlap >= 5 ORDER BY doc_id, bench_id""".stripMargin),
-      (s, dir) => {
-        val sh = shingleTable(s, dir)
-          .select(col("doc_id"), explode(col("sh")).as("g"))
-        val bench = sh.where(col("doc_id") % 17 === 0)
-          .select(col("doc_id").as("bench_id"), col("g"))
-        sh.join(broadcast(bench), "g")
-          .where(col("doc_id") =!= col("bench_id"))
-          .groupBy(col("doc_id"), col("bench_id"))
-          .agg(count(lit(1)).as("overlap"))
-          .where(col("overlap") >= 5)
-          .select(col("doc_id"), col("bench_id"), col("overlap"))
-          .orderBy(col("doc_id"), col("bench_id"))
-      }),
+      (s, dir) => contaminationHits(s, dir)
+        .select(col("doc_id"), col("bench_id"), col("overlap"))
+        .orderBy(col("doc_id"), col("bench_id"))),
 
     Op("pipeline_clean_corpus",
       "the composed training-data hygiene FUNNEL every LLM pipeline runs — " +
@@ -441,28 +451,25 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         val raw = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val q = raw.where(size(split(col("text"), " ")) >= 5)
-        val d = q.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+        // raw + quality counts in ONE scan (conditional count), instead of
+        // two separate actions over the same parquet
+        val rq = raw.agg(count(lit(1)).as("raw"),
+          count(when(size(split(col("text"), " ")) >= 5, 1)).as("q")).head()
+        val (nRaw, nQ) = (rq.getLong(0), rq.getLong(1))
+        val d = raw.where(size(split(col("text"), " ")) >= 5)
+          .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
-        // contaminated ids: same shape as text_decontaminate (broadcast
-        // benchmark side), reduced to the distinct flagged doc set
-        val sh = shingleTable(s, dir)
-          .select(col("doc_id"), explode(col("sh")).as("g"))
-        val bench = sh.where(col("doc_id") % 17 === 0)
-          .select(col("doc_id").as("bench_id"), col("g"))
-        val contaminated = sh.join(broadcast(bench), "g")
-          .where(col("doc_id") =!= col("bench_id"))
-          .groupBy(col("doc_id"), col("bench_id"))
-          .agg(count(lit(1)).as("ov"))
-          .where(col("ov") >= 5)
+          .persist() // consumed twice: its own count + the anti-join below
+        // contaminated ids: the EXACT text_decontaminate hit set (shared
+        // helper — the two ops cannot drift), reduced to distinct doc ids
+        val contaminated = contaminationHits(s, dir)
           .select(col("doc_id")).distinct()
-        val clean = d.join(contaminated, Seq("doc_id"), "left_anti")
-        val counts = Seq(
-          (0, "raw", raw.count()),
-          (1, "quality", q.count()),
-          (2, "dedup", d.count()),
-          (3, "decontaminated", clean.count()))
-        counts.toDF("ord", "stage", "docs").orderBy(col("ord"))
+        val nD = d.count()
+        val nClean = d.join(contaminated, Seq("doc_id"), "left_anti").count()
+        d.unpersist()
+        Seq((0, "raw", nRaw), (1, "quality", nQ), (2, "dedup", nD),
+          (3, "decontaminated", nClean))
+          .toDF("ord", "stage", "docs").orderBy(col("ord"))
       }),
 
     Op("text_dedup_ngram_jaccard",

@@ -209,21 +209,25 @@ object VectorOps {
             (l, sig)
           }
         })
-        val tabled = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), explode(sigsUdf(col("embedding"))).as("ts"))
-          .select(col("vec_id"), col("embedding"),
-            col("ts._1").as("table"), col("ts._2").as("sig"))
-        // candidate ids: same-bucket pairs in ANY table, deduped once before
-        // the exact verify (one extra shuffle on the pair key; candidate
-        // count is bucket-local, not O(n^2))
+        val e = t(s, dir, "embeddings")
+        // signatures carry IDS ONLY through the 24-way explode and the
+        // bucket self-join — replicating the float vector into every
+        // (table, sig) row and again into every candidate pair would make
+        // shuffle volume vector-dominated (24x the embedding bytes); the
+        // two vectors are joined back for exactly the deduped candidates,
+        // the same id-then-rerank pattern as the int8/binary ANN tiers
+        val tabled = e
+          .select(col("vec_id"), explode(sigsUdf(col("embedding"))).as("ts"))
+          .select(col("vec_id"), col("ts._1").as("table"), col("ts._2").as("sig"))
         val cand = tabled.as("a")
           .join(tabled.as("b"),
             col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
               col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-            col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
           .dropDuplicates("i", "j")
         cand
+          .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
+          .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
           .select(col("i"), col("j"), round(cosine(col("ea"), col("eb")), 4).as("cos"))
           .where(col("cos") >= 0.45)
           .orderBy(col("i"), col("j"))

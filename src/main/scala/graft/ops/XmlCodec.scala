@@ -12,7 +12,15 @@ import org.apache.spark.sql.functions._
   *   - serialize-side escaping: `& < >` in field values must be
   *     entity-encoded or the parse of the payload throws
   *     XMLStreamException mid-task — the loader is advertised for
-  *     arbitrary string columns, not just clean dimension tables;
+  *     arbitrary string columns, not just clean dimension tables.
+  *     XML 1.0 cannot carry C0 control chars AT ALL (not even as numeric
+  *     character references — only #x9 #xA #xD are legal, and a literal
+  *     #xD is itself rewritten to #xA by mandated EOL normalization), so
+  *     the codec shifts all of them except TAB/LF to U+E000+c on write
+  *     and reverses on read: the round-trip stays an exact identity for
+  *     any value (this repo itself embeds U+0001/U+0002 sentinels in
+  *     index terms). The codec CONVENTION reserves U+E000..U+E01F;
+  *     genuine private-use chars there would be un-shifted on read;
   *   - the StAX factory is per executor THREAD, not per row:
   *     XMLInputFactory.newInstance() does a service-provider lookup, and
   *     the JDK impl is not specified thread-safe, so a shared-factory
@@ -21,10 +29,36 @@ import org.apache.spark.sql.functions._
   * an exact identity on the original values. */
 object XmlCodec {
 
+  // the C0 chars that cannot round-trip as literal element text (all of
+  // 0x00-0x1F except TAB/LF: the others are either illegal in XML 1.0
+  // outright, or — CR — rewritten to LF by the parser's mandated
+  // end-of-line normalization) and their U+E000-shifted stand-ins, as 1:1
+  // translate() alphabets
+  private val CtrlRaw: String =
+    (0 until 32).filter(c => c != 9 && c != 10).map(_.toChar).mkString
+  private val CtrlShifted: String = CtrlRaw.map(c => (0xe000 + c).toChar)
+
   /** XML-escape a column for use as element text. */
   def esc(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(c.cast("string"),
-      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    translate(regexp_replace(regexp_replace(regexp_replace(c.cast("string"),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), CtrlRaw, CtrlShifted)
+
+  /** Reverse of the control-char shift (parse side). */
+  private def unshift(s: String): String = {
+    var i = 0
+    var dirty = false
+    while (i < s.length && !dirty) {
+      val ch = s.charAt(i)
+      if (ch >= 0xe000 && ch <= 0xe01f) dirty = true
+      i += 1
+    }
+    if (!dirty) s
+    else s.map { ch =>
+      if (ch >= 0xe000 && ch <= 0xe01f && CtrlShifted.indexOf(ch) >= 0)
+        (ch - 0xe000).toChar
+      else ch
+    }
+  }
 
   // one factory per executor thread; object re-initializes per JVM, so
   // nothing here is serialized into the UDF closure
@@ -51,8 +85,10 @@ object XmlCodec {
           case javax.xml.stream.XMLStreamConstants.CHARACTERS if cur != null =>
             sb.append(r.getText)
           case javax.xml.stream.XMLStreamConstants.END_ELEMENT
-              if r.getLocalName == "field" =>
-            fields(cur) = sb.toString; cur = null
+              // cur == null: a <field> with no name attribute is skipped
+              // (storing under a null key would NPE downstream map users)
+              if r.getLocalName == "field" && cur != null =>
+            fields(cur) = unshift(sb.toString); cur = null
           case _ =>
         }
       }

@@ -173,12 +173,17 @@ object QueryParser {
     val rangeFilters = Vector.newBuilder[RangeFilter]
     val groups = Vector.newBuilder[Group]
     val conjGroups = Vector.newBuilder[ConjGroup]
-    val multiTerms = Vector.newBuilder[MultiTerm]
+    val multiTerms = scala.collection.mutable.ArrayBuffer.empty[MultiTerm]
     val phrases = Vector.newBuilder[Phrase] // quoted clauses + group phrase members
     val boosts = scala.collection.mutable.Map.empty[String, Float]
     var nextNegated = false
     var promoteNext = false // previous token was AND
-    var lastElemGroup = false // previous clause-like element was a (group)
+    // what the previous clause-like element was, so a following AND can
+    // backward-promote ITS left operand and nothing else: 0 = nothing
+    // promotable (filter, group — a group self-promotes via its own
+    // forward peek — or a dropped token), 1 = last entry of `clauses`,
+    // 2 = last entry of `multiTerms` (wildcard/fuzzy)
+    var lastEmit = 0
     var i = 0
 
     /** Strip a trailing `^boost`; returns (body, boost). */
@@ -198,6 +203,7 @@ object QueryParser {
     }
 
     def emitTerm(body0: String, occur0: Occur): Unit = {
+      lastEmit = 0 // set per exit path below
       var occur = occur0
       var body = body0
       if (body.startsWith("+")) { occur = Must; body = body.substring(1) }
@@ -238,6 +244,7 @@ object QueryParser {
             (digits.toIntOption.getOrElse(0), suffix.drop(1 + digits.length))
           } else (0, suffix)
         clauses += Clause(occur, body, phrase = true, boost, slop)
+        lastEmit = 1
         if (rest.nonEmpty) emitTerm(rest, Should)
         return
       }
@@ -248,8 +255,10 @@ object QueryParser {
         val edits = if (suffix.isEmpty) 2 else suffix.toIntOption.getOrElse(-1)
         if (edits >= 1 && edits <= 2) {
           val base = analyzer.analyze(core.substring(0, tilde))
-          if (base.length == 1)
+          if (base.length == 1) {
             multiTerms += MultiTerm(1, base(0), edits, occInt(occur), boost)
+            lastEmit = 2
+          }
           return
         }
       }
@@ -258,8 +267,10 @@ object QueryParser {
       if (core.endsWith("*") && core.length > 1 &&
         !core.dropRight(1).exists(c => c == '*' || c == '?')) {
         val base = analyzer.analyze(core.dropRight(1))
-        if (base.length == 1)
+        if (base.length == 1) {
           multiTerms += MultiTerm(0, base(0), 0, occInt(occur), boost)
+          lastEmit = 2
+        }
         return
       }
       // general wildcard: `?` single char, `*` any run, anywhere in the
@@ -272,23 +283,31 @@ object QueryParser {
       // enabled — but a body with no literal char at all stays invalid.
       if (core.exists(c => c == '*' || c == '?')) {
         val glob = core.toLowerCase(java.util.Locale.ROOT)
-        if (glob.exists(c => c != '*' && c != '?'))
+        if (glob.exists(c => c != '*' && c != '?')) {
           multiTerms += MultiTerm(2, glob, 0, occInt(occur), boost)
+          lastEmit = 2
+        }
         return
       }
       clauses += Clause(occur, core, phrase = false, boost)
+      lastEmit = 1
     }
 
     while (i < toks.length) {
       toks(i) match {
         case "AND" | "&&" =>
-          // backward promotion binds the clause immediately BEFORE the AND;
-          // when that element was a parenthesized group the group itself
-          // was already promoted by its own forward peek (below) — touching
-          // clauses.last here would wrongly promote an earlier, unrelated
-          // clause ("x (a b) AND c" must keep x optional)
-          if (!lastElemGroup && clauses.nonEmpty && clauses.last.occur == Should)
+          // backward promotion binds the element immediately BEFORE the
+          // AND — and only it. A group self-promotes via its own forward
+          // peek; a filter is required anyway; a wildcard/fuzzy left
+          // operand lives in multiTerms, NOT clauses, so touching
+          // clauses.last there would wrongly promote an earlier, unrelated
+          // term ("data par* AND retry" must keep data optional and
+          // require the par* expansion)
+          if (lastEmit == 1 && clauses.nonEmpty && clauses.last.occur == Should)
             clauses(clauses.length - 1) = clauses.last.copy(occur = Must)
+          else if (lastEmit == 2 && multiTerms.nonEmpty &&
+            multiTerms.last.occur == 1)
+            multiTerms(multiTerms.length - 1) = multiTerms.last.copy(occur = 0)
           promoteNext = true
         case "OR" | "||" => // default
         case "NOT" | "!" => nextNegated = true
@@ -353,10 +372,9 @@ object QueryParser {
                 pms.foreach(p => phrases += Phrase(p, occInt(MustNot)))
             }
           }
-          lastElemGroup = true
+          lastEmit = 0
         case tok =>
           emitTerm(tok, clauseOccur())
-          lastElemGroup = false
       }
       i += 1
     }
@@ -386,7 +404,7 @@ object QueryParser {
     ParsedQuery(should.result().distinct, must.result().distinct,
       mustNot.result().distinct, filters.result(), notFilters.result(),
       phrases.result(), groups.result(), boosts.filter(_._2 != 1f).toMap,
-      multiTerms.result(), rangeFilters.result(), conjGroups.result())
+      multiTerms.toVector, rangeFilters.result(), conjGroups.result())
   }
 
   /** Tokenize: whitespace-split with three cohesive spans — double-quoted

@@ -153,18 +153,20 @@ object StreamingIndexer {
     stagedPostings.where($"term" =!= "")
       .select($"term", $"doc_count".cast("long").as("df"), $"ttf")
       .write.mode("overwrite").parquet(s"$staging/delta")
-    val (batchDocs, batchDl) = stagedPostings.where($"term" === "")
-      .agg(coalesce(sum($"doc_count"), lit(0L)).cast("long"),
-        coalesce(sum($"ttf"), lit(0L)).cast("long"))
-      .as[(Long, Long)].head()
     // per-partition metrics row for the appended segment (north-rule
     // metrics table; same shape as the batch builder's stats-step rows).
     // Staged + promoted under the batch's deterministic prefix like
     // docs/postings, so a crashed-then-replayed batch never duplicates it.
-    val (batchTerms, batchPostings) = stagedPostings.where($"term" =!= "")
-      .agg(count(lit(1)).cast("long"),
-        coalesce(sum($"doc_count"), lit(0L)).cast("long"))
-      .as[(Long, Long)].head()
+    // ONE conditional-agg pass splits the norms rows (term == "": docs/dl)
+    // from the postings rows (terms/entries) — two separate jobs here were
+    // a per-trigger read tax on the append hot path
+    val (batchDocs, batchDl, batchTerms, batchPostings) = stagedPostings
+      .agg(
+        coalesce(sum(when($"term" === "", $"doc_count")), lit(0L)).cast("long"),
+        coalesce(sum(when($"term" === "", $"ttf")), lit(0L)).cast("long"),
+        count(when($"term" =!= "", 1)).cast("long"),
+        coalesce(sum(when($"term" =!= "", $"doc_count")), lit(0L)).cast("long"))
+      .as[(Long, Long, Long, Long)].head()
     Seq(graft.index.MetricsRow(baseSeg, batchDocs, batchDl, batchTerms,
       batchPostings, new java.sql.Timestamp(System.currentTimeMillis())))
       .toDS().coalesce(1).write.mode("overwrite").parquet(s"$staging/metrics")

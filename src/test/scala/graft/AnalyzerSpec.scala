@@ -146,6 +146,28 @@ class QueryParserSpec extends AnyFunSuite {
     assert(f.multiTerms == Vector(graft.query.MultiTerm(1, "term", 1, 0, 2f)))
   }
 
+  test("AND backward promotion binds the true left operand, not clauses.last") {
+    // wildcard left operand: the AND must promote par* (multiTerms), not
+    // the earlier unrelated term `data`
+    val w = QueryParser.parse("data par* AND retry")
+    assert(w.should == Vector("data"), s"data stays optional: ${w.should}")
+    assert(w.must == Vector("retry"))
+    assert(w.multiTerms == Vector(graft.query.MultiTerm(0, "par", 0, 0, 1f)),
+      s"par* promoted to MUST: ${w.multiTerms}")
+    // fuzzy left operand, same binding
+    val fz = QueryParser.parse("data term~1 AND retry")
+    assert(fz.should == Vector("data") && fz.must == Vector("retry"))
+    assert(fz.multiTerms.head.occur == 0)
+    // filter left operand: role:user is structurally required already;
+    // `data` must NOT be promoted in its place
+    val fl = QueryParser.parse("data role:user AND retry")
+    assert(fl.should == Vector("data") && fl.must == Vector("retry"))
+    assert(fl.filters == Vector(("role", "user")))
+    // plain-term behavior unchanged
+    val p = QueryParser.parse("data spark AND retry")
+    assert(p.should == Vector("data") && p.must == Vector("spark", "retry"))
+  }
+
   test("duplicate clauses accumulate boost like Lucene's per-clause sum") {
     // `data data^2` = two clauses scoring 1x + 2x in Lucene = 3x once here
     val d = QueryParser.parse("data data^2")

@@ -158,7 +158,7 @@ class MergeStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(before >= 5, s"expected a segment pileup, got $before")
     val out = tmp()
     val n = MergePolicy.compact(spark, dir, out, maxSegments = 3)
-    assert(n == 3)
+    assert(n == Some(3))
     val s = new Searcher(spark, out)
     assert(s.corpus.doc_count == all.length)
     assert(s.corpus.num_segments == 3)
@@ -192,7 +192,7 @@ class MergeStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       case (b, i) => StreamingIndexer.appendBatch(spark, b.toDF(), dir, batchId = i)
     }
     val out = tmp()
-    assert(MergePolicy.compact(spark, dir, out, maxSegments = 2) == 2)
+    assert(MergePolicy.compact(spark, dir, out, maxSegments = 2) == Some(2))
     val s = new Searcher(spark, out)
     // positions, slop, expansion, filters, boosts, nested groups — the
     // shapes that stress stitched posting blocks and concatenated norms

@@ -41,7 +41,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the registry ops run over clean dimension values; this pins the
     // escape path for the values the loader is actually advertised for
     val vals = Seq("a & b", "<tag attr=\"x\">", "x > y & z < w",
-      "plain", "&amp; already-encoded", "a&&b<<c")
+      "plain", "&amp; already-encoded", "a&&b<<c",
+      // C0 control chars are illegal in XML 1.0 even as &#x..; references —
+      // the codec's private-use shift must round-trip them exactly
+      // (including this repo's own / index-term sentinels);
+      // \t \n \r are legal XML and must pass through UNshifted
+      "nul\u0000mid", "ns\u0001\u0002sep", "esc\u001b[0m", "tab\tlf\ncr\rok")
     val df = vals.toDF("v").select(concat(
       lit("<doc><field name=\"v\">"), graft.ops.XmlCodec.esc(col("v")),
       lit("</field></doc>")).as("xml"))
