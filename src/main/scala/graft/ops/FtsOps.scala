@@ -348,6 +348,47 @@ object FtsOps {
         bm25DoubleTopK(s, index(s, dir, "documents"),
           Seq("data", "query", "fast", "window"))),
 
+    Op("fts_max_score",
+      "MaxScoreQParser: parses like the lucene parser but SHOULD clauses " +
+        "contribute only their MAX BM25 partial per doc (DisjunctionMax, " +
+        "default tie=0 — search/MaxScoreQParser.java:32-56; MUST clauses " +
+        "would still pass through and sum). Max is order-independent and " +
+        "exact in double, so unlike the sum ops the oracle needs no " +
+        "ordered accumulation; partials come from the INDEX artifacts " +
+        "exactly like fts_bm25_oracle",
+      Some(s"""WITH lut AS ($byte4LookupSql),
+              |q AS (SELECT * FROM (VALUES ('data'), ('query'), ('fast'), ('window')) t(w)),
+              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |  FROM documents WHERE length(text) > 0),
+              |stats AS (SELECT count(DISTINCT doc_id) AS n,
+              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+              |  WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w),
+              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+              |  WHERE w IN (SELECT w FROM q) GROUP BY w),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+              |partials AS (SELECT tf.doc_id,
+              |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
+              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id), stats)
+              |SELECT doc_id, round(max(p), 6) AS score FROM partials GROUP BY doc_id
+              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val idx = index(s, dir, "documents")
+        val qterms = Seq("data", "query", "fast", "window")
+        val c = s.read.parquet(s"$idx/corpus").as[graft.index.CorpusStats].head()
+        val avgdl = c.sum_dl.toDouble / c.doc_count
+        val dfMap = s.read.parquet(s"$idx/terms")
+          .where(col("term").isin(qterms: _*))
+          .select($"term", $"df").as[(String, Long)].collect().toMap
+        textBm25Partials(s, idx, qterms, c.doc_count, avgdl, dfMap)
+          .select(col("ext").as("doc_id"), col("p"))
+          .groupBy($"doc_id").agg(round(max($"p"), 6).as("score"))
+          .orderBy($"score".desc, $"doc_id").limit(20)
+      }),
+
     Op("fts_edismax",
       "real edismax: analyzed multi-field BM25 with qf boosts (text^1.0, " +
         "source^2.0), tie=0.1 disjunction-max combining, and mm=2 " +
