@@ -178,8 +178,21 @@ object VectorOps {
         "Engine-only (approximate recall), no SQL oracle",
       None,
       (s, dir) => {
-        val nBits = 4
-        val nTables = 24
+        // bits scale with corpus size so bucket population stays ~64 and
+        // candidate mass ~ L * n * bucket stays LINEAR in n (the doc'd
+        // log2(n/bucket) rule, applied rather than just stated); floor 4
+        // keeps the recall the OpsSpec gate pins at the small test SFs.
+        // Tables then scale to PRESERVE recall as bits rise: a threshold
+        // pair (cos >= 0.45, theta ~ 63deg) collides per bit with
+        // p = 1 - theta/pi ~ 0.65, so L = ln(miss)/ln(1 - p^bits) tables
+        // bound the miss probability at 5% for the WORST in-threshold pair
+        // (SRP-LSH, Charikar STOC'02); stronger pairs do far better
+        val nVecs = t(s, dir, "embeddings").count()
+        val nBits = math.max(4,
+          (math.log(math.max(1.0, nVecs / 64.0)) / math.log(2)).ceil.toInt)
+        val pBit = 1.0 - math.acos(0.45) / math.Pi
+        val nTables = math.max(24,
+          (math.log(0.05) / math.log(1 - math.pow(pBit, nBits))).ceil.toInt)
         val dim = 64
         def mix(z0: Long): Long = {
           var z = z0 + 0x9e3779b97f4a7c15L
@@ -216,9 +229,13 @@ object VectorOps {
         // shuffle volume vector-dominated (24x the embedding bytes); the
         // two vectors are joined back for exactly the deduped candidates,
         // the same id-then-rerank pattern as the int8/binary ANN tiers
+        // localCheckpoint: the bucket SELF-join would otherwise execute the
+        // signature UDF (24x4x64 dots/row) twice, once per side; the
+        // materialized table is (id, table, sig) — 24 skinny rows/vector
         val tabled = e
           .select(col("vec_id"), explode(sigsUdf(col("embedding"))).as("ts"))
           .select(col("vec_id"), col("ts._1").as("table"), col("ts._2").as("sig"))
+          .localCheckpoint()
         val cand = tabled.as("a")
           .join(tabled.as("b"),
             col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
