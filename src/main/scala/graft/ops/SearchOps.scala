@@ -530,6 +530,119 @@ object SearchOps {
           .where(col("rn") === 1 && col("c_custkey") < 50)
           .select(col("c_custkey"), col("c_acctbal"), col("v"))
           .orderBy(col("c_custkey"))
+      }),
+
+    Op("matched_queries",
+      "MatchedQueriesComponent: per result doc, the NAMES of the named " +
+        "query clauses that matched it (handler/component/" +
+        "MatchedQueriesComponent.java:30-60, Lucene NamedMatches) — three " +
+        "named clauses over documents, names emitted sorted+joined; docs " +
+        "matching none are excluded like the component's result DocList",
+      Some("""SELECT doc_id,
+             |  concat_ws(',',
+             |    CASE WHEN text LIKE '%data%' THEN 'has_data' END,
+             |    CASE WHEN lang = 'en' THEN 'is_en' END,
+             |    CASE WHEN n_chars > 500 THEN 'long_doc' END) AS matched
+             |FROM documents
+             |WHERE text LIKE '%data%' OR lang = 'en' OR n_chars > 500
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .where(col("text").like("%data%") || col("lang") === "en" || col("n_chars") > 500)
+        .select(col("doc_id"), concat_ws(",",
+          when(col("text").like("%data%"), "has_data"),
+          when(col("lang") === "en", "is_en"),
+          when(col("n_chars") > 500, "long_doc")).as("matched"))
+        .orderBy(col("doc_id"))),
+
+    Op("phrases_identify",
+      "PhrasesIdentificationComponent: score every contiguous sub-phrase " +
+        "of the query 'big data query' by the reference's bayesian " +
+        "words-as-phrase model over indexed shingle stats " +
+        "(PhrasesIdentificationComponent.java:1038-1184, maxIndexed=2 " +
+        "maxQuery=3, one field so total = field score): singles score " +
+        "0.0; a bigram scores (ttf_bigram/min word ttf) scaled by " +
+        "1/(1+maxQuery-maxIndexed); the trigram sums its two indexed " +
+        "sub-bigram scores wpp*(pp) - wnpp*(1-pp) with pp = " +
+        "conj3/conj2(bigram), then scales by the conj ratio " +
+        "conj3/max_sub_conj — every stat an exact integer aggregate, the " +
+        "double expression shape identical in the oracle, rounded 6dp. " +
+        "Stats come from ONE corpus scan (conditional aggregates)",
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |  WHERE length(text) > 0),
+             |st AS (SELECT
+             |    sum(len(list_filter(ws, x -> x = 'big'))) AS ttf_big,
+             |    sum(len(list_filter(ws, x -> x = 'data'))) AS ttf_data,
+             |    sum(len(list_filter(ws, x -> x = 'query'))) AS ttf_query,
+             |    sum(len(list_filter(generate_series(1, len(ws) - 1),
+             |      i -> ws[i] = 'big' AND ws[i+1] = 'data'))) AS ttf_bd,
+             |    sum(len(list_filter(generate_series(1, len(ws) - 1),
+             |      i -> ws[i] = 'data' AND ws[i+1] = 'query'))) AS ttf_dq,
+             |    sum(CASE WHEN list_contains(ws, 'big') AND list_contains(ws, 'data')
+             |      THEN 1 ELSE 0 END) AS conj_bd,
+             |    sum(CASE WHEN list_contains(ws, 'data') AND list_contains(ws, 'query')
+             |      THEN 1 ELSE 0 END) AS conj_dq,
+             |    sum(CASE WHEN list_contains(ws, 'big') AND list_contains(ws, 'data')
+             |      AND list_contains(ws, 'query') THEN 1 ELSE 0 END) AS conj_bdq
+             |  FROM w),
+             |sc AS (SELECT
+             |    0.5 * (CAST(ttf_bd AS DOUBLE) / least(ttf_big, ttf_data)) AS s_bd,
+             |    0.5 * (CAST(ttf_dq AS DOUBLE) / least(ttf_data, ttf_query)) AS s_dq,
+             |    ((CAST(ttf_bd AS DOUBLE) / least(ttf_big, ttf_data))
+             |        * (CAST(conj_bdq AS DOUBLE) / conj_bd)
+             |      - (CAST(ttf_bd AS DOUBLE) / greatest(ttf_big, ttf_data))
+             |        * (1 - CAST(conj_bdq AS DOUBLE) / conj_bd)
+             |     + (CAST(ttf_dq AS DOUBLE) / least(ttf_data, ttf_query))
+             |        * (CAST(conj_bdq AS DOUBLE) / conj_dq)
+             |      - (CAST(ttf_dq AS DOUBLE) / greatest(ttf_data, ttf_query))
+             |        * (1 - CAST(conj_bdq AS DOUBLE) / conj_dq))
+             |     * 0.5 * (CAST(conj_bdq AS DOUBLE)
+             |        / greatest(conj_bd, conj_dq, conj_bdq)) AS s_bdq
+             |  FROM st)
+             |SELECT phrase, phrase_len, round(score, 6) AS score FROM (
+             |  SELECT 'big' AS phrase, 1 AS phrase_len, 0.0 AS score FROM sc
+             |  UNION ALL SELECT 'data', 1, 0.0 FROM sc
+             |  UNION ALL SELECT 'query', 1, 0.0 FROM sc
+             |  UNION ALL SELECT 'big data', 2, s_bd FROM sc
+             |  UNION ALL SELECT 'data query', 2, s_dq FROM sc
+             |  UNION ALL SELECT 'big data query', 3, s_bdq FROM sc)
+             |ORDER BY phrase""".stripMargin),
+      (s, dir) => {
+        val ws = split(col("text"), " ")
+        def cnt(word: String) =
+          size(filter(ws, x => x === word)).cast("long")
+        def adj(a: String, b: String) = size(filter(
+          sequence(lit(0), size(ws) - 2),
+          i => ws.getItem(i) === a && ws.getItem(i + 1) === b)).cast("long")
+        def has(word: String) = array_contains(ws, word)
+        val st = t(s, dir, "documents").where(length(col("text")) > 0)
+          .agg(
+            sum(cnt("big")).as("ttf_big"), sum(cnt("data")).as("ttf_data"),
+            sum(cnt("query")).as("ttf_query"),
+            sum(adj("big", "data")).as("ttf_bd"),
+            sum(adj("data", "query")).as("ttf_dq"),
+            sum(when(has("big") && has("data"), 1).otherwise(0)).as("conj_bd"),
+            sum(when(has("data") && has("query"), 1).otherwise(0)).as("conj_dq"),
+            sum(when(has("big") && has("data") && has("query"), 1).otherwise(0)).as("conj_bdq"))
+        def d(c: Column) = c.cast("double")
+        val sBd = lit(0.5) * (d(col("ttf_bd")) / least(col("ttf_big"), col("ttf_data")))
+        val sDq = lit(0.5) * (d(col("ttf_dq")) / least(col("ttf_data"), col("ttf_query")))
+        val ppBd = d(col("conj_bdq")) / col("conj_bd")
+        val ppDq = d(col("conj_bdq")) / col("conj_dq")
+        val sBdq = ((d(col("ttf_bd")) / least(col("ttf_big"), col("ttf_data"))) * ppBd
+          - (d(col("ttf_bd")) / greatest(col("ttf_big"), col("ttf_data"))) * (lit(1) - ppBd)
+          + (d(col("ttf_dq")) / least(col("ttf_data"), col("ttf_query"))) * ppDq
+          - (d(col("ttf_dq")) / greatest(col("ttf_data"), col("ttf_query"))) * (lit(1) - ppDq)
+          ) * lit(0.5) * (d(col("conj_bdq")) / greatest(col("conj_bd"), col("conj_dq"), col("conj_bdq")))
+        val sc = st.select(sBd.as("s_bd"), sDq.as("s_dq"), sBdq.as("s_bdq"))
+        val cands = Seq(
+          ("big", 1, col("s_bd") * 0), ("data", 1, col("s_bd") * 0),
+          ("query", 1, col("s_bd") * 0),
+          ("big data", 2, col("s_bd")), ("data query", 2, col("s_dq")),
+          ("big data query", 3, col("s_bdq")))
+        cands.map { case (p, n, scoreCol) =>
+          sc.select(lit(p).as("phrase"), lit(n).as("phrase_len"),
+            round(scoreCol.cast("double"), 6).as("score"))
+        }.reduce(_.unionByName(_)).orderBy(col("phrase"))
       })
   )
 }
