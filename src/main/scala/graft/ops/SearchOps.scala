@@ -532,6 +532,73 @@ object SearchOps {
           .orderBy(col("c_custkey"))
       }),
 
+    Op("update_processor_chain",
+      "the field-mutating update-processor CHAIN (update/processor/*): " +
+        "TrimField -> HTMLStrip -> RegexReplace -> CloneField -> " +
+        "ConcatField -> DefaultValue -> FieldLength -> TruncateField -> " +
+        "ParseNumeric, applied in processor order as one composed column " +
+        "pipeline — the Spark rendering of the chain is a single " +
+        "projection (one codegen stage, zero shuffles), which is exactly " +
+        "what an ingest-time mutation chain should compile to at 100 TB. " +
+        "Each stage cites its factory: TrimFieldUpdateProcessorFactory, " +
+        "HTMLStripFieldUpdateProcessorFactory, RegexReplaceProcessor" +
+        "Factory, CloneFieldUpdateProcessorFactory, ConcatFieldUpdate" +
+        "ProcessorFactory, DefaultValueUpdateProcessorFactory, FieldLength" +
+        "UpdateProcessorFactory, TruncateFieldUpdateProcessorFactory, " +
+        "ParseLongFieldUpdateProcessorFactory",
+      Some("""SELECT event_id,
+             |  trim(concat('  <b>', event_type, '</b> ')) AS trimmed_raw,
+             |  regexp_replace(regexp_replace(trim(concat('  <b>', event_type, '</b> ')),
+             |    '<[^>]*>', '', 'g'), '[aeiou]', '_', 'g') AS mutated,
+             |  user_id AS user_copy,
+             |  concat(event_type, '|', props) AS concatenated,
+             |  coalesce(nullif(props, ''), '{}') AS with_default,
+             |  CAST(length(props) AS INT) AS field_len,
+             |  substr(concat(event_type, '|', props), 1, 12) AS truncated,
+             |  CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS parsed_k
+             |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val raw = concat(lit("  <b>"), col("event_type"), lit("</b> "))
+        val trimmed = trim(raw)
+        val stripped = regexp_replace(trimmed, "<[^>]*>", "")
+        val mutated = regexp_replace(stripped, "[aeiou]", "_")
+        val concatenated = concat(col("event_type"), lit("|"), col("props"))
+        t(s, dir, "events")
+          .where(col("event_id") < 200)
+          .select(col("event_id"),
+            trimmed.as("trimmed_raw"),
+            mutated.as("mutated"),
+            col("user_id").as("user_copy"),
+            concatenated.as("concatenated"),
+            coalesce(when(col("props") =!= "", col("props")), lit("{}")).as("with_default"),
+            length(col("props")).as("field_len"),
+            substring(concatenated, 1, 12).as("truncated"),
+            regexp_extract(col("props"), "[0-9]+", 0).cast("bigint").as("parsed_k"))
+          .orderBy(col("event_id"))
+      }),
+
+    Op("update_signature_dedup",
+      "SignatureUpdateProcessor: index-time duplicate rejection by a " +
+        "content signature computed over CONFIGURED fields (update/" +
+        "processor/SignatureUpdateProcessorFactory.java — the signature " +
+        "spans the fields the chain names, not necessarily the whole doc; " +
+        "here lang + source + the leading-2-token text prefix, a typical " +
+        "near-exact config; lowest doc_id wins like overwrite-on-" +
+        "signature). Distinct from the ANALYTICS-side text_dedup_exact: " +
+        "this is the ingest-path rendering — a signature groupBy the " +
+        "update chain applies before the sink",
+      Some("""SELECT md5(concat(lang, '|', source, '|',
+             |    array_to_string((string_split(text, ' '))[1:2], ' '))) AS signature,
+             |  min(doc_id) AS doc_id, count(*) AS rejected_dups
+             |FROM documents GROUP BY signature
+             |HAVING count(*) > 1 ORDER BY signature""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(md5(concat(col("lang"), lit("|"), col("source"), lit("|"),
+          array_join(slice(split(col("text"), " "), 1, 2), " "))).as("signature"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("rejected_dups"))
+        .where(col("rejected_dups") > 1)
+        .orderBy(col("signature"))),
+
     Op("matched_queries",
       "MatchedQueriesComponent: per result doc, the NAMES of the named " +
         "query clauses that matched it (handler/component/" +
