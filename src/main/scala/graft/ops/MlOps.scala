@@ -115,6 +115,83 @@ object MlOps {
         val rounded = w.map(v => math.rint(v * 100) / 100).mkString(",")
         Seq((40, total, math.rint(acc * 1000) / 1000, wData > 0, rounded))
           .toDF("iterations", "docs", "accuracy", "separates", "weights")
+      }),
+
+    Op("update_classify_bayes",
+      "ClassificationUpdateProcessor, BAYES algorithm: multinomial naive " +
+        "bayes with add-1 smoothing, trained at ingest on the labeled half " +
+        "(doc_id even, label = lang) and assigning the class field to the " +
+        "unlabeled half (update/processor/ClassificationUpdateProcessor" +
+        ".java:60-105 via Lucene's SimpleNaiveBayesClassifier). " +
+        "score(c, d) = ln(prior_c) + sum_w cnt_w(d) * ln((tf(w,c) + 1) / " +
+        "(tokens_c + V)); argmax with 6dp-rounded score, class-name " +
+        "tie-break. Per-(doc, class) sums accumulate in WORD order on " +
+        "both sides (the registry's ordered-reduce parity pattern), so " +
+        "the oracle reproduces the prediction exactly; class stats are " +
+        "5 rows -> broadcast; the scoring join is test-tokens x classes, " +
+        "linear in corpus size",
+      Some("""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+             |  FROM documents WHERE length(text) > 0),
+             |train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+             |v AS (SELECT count(DISTINCT w) AS vsz FROM train),
+             |cls AS (SELECT lang, count(*) AS tokens_c,
+             |    count(DISTINCT doc_id) AS docs_c FROM train GROUP BY lang),
+             |tot AS (SELECT sum(docs_c) AS n FROM cls),
+             |wc AS (SELECT lang, w, count(*) AS tfwc FROM train GROUP BY lang, w),
+             |tc AS (SELECT doc_id, w, count(*) AS cnt FROM toks
+             |  WHERE doc_id % 2 = 1 GROUP BY doc_id, w),
+             |contrib AS (SELECT tc.doc_id, cls.lang, tc.w,
+             |    tc.cnt * ln((coalesce(wc.tfwc, 0) + 1.0) / (cls.tokens_c + v.vsz)) AS p
+             |  FROM tc CROSS JOIN cls CROSS JOIN v
+             |  LEFT JOIN wc ON wc.lang = cls.lang AND wc.w = tc.w),
+             |scores AS (SELECT contrib.doc_id, contrib.lang,
+             |    ln(CAST(cls.docs_c AS DOUBLE) / tot.n)
+             |      + list_reduce(list(p ORDER BY w), (a, x) -> a + x) AS sc
+             |  FROM contrib JOIN cls ON cls.lang = contrib.lang, tot
+             |  GROUP BY contrib.doc_id, contrib.lang, cls.docs_c, tot.n),
+             |ranked AS (SELECT doc_id, lang,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY round(sc, 6) DESC, lang) AS rn FROM scores)
+             |SELECT doc_id, lang AS predicted FROM ranked WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        val train = toks.where(col("doc_id") % 2 === 0)
+        val vsz = train.select(countDistinct(col("w"))).as[Long].head()
+        val cls = train.groupBy(col("lang"))
+          .agg(count(lit(1)).as("tokens_c"), countDistinct(col("doc_id")).as("docs_c"))
+        val nTrain = cls.agg(sum(col("docs_c"))).as[Long].head()
+        val wc = train.groupBy(col("lang").as("wlang"), col("w").as("ww"))
+          .agg(count(lit(1)).as("tfwc"))
+        val tc = toks.where(col("doc_id") % 2 === 1)
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+        val contrib = tc.crossJoin(broadcast(cls))
+          .join(broadcast(wc),
+            col("lang") === col("wlang") && col("w") === col("ww"), "left")
+          .select(col("doc_id"), col("lang"), col("w"), col("docs_c"),
+            (col("cnt") * log((coalesce(col("tfwc"), lit(0L)) + lit(1.0))
+              / (col("tokens_c") + lit(vsz)))).as("p"))
+        // word-ordered double sum == DuckDB list_reduce(list(p ORDER BY w))
+        val orderedSumByWord = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+          val ps = xs.map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+          var acc = 0.0
+          ps.foreach(acc += _._2)
+          acc
+        })
+        val scores = contrib
+          .groupBy(col("doc_id"), col("lang"), col("docs_c"))
+          .agg(orderedSumByWord(collect_list(struct(col("w"), col("p")))).as("wsum"))
+          .select(col("doc_id"), col("lang"),
+            (log(col("docs_c").cast("double") / nTrain) + col("wsum")).as("sc"))
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(round(col("sc"), 6).desc, col("lang"))
+        scores.withColumn("rn", row_number().over(byDoc))
+          .where(col("rn") === 1)
+          .select(col("doc_id"), col("lang").as("predicted"))
+          .orderBy(col("doc_id"))
       })
   )
 }
