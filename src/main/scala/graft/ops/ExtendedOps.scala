@@ -704,6 +704,62 @@ object ExtendedOps {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(100)),
 
+    Op("eval_timeseries_surface",
+      "sixth tier of the streaming-expression evaluators: the time-series " +
+        "/ scaling family (solrj-streaming .../io/eval/MovingAverage" +
+        "Evaluator.java, MovingMedianEvaluator.java, ExponentialMoving" +
+        "AverageEvaluator.java, MinMaxScaleEvaluator.java, NormalizeSum" +
+        "Evaluator.java) over each event_type's value series ordered by " +
+        "(ts, event_id): trailing window-3 mean and median, EMA " +
+        "(alpha = 2/(w+1) = 0.5, seeded with the first value — the " +
+        "list-fold both engines run in the SAME element order), min-max " +
+        "scaling and sum-normalization of the last value (sum through " +
+        "DECIMAL, exact). Test-scale groups collect in one task; at 100TB " +
+        "the same expressions run per time-window partition instead of " +
+        "per whole series. Rounded 6dp at the end",
+      Some("""WITH s AS (SELECT event_type,
+             |    list(value ORDER BY ts, event_id) AS vs,
+             |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |    count(*) AS n
+             |  FROM events GROUP BY event_type)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |  round((vs[n-2] + vs[n-1] + vs[n]) / 3.0, 6) AS mov_avg3,
+             |  round(greatest(least(vs[n-2], vs[n-1]),
+             |    least(greatest(vs[n-2], vs[n-1]), vs[n])), 6) AS mov_med3,
+             |  round(list_reduce(vs, (a, v) -> 0.5 * v + 0.5 * a), 6) AS ema,
+             |  round((vs[n] - list_min(vs)) / (list_max(vs) - list_min(vs)), 6) AS scaled_last,
+             |  round(vs[n] / total, 6) AS norm_last
+             |FROM s ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        // deterministic series order inside the grouped collect: sort the
+        // (ts, event_id, value) structs in the finishing UDF, not the plan
+        val sortSeries = udf((xs: Seq[org.apache.spark.sql.Row]) =>
+          xs.map { r =>
+            val t = r.getAs[java.time.LocalDateTime](0) // timestamp_ntz
+            ((t.toEpochSecond(java.time.ZoneOffset.UTC), t.getNano),
+              r.getLong(1), r.getDouble(2))
+          }.sortBy(t => (t._1, t._2)).map(_._3))
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            sortSeries(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("vs"),
+            sum(dec2(col("value"))).cast("double").as("total"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"), col("n"),
+            round((element_at(col("vs"), -3) + element_at(col("vs"), -2)
+              + element_at(col("vs"), -1)) / 3.0, 6).as("mov_avg3"),
+            round(greatest(least(element_at(col("vs"), -3), element_at(col("vs"), -2)),
+              least(greatest(element_at(col("vs"), -3), element_at(col("vs"), -2)),
+                element_at(col("vs"), -1))), 6).as("mov_med3"),
+            round(expr("aggregate(slice(vs, 2, cast(n as int) - 1), " +
+              "vs[0], (a, v) -> 0.5 * v + 0.5 * a)"), 6).as("ema"),
+            round((element_at(col("vs"), -1) - array_min(col("vs")))
+              / (array_max(col("vs")) - array_min(col("vs"))), 6).as("scaled_last"),
+            round(element_at(col("vs"), -1) / col("total"), 6).as("norm_last"))
+          .orderBy(col("event_type"))
+      }),
+
     Op("eval_regression_surface",
       "fourth tier of the streaming-expression evaluators: the regression " +
         "family (solrj-streaming .../io/eval/RegressionEvaluator.java — " +
