@@ -78,7 +78,11 @@ class EngineSpec extends AnyFunSuite {
     "(data AND query) AND retry", // AND binds its LEFT group operand too
     "the (error retry) AND data", // group-then-AND: promotes the GROUP, not 'the'
     "error OR (data AND \"merge group\")", // conj group with a phrase member
-    "retry -(data AND \"merge group\")" // NOT conj with a phrase member
+    "retry -(data AND \"merge group\")", // NOT conj with a phrase member
+    "data par* AND retry",     // AND binds the WILDCARD left operand (expanded
+                               // group promotes to MUST; data stays optional)
+    "the errer~1 AND data",    // AND binds the FUZZY left operand
+    "data role:user AND retry" // AND after a filter: nothing scoring promotes
   )
 
   private def assertRankIdentical(q: String, k: Int): Unit = {
