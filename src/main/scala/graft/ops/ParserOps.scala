@@ -79,6 +79,78 @@ object ParserOps {
         .where(col("n_matches") > 0)
         .orderBy(col("doc_id"))),
 
+    Op("xml_query_parser",
+      "{!xmlparser} (XmlQParserPlugin.java:33-36, Lucene CoreParser): a " +
+        "query EXPRESSED AS XML — BooleanQuery with occurs=must/should/" +
+        "mustNot Clauses of TermQuery plus an inclusive RangeQuery — " +
+        "StAX-parsed ON THE DRIVER at plan time into Catalyst predicates " +
+        "(the Spark analogue of request-time query compilation; the " +
+        "corpus scan itself never sees XML). Emits matching docs with " +
+        "their SHOULD-hit count. must: data, should: query|fast, " +
+        "mustNot: vacuum, range: lang in [de, fr]",
+      Some("""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+             |  WHERE length(text) > 0)
+             |SELECT doc_id,
+             |  CAST(CAST(list_contains(ws, 'query') AS INT)
+             |    + CAST(list_contains(ws, 'fast') AS INT) AS BIGINT) AS should_hits
+             |FROM w
+             |WHERE list_contains(ws, 'data') AND NOT list_contains(ws, 'vacuum')
+             |  AND lang >= 'de' AND lang <= 'fr'
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val xmlQuery =
+          """<BooleanQuery fieldName="text">
+            |  <Clause occurs="must"><TermQuery>data</TermQuery></Clause>
+            |  <Clause occurs="should"><TermQuery>query</TermQuery></Clause>
+            |  <Clause occurs="should"><TermQuery>fast</TermQuery></Clause>
+            |  <Clause occurs="mustNot"><TermQuery>vacuum</TermQuery></Clause>
+            |  <Clause occurs="must"><RangeQuery fieldName="lang" lowerTerm="de" upperTerm="fr"/></Clause>
+            |</BooleanQuery>""".stripMargin
+        // driver-side parse (one constant query string -> clause list)
+        val f = javax.xml.stream.XMLInputFactory.newInstance()
+        f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+        val r = f.createXMLStreamReader(new java.io.StringReader(xmlQuery))
+        var occurs = "should"
+        val terms = Vector.newBuilder[(String, String)] // (occurs, term)
+        val ranges = Vector.newBuilder[(String, String, String)] // (field, lo, hi)
+        val sb = new StringBuilder
+        var inTerm = false
+        while (r.hasNext) r.next() match {
+          case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "Clause" => occurs = r.getAttributeValue(null, "occurs")
+              case "TermQuery" => inTerm = true; sb.clear()
+              case "RangeQuery" => ranges += ((r.getAttributeValue(null, "fieldName"),
+                r.getAttributeValue(null, "lowerTerm"), r.getAttributeValue(null, "upperTerm")))
+              case _ =>
+            }
+          case javax.xml.stream.XMLStreamConstants.CHARACTERS if inTerm =>
+            sb.append(r.getText)
+          case javax.xml.stream.XMLStreamConstants.END_ELEMENT
+              if r.getLocalName == "TermQuery" =>
+            terms += ((occurs, sb.toString)); inTerm = false
+          case _ =>
+        }
+        r.close()
+        val parsed = terms.result()
+        val ws = split(col("text"), " ")
+        def has(t: String) = array_contains(ws, t)
+        val must = parsed.collect { case ("must", t) => has(t) }
+          .foldLeft(lit(true))(_ && _)
+        val not = parsed.collect { case ("mustNot", t) => !has(t) }
+          .foldLeft(lit(true))(_ && _)
+        val range = ranges.result().foldLeft(lit(true)) { case (acc, (fld, lo, hi)) =>
+          acc && col(fld) >= lo && col(fld) <= hi
+        }
+        val shouldHits = parsed.collect { case ("should", t) => has(t).cast("int") }
+          .reduceOption(_ + _).getOrElse(lit(0)).cast("bigint")
+        t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .where(must && not && range)
+          .select(col("doc_id"), shouldHits.as("should_hits"))
+          .orderBy(col("doc_id"))
+      }),
+
     Op("fts_span_near",
       "Surround-parser proximity: 3N(scan, filter) — the two terms within " +
         "unordered distance 3 — with the ordered 3W variant as a flag " +
