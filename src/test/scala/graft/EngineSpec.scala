@@ -746,7 +746,7 @@ class EngineSpec extends AnyFunSuite {
     for (_ <- 0 until 40) {
       val n = 1 + rnd.nextInt(4)
       val qTerms = Seq.fill(n)(terms(rnd.nextInt(terms.length))).distinct
-      val op = rnd.nextInt(9)
+      val op = rnd.nextInt(10)
       val roles = Seq("system", "user", "assistant")
       val q = op match {
         case 0 => qTerms.mkString(" ")
@@ -765,6 +765,8 @@ class EngineSpec extends AnyFunSuite {
           s"${qTerms.mkString(" ")} ${neg}role:${roles(rnd.nextInt(roles.length))}"
         case 8 if qTerms.length > 1 => // MUST group with a phrase member
           s"""+(${qTerms.head} "${qTerms(1)} ${qTerms.head}") ${qTerms.last}"""
+        case 9 if qTerms.length > 1 => // AND binds a WILDCARD left operand
+          s"${qTerms.head} ${qTerms(1).take(3)}* AND ${qTerms.last}"
         case _ => qTerms.mkString(" ")
       }
       assertRankIdentical(q, 10)
