@@ -12,10 +12,13 @@ import Op.t
   * payload bytes, a schema feature the reference's default configset does
   * not enable either.
   *
-  * All three ops here are single-scan plans: positional predicates run as
-  * codegen'd higher-order functions over the split token array (no explode,
-  * no join, no shuffle below the final sort), which is the shape that
-  * survives a 100 TB corpus — per-row work bounded by document length.
+  * The positional ops here are single-scan plans: predicates run as
+  * higher-order functions over the split token array (no explode, no join,
+  * no shuffle below the final sort), which is the shape that survives a
+  * 100 TB corpus — per-row work bounded by document length. Like the
+  * eval_* tiers, the HOF lambdas are CodegenFallback (interpreted); if a
+  * span predicate ever became a hot path, the documented 40-100x compiled-
+  * UDF swap applies (TextOps.scala:28 precedent).
   */
 object ParserOps {
 
@@ -60,8 +63,8 @@ object ParserOps {
       "ComplexPhraseQParser: wildcards INSIDE a phrase — here the phrase " +
         "\"data par*\": token i is 'data' and token i+1 matches par* " +
         "(search/ComplexPhraseQParserPlugin.java:47-60, Lucene " +
-        "ComplexPhraseQueryParser semantics). Rendered as a codegen'd " +
-        "positional exists/filter over the split token array — one narrow " +
+        "ComplexPhraseQueryParser semantics). Rendered as a positional " +
+        "exists/filter HOF over the split token array — one narrow " +
         "scan, no explode; emitted with the per-doc match count",
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
              |  WHERE len(string_split(text, ' ')) >= 2),
