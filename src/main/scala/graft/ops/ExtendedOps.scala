@@ -721,14 +721,15 @@ object ExtendedOps {
              |    list(value ORDER BY ts, event_id) AS vs,
              |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
              |    count(*) AS n
-             |  FROM events GROUP BY event_type)
+             |  FROM events GROUP BY event_type HAVING count(*) >= 3)
              |SELECT event_type, CAST(n AS BIGINT) AS n,
              |  round((vs[n-2] + vs[n-1] + vs[n]) / 3.0, 6) AS mov_avg3,
              |  round(greatest(least(vs[n-2], vs[n-1]),
              |    least(greatest(vs[n-2], vs[n-1]), vs[n])), 6) AS mov_med3,
              |  round(list_reduce(vs, (a, v) -> 0.5 * v + 0.5 * a), 6) AS ema,
-             |  round((vs[n] - list_min(vs)) / (list_max(vs) - list_min(vs)), 6) AS scaled_last,
-             |  round(vs[n] / total, 6) AS norm_last
+             |  round((vs[n] - list_min(vs))
+             |    / nullif(list_max(vs) - list_min(vs), 0), 6) AS scaled_last,
+             |  round(vs[n] / nullif(total, 0), 6) AS norm_last
              |FROM s ORDER BY event_type""".stripMargin),
       (s, dir) => {
         import s.implicits._
@@ -746,6 +747,10 @@ object ExtendedOps {
             sortSeries(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("vs"),
             sum(dec2(col("value"))).cast("double").as("total"),
             count(lit(1)).as("n"))
+          // groups shorter than the window are excluded on BOTH sides
+          // (under ANSI, element_at(vs, -3) on a 2-element series throws
+          // where DuckDB's vs[negative] would return NULL)
+          .where(col("n") >= 3)
           .select(col("event_type"), col("n"),
             round((element_at(col("vs"), -3) + element_at(col("vs"), -2)
               + element_at(col("vs"), -1)) / 3.0, 6).as("mov_avg3"),
@@ -754,9 +759,13 @@ object ExtendedOps {
                 element_at(col("vs"), -1))), 6).as("mov_med3"),
             round(expr("aggregate(slice(vs, 2, cast(n as int) - 1), " +
               "vs[0], (a, v) -> 0.5 * v + 0.5 * a)"), 6).as("ema"),
+            // nullif denominators: ANSI Spark throws DIVIDE_BY_ZERO on a
+            // constant series / zero-sum series where DuckDB returns NULL
             round((element_at(col("vs"), -1) - array_min(col("vs")))
-              / (array_max(col("vs")) - array_min(col("vs"))), 6).as("scaled_last"),
-            round(element_at(col("vs"), -1) / col("total"), 6).as("norm_last"))
+              / nullif(array_max(col("vs")) - array_min(col("vs")), lit(0d)), 6)
+              .as("scaled_last"),
+            round(element_at(col("vs"), -1) / nullif(col("total"), lit(0d)), 6)
+              .as("norm_last"))
           .orderBy(col("event_type"))
       }),
 

@@ -174,9 +174,25 @@ object MlOps {
           .select(col("doc_id"), col("lang"), col("w"), col("docs_c"),
             (col("cnt") * log((coalesce(col("tfwc"), lit(0L)) + lit(1.0))
               / (col("tokens_c") + lit(vsz)))).as("p"))
-        // word-ordered double sum == DuckDB list_reduce(list(p ORDER BY w))
+        // word-ordered double sum == DuckDB list_reduce(list(p ORDER BY w)).
+        // DuckDB's default collation is UTF-8 BINARY; Java String ordering
+        // is UTF-16 code units, which DISAGREES for supplementary-plane
+        // tokens (surrogates 0xD800+ sort before U+E000..U+FFFF) — so the
+        // sort key is the word's unsigned UTF-8 bytes, not the String
         val orderedSumByWord = udf((xs: Seq[org.apache.spark.sql.Row]) => {
-          val ps = xs.map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+          implicit val utf8Order: Ordering[Array[Byte]] = (a, b) => {
+            var i = 0
+            var res = 0
+            val n = math.min(a.length, b.length)
+            while (i < n && res == 0) {
+              res = (a(i) & 0xff) - (b(i) & 0xff)
+              i += 1
+            }
+            if (res != 0) res else a.length - b.length
+          }
+          val ps = xs.map(r => (r.getString(0)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8), r.getDouble(1)))
+            .sortBy(_._1)
           var acc = 0.0
           ps.foreach(acc += _._2)
           acc

@@ -115,7 +115,9 @@ object ParserOps {
         val r = f.createXMLStreamReader(new java.io.StringReader(xmlQuery))
         var occurs = "should"
         val terms = Vector.newBuilder[(String, String)] // (occurs, term)
-        val ranges = Vector.newBuilder[(String, String, String)] // (field, lo, hi)
+        // ranges carry their enclosing Clause's occurs too — a mustNot /
+        // should range must not silently become a must filter
+        val ranges = Vector.newBuilder[(String, String, String, String)]
         val sb = new StringBuilder
         var inTerm = false
         while (r.hasNext) r.next() match {
@@ -123,7 +125,8 @@ object ParserOps {
             r.getLocalName match {
               case "Clause" => occurs = r.getAttributeValue(null, "occurs")
               case "TermQuery" => inTerm = true; sb.clear()
-              case "RangeQuery" => ranges += ((r.getAttributeValue(null, "fieldName"),
+              case "RangeQuery" => ranges += ((occurs,
+                r.getAttributeValue(null, "fieldName"),
                 r.getAttributeValue(null, "lowerTerm"), r.getAttributeValue(null, "upperTerm")))
               case _ =>
             }
@@ -138,14 +141,20 @@ object ParserOps {
         val parsed = terms.result()
         val ws = split(col("text"), " ")
         def has(t: String) = array_contains(ws, t)
+        def inRange(fld: String, lo: String, hi: String) =
+          col(fld) >= lo && col(fld) <= hi
         val must = parsed.collect { case ("must", t) => has(t) }
           .foldLeft(lit(true))(_ && _)
         val not = parsed.collect { case ("mustNot", t) => !has(t) }
           .foldLeft(lit(true))(_ && _)
-        val range = ranges.result().foldLeft(lit(true)) { case (acc, (fld, lo, hi)) =>
-          acc && col(fld) >= lo && col(fld) <= hi
+        val range = ranges.result().foldLeft(lit(true)) {
+          case (acc, ("must", fld, lo, hi))    => acc && inRange(fld, lo, hi)
+          case (acc, ("mustNot", fld, lo, hi)) => acc && !inRange(fld, lo, hi)
+          case (acc, _)                        => acc // should-ranges score below
         }
-        val shouldHits = parsed.collect { case ("should", t) => has(t).cast("int") }
+        val shouldHits = (parsed.collect { case ("should", t) => has(t).cast("int") }
+          ++ ranges.result().collect {
+            case ("should", fld, lo, hi) => inRange(fld, lo, hi).cast("int") })
           .reduceOption(_ + _).getOrElse(lit(0)).cast("bigint")
         t(s, dir, "documents")
           .where(length(col("text")) > 0)

@@ -555,7 +555,7 @@ object SearchOps {
              |  coalesce(nullif(props, ''), '{}') AS with_default,
              |  CAST(length(props) AS INT) AS field_len,
              |  substr(concat(event_type, '|', props), 1, 12) AS truncated,
-             |  CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS parsed_k
+             |  CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT) AS parsed_k
              |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin),
       (s, dir) => {
         val raw = concat(lit("  <b>"), col("event_type"), lit("</b> "))
@@ -573,7 +573,10 @@ object SearchOps {
             coalesce(when(col("props") =!= "", col("props")), lit("{}")).as("with_default"),
             length(col("props")).as("field_len"),
             substring(concatenated, 1, 12).as("truncated"),
-            regexp_extract(col("props"), "[0-9]+", 0).cast("bigint").as("parsed_k"))
+            // nullif before the cast: ParseLongFieldUpdateProcessor leaves
+            // unparsable values alone — and ANSI CAST('') would throw
+            nullif(regexp_extract(col("props"), "[0-9]+", 0), lit(""))
+              .cast("bigint").as("parsed_k"))
           .orderBy(col("event_id"))
       }),
 
@@ -652,18 +655,18 @@ object SearchOps {
              |      AND list_contains(ws, 'query') THEN 1 ELSE 0 END) AS conj_bdq
              |  FROM w),
              |sc AS (SELECT
-             |    0.5 * (CAST(ttf_bd AS DOUBLE) / least(ttf_big, ttf_data)) AS s_bd,
-             |    0.5 * (CAST(ttf_dq AS DOUBLE) / least(ttf_data, ttf_query)) AS s_dq,
-             |    ((CAST(ttf_bd AS DOUBLE) / least(ttf_big, ttf_data))
-             |        * (CAST(conj_bdq AS DOUBLE) / conj_bd)
-             |      - (CAST(ttf_bd AS DOUBLE) / greatest(ttf_big, ttf_data))
-             |        * (1 - CAST(conj_bdq AS DOUBLE) / conj_bd)
-             |     + (CAST(ttf_dq AS DOUBLE) / least(ttf_data, ttf_query))
-             |        * (CAST(conj_bdq AS DOUBLE) / conj_dq)
-             |      - (CAST(ttf_dq AS DOUBLE) / greatest(ttf_data, ttf_query))
-             |        * (1 - CAST(conj_bdq AS DOUBLE) / conj_dq))
+             |    0.5 * (CAST(ttf_bd AS DOUBLE) / nullif(least(ttf_big, ttf_data), 0)) AS s_bd,
+             |    0.5 * (CAST(ttf_dq AS DOUBLE) / nullif(least(ttf_data, ttf_query), 0)) AS s_dq,
+             |    ((CAST(ttf_bd AS DOUBLE) / nullif(least(ttf_big, ttf_data), 0))
+             |        * (CAST(conj_bdq AS DOUBLE) / nullif(conj_bd, 0))
+             |      - (CAST(ttf_bd AS DOUBLE) / nullif(greatest(ttf_big, ttf_data), 0))
+             |        * (1 - CAST(conj_bdq AS DOUBLE) / nullif(conj_bd, 0))
+             |     + (CAST(ttf_dq AS DOUBLE) / nullif(least(ttf_data, ttf_query), 0))
+             |        * (CAST(conj_bdq AS DOUBLE) / nullif(conj_dq, 0))
+             |      - (CAST(ttf_dq AS DOUBLE) / nullif(greatest(ttf_data, ttf_query), 0))
+             |        * (1 - CAST(conj_bdq AS DOUBLE) / nullif(conj_dq, 0)))
              |     * 0.5 * (CAST(conj_bdq AS DOUBLE)
-             |        / greatest(conj_bd, conj_dq, conj_bdq)) AS s_bdq
+             |        / nullif(greatest(conj_bd, conj_dq, conj_bdq), 0)) AS s_bdq
              |  FROM st)
              |SELECT phrase, phrase_len, round(score, 6) AS score FROM (
              |  SELECT 'big' AS phrase, 1 AS phrase_len, 0.0 AS score FROM sc
@@ -677,9 +680,13 @@ object SearchOps {
         val ws = split(col("text"), " ")
         def cnt(word: String) =
           size(filter(ws, x => x === word)).cast("long")
-        def adj(a: String, b: String) = size(filter(
+        // guard single-token docs: sequence(0, -1) descends to [0, -1] and
+        // the lambda's ws[i+1] would index out of bounds — an ANSI error
+        // where DuckDB's empty generate_series(1, 0) just yields 0
+        def adj(a: String, b: String) = when(size(ws) >= 2, size(filter(
           sequence(lit(0), size(ws) - 2),
-          i => ws.getItem(i) === a && ws.getItem(i + 1) === b)).cast("long")
+          i => ws.getItem(i) === a && ws.getItem(i + 1) === b)).cast("long"))
+          .otherwise(lit(0L))
         def has(word: String) = array_contains(ws, word)
         val st = t(s, dir, "documents").where(length(col("text")) > 0)
           .agg(
@@ -691,19 +698,23 @@ object SearchOps {
             sum(when(has("data") && has("query"), 1).otherwise(0)).as("conj_dq"),
             sum(when(has("big") && has("data") && has("query"), 1).otherwise(0)).as("conj_bdq"))
         def d(c: Column) = c.cast("double")
-        val sBd = lit(0.5) * (d(col("ttf_bd")) / least(col("ttf_big"), col("ttf_data")))
-        val sDq = lit(0.5) * (d(col("ttf_dq")) / least(col("ttf_data"), col("ttf_query")))
-        val ppBd = d(col("conj_bdq")) / col("conj_bd")
-        val ppDq = d(col("conj_bdq")) / col("conj_dq")
-        val sBdq = ((d(col("ttf_bd")) / least(col("ttf_big"), col("ttf_data"))) * ppBd
-          - (d(col("ttf_bd")) / greatest(col("ttf_big"), col("ttf_data"))) * (lit(1) - ppBd)
-          + (d(col("ttf_dq")) / least(col("ttf_data"), col("ttf_query"))) * ppDq
-          - (d(col("ttf_dq")) / greatest(col("ttf_data"), col("ttf_query"))) * (lit(1) - ppDq)
-          ) * lit(0.5) * (d(col("conj_bdq")) / greatest(col("conj_bd"), col("conj_dq"), col("conj_bdq")))
+        // nullif every denominator: an absent term / never-co-occurring
+        // pair is a DIVIDE_BY_ZERO error under ANSI where DuckDB emits
+        // NULL-score rows (the component's own <= 0 checks return -1, but
+        // the oracle-parity rendering keeps both engines at NULL)
+        def nz(c: Column) = nullif(c, lit(0L))
+        val sBd = lit(0.5) * (d(col("ttf_bd")) / nz(least(col("ttf_big"), col("ttf_data"))))
+        val sDq = lit(0.5) * (d(col("ttf_dq")) / nz(least(col("ttf_data"), col("ttf_query"))))
+        val ppBd = d(col("conj_bdq")) / nz(col("conj_bd"))
+        val ppDq = d(col("conj_bdq")) / nz(col("conj_dq"))
+        val sBdq = ((d(col("ttf_bd")) / nz(least(col("ttf_big"), col("ttf_data")))) * ppBd
+          - (d(col("ttf_bd")) / nz(greatest(col("ttf_big"), col("ttf_data")))) * (lit(1) - ppBd)
+          + (d(col("ttf_dq")) / nz(least(col("ttf_data"), col("ttf_query")))) * ppDq
+          - (d(col("ttf_dq")) / nz(greatest(col("ttf_data"), col("ttf_query")))) * (lit(1) - ppDq)
+          ) * lit(0.5) * (d(col("conj_bdq")) / nz(greatest(col("conj_bd"), col("conj_dq"), col("conj_bdq"))))
         val sc = st.select(sBd.as("s_bd"), sDq.as("s_dq"), sBdq.as("s_bdq"))
         val cands = Seq(
-          ("big", 1, col("s_bd") * 0), ("data", 1, col("s_bd") * 0),
-          ("query", 1, col("s_bd") * 0),
+          ("big", 1, lit(0.0)), ("data", 1, lit(0.0)), ("query", 1, lit(0.0)),
           ("big data", 2, col("s_bd")), ("data query", 2, col("s_dq")),
           ("big data query", 3, col("s_bdq")))
         cands.map { case (p, n, scoreCol) =>

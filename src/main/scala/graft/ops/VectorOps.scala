@@ -165,31 +165,39 @@ object VectorOps {
     Op("vec_dedup_lsh",
       "embedding near-duplicate PAIRS via SRP-LSH bucketing — the " +
         "subquadratic scale path the exact op (vec_cosine_pairs) routes " +
-        "large corpora to. Sign-random-projection signatures, L=24 tables " +
-        "x 4 bits, candidate pairs = same-bucket self-join per table, " +
-        "distinct, then EXACT cosine verify >= 0.45 — so precision is 1.0 " +
-        "by construction and only recall is approximate (OpsSpec pins " +
-        "recall >= 0.9 vs the exact op). Scale: candidates are " +
-        "bucket-local (no O(n^2) gram), the per-table self-join shuffles " +
-        "on (table, sig); at production dedup thresholds (tau ~ 0.9, " +
-        "theta ~ 26deg) the same construction runs ~16 bits x 32 tables, " +
-        "giving ~n/65k-row buckets — the parameters trade bucket density " +
-        "against per-pair collision probability (1 - theta/pi)^bits. " +
+        "large corpora to. Sign-random-projection signatures with DATA-" +
+        "SCALED parameters: bits = clamp(log2(n/64), 4, 12) keeps bucket " +
+        "population ~64, and tables = ln(0.05)/ln(1-p^bits) (p = the per-" +
+        "bit collision probability of the WORST in-threshold pair) bounds " +
+        "its miss at 5%; 500 test vectors -> 4 bits x 24 tables. " +
+        "Candidate pairs = same-bucket self-join per table, distinct, " +
+        "then EXACT cosine verify >= 0.45 — precision 1.0 by " +
+        "construction, only recall approximate (OpsSpec pins >= 0.9 vs " +
+        "the exact op). The bit cap means beyond ~260k vectors bucket " +
+        "population grows instead of table count — low-threshold " +
+        "(theta ~ 63deg) pair mining is inherently table-hungry; extreme-" +
+        "scale low-threshold dedup belongs to the shingle/minhash family. " +
         "Engine-only (approximate recall), no SQL oracle",
       None,
       (s, dir) => {
-        // bits scale with corpus size so bucket population stays ~64 and
-        // candidate mass ~ L * n * bucket stays LINEAR in n (the doc'd
-        // log2(n/bucket) rule, applied rather than just stated); floor 4
-        // keeps the recall the OpsSpec gate pins at the small test SFs.
-        // Tables then scale to PRESERVE recall as bits rise: a threshold
-        // pair (cos >= 0.45, theta ~ 63deg) collides per bit with
-        // p = 1 - theta/pi ~ 0.65, so L = ln(miss)/ln(1 - p^bits) tables
-        // bound the miss probability at 5% for the WORST in-threshold pair
-        // (SRP-LSH, Charikar STOC'02); stronger pairs do far better
+        // bits scale with corpus size so bucket population stays ~64 (the
+        // doc'd log2(n/bucket) rule, applied rather than just stated);
+        // floor 4 keeps the recall the OpsSpec gate pins at the small test
+        // SFs. Tables then scale to PRESERVE recall as bits rise: a
+        // threshold pair (cos >= 0.45, theta ~ 63deg) collides per bit
+        // with p = 1 - theta/pi ~ 0.65, so L = ln(miss)/ln(1 - p^bits)
+        // tables bound the miss probability at 5% for the WORST
+        // in-threshold pair (SRP-LSH, Charikar STOC'02). At this LOW
+        // threshold L grows ~ p^-bits ~ (n/64)^0.62 — LSH pair-mining near
+        // theta ~ 63deg is inherently expensive — so bits cap at 12
+        // (L <= ~340): beyond ~260k vectors, bucket population (not table
+        // count) absorbs further growth, and genuinely low-threshold pair
+        // mining at extreme scale belongs to the shingle/minhash family
+        // (text_dedup_*). At production dedup thresholds (tau ~ 0.9,
+        // p ~ 0.86) the same bound gives L <= 64 out to billions of rows
         val nVecs = t(s, dir, "embeddings").count()
-        val nBits = math.max(4,
-          (math.log(math.max(1.0, nVecs / 64.0)) / math.log(2)).ceil.toInt)
+        val nBits = math.min(12, math.max(4,
+          (math.log(math.max(1.0, nVecs / 64.0)) / math.log(2)).ceil.toInt))
         val pBit = 1.0 - math.acos(0.45) / math.Pi
         val nTables = math.max(24,
           (math.log(0.05) / math.log(1 - math.pow(pBit, nBits))).ceil.toInt)
@@ -209,29 +217,30 @@ object VectorOps {
           val arr = v.toArray
           val n = math.min(dim, arr.length)
           (0 until nTables).map { l =>
-            var sig = 0
+            var sig = 0L // Long: bits are data-scaled (capped at 12 today,
+            //              but 1L << b never silently wraps if the cap moves)
             var b = 0
             while (b < nBits) {
               val row = ps(l)(b)
               var acc = 0.0
               var d = 0
               while (d < n) { acc += row(d) * arr(d); d += 1 }
-              if (acc > 0) sig |= (1 << b)
+              if (acc > 0) sig |= (1L << b)
               b += 1
             }
             (l, sig)
           }
         })
         val e = t(s, dir, "embeddings")
-        // signatures carry IDS ONLY through the 24-way explode and the
+        // signatures carry IDS ONLY through the L-way explode and the
         // bucket self-join — replicating the float vector into every
         // (table, sig) row and again into every candidate pair would make
         // shuffle volume vector-dominated (24x the embedding bytes); the
         // two vectors are joined back for exactly the deduped candidates,
         // the same id-then-rerank pattern as the int8/binary ANN tiers
         // localCheckpoint: the bucket SELF-join would otherwise execute the
-        // signature UDF (24x4x64 dots/row) twice, once per side; the
-        // materialized table is (id, table, sig) — 24 skinny rows/vector
+        // signature UDF (L*bits*dim dots/row) twice, once per side; the
+        // materialized table is (id, table, sig) — L skinny rows/vector
         val tabled = e
           .select(col("vec_id"), explode(sigsUdf(col("embedding"))).as("ts"))
           .select(col("vec_id"), col("ts._1").as("table"), col("ts._2").as("sig"))
