@@ -14,6 +14,12 @@ import Op.t
   */
 object SearchOps {
 
+  /** Join rank-tagged strings in ascending rank order — matches DuckDB's
+    * `string_agg(x, ',' ORDER BY rk)` regardless of collect_list's
+    * partition-arrival order. */
+  private val sortTopUdf = udf((xs: Seq[org.apache.spark.sql.Row]) =>
+    xs.map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).map(_._2).mkString(","))
+
   /** Sum doubles in ascending qp order — bit-identical to DuckDB's
     * `list_reduce(list(p ORDER BY qp), (a, v) -> a + v)` (the 0.0 fold
     * init is exact for the first positive partial). */
@@ -601,6 +607,52 @@ object SearchOps {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("rejected_dups"))
         .where(col("rejected_dups") > 1)
         .orderBy(col("signature"))),
+
+    Op("luke_field_stats",
+      "LukeRequestHandler index introspection: per-field summary — doc " +
+        "count with a value, distinct-value cardinality, and the top-3 " +
+        "values by frequency (handler/admin/LukeRequestHandler.java " +
+        "getIndexedFieldsInfo/getDetailedFieldInfo topTerms). One " +
+        "aggregation per field, values joined-as-string per the " +
+        "registry's array convention; per-field work is a partial+final " +
+        "agg, fields are enumerated (bounded), nothing corpus-sized " +
+        "reaches the driver",
+      Some("""WITH f AS (
+             |  SELECT 'lang' AS field, lang AS v FROM documents WHERE lang IS NOT NULL
+             |  UNION ALL
+             |  SELECT 'source', source FROM documents WHERE source IS NOT NULL),
+             |c AS (SELECT field, v, count(*) AS df FROM f GROUP BY field, v),
+             |r AS (SELECT field, v, df,
+             |    row_number() OVER (PARTITION BY field ORDER BY df DESC, v) AS rk
+             |  FROM c),
+             |top AS (SELECT field,
+             |    string_agg(v || ':' || CAST(df AS VARCHAR), ',' ORDER BY rk) AS top_values
+             |  FROM r WHERE rk <= 3 GROUP BY field),
+             |s AS (SELECT field, count(*) AS n_distinct,
+             |    CAST(sum(df) AS BIGINT) AS n_docs FROM c GROUP BY field)
+             |SELECT s.field, n_docs, n_distinct, top_values
+             |FROM s JOIN top ON s.field = top.field ORDER BY s.field""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        val f = d.where(col("lang").isNotNull)
+          .select(lit("lang").as("field"), col("lang").as("v"))
+          .unionByName(d.where(col("source").isNotNull)
+            .select(lit("source").as("field"), col("source").as("v")))
+        val c = f.groupBy(col("field"), col("v")).agg(count(lit(1)).as("df"))
+        val byField = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("field")).orderBy(col("df").desc, col("v"))
+        val topJoined = c.withColumn("rk", row_number().over(byField))
+          .where(col("rk") <= 3)
+          .groupBy(col("field"))
+          .agg(sortTopUdf(collect_list(struct(col("rk"),
+            concat(col("v"), lit(":"), col("df"))))).as("top_values"))
+        c.groupBy(col("field"))
+          .agg(count(lit(1)).as("n_distinct"), sum(col("df")).as("n_docs"))
+          .join(topJoined, "field")
+          .select(col("field"), col("n_docs"), col("n_distinct"), col("top_values"))
+          .orderBy(col("field"))
+      }),
 
     Op("matched_queries",
       "MatchedQueriesComponent: per result doc, the NAMES of the named " +
