@@ -468,13 +468,25 @@ object Bench {
       results("query_gated") = if (accepted) 1.0 else 0.0
       queryProbeJson.foreach { js =>
         // aggregate percentiles over every rep of every query
-        val lat = """"ms":\[([^\]]*)\]""".r.findAllMatchIn(js)
-          .flatMap(_.group(1).split(',').filter(_.nonEmpty).map(_.toDouble))
-          .toArray.sorted
+        val perQuery = """"ms":\[([^\]]*)\]""".r.findAllMatchIn(js)
+          .map(_.group(1).split(',').filter(_.nonEmpty).map(_.toDouble))
+          .toArray
+        val lat = perQuery.flatten.sorted
         if (lat.nonEmpty) {
           results("query_p50_ms") = lat(lat.length / 2)
           results("query_p95_ms") = lat(math.min(lat.length - 1, (lat.length * 0.95).toInt))
           results("query_mean_ms") = lat.sum / lat.length
+        }
+        // steady-state twin: drop each query's first two TIMED reps (the
+        // probe already warm-ups twice, but rep-major order means a
+        // transient host-band dip at phase start lands entirely in reps
+        // 1-2 of every query — this shared box is documented bimodal).
+        // Reported ALONGSIDE the raw p95, never instead of it; every rep
+        // stays attributable in BENCH_DETAIL's per_query arrays.
+        val steady = perQuery.flatMap(_.drop(2)).sorted
+        if (steady.nonEmpty) {
+          results("query_p95_steady_ms") =
+            steady(math.min(steady.length - 1, (steady.length * 0.95).toInt))
         }
       }
     }
@@ -562,7 +574,8 @@ object Bench {
       "index_build_4c_sec", "index_build_16c_sec",
       "index_turns_per_sec_4c", "index_turns_per_sec_16c",
       "scaling_efficiency", "index_turns", "scaling_gated",
-      "query_p50_ms", "query_p95_ms", "query_mean_ms", "query_gated",
+      "query_p50_ms", "query_p95_ms", "query_p95_steady_ms",
+      "query_mean_ms", "query_gated",
       "sweep_ops", "sweep_max_sec", "sweep_over_2s", "sweep_total_sec",
       "sweep_failed",
       "fts_index_build_sec", "fts_searcher_init_sec", "dedup_prep_sec")
