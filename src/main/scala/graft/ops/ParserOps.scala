@@ -184,18 +184,46 @@ object ParserOps {
              |  FROM p)
              |SELECT doc_id, n_near, ordered_w FROM m WHERE n_near > 0
              |ORDER BY doc_id""".stripMargin),
-      (s, dir) => t(s, dir, "documents")
-        .where(length(col("text")) > 0)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"),
-          expr("filter(sequence(0, size(ws) - 1), i -> ws[i] = 'scan')").as("pa"),
-          expr("filter(sequence(0, size(ws) - 1), i -> ws[i] = 'filter')").as("pb"))
-        .select(col("doc_id"),
-          expr("CAST(size(filter(pa, a -> exists(pb, " +
-            "b -> abs(a - b) <= 3))) AS BIGINT)").as("n_near"),
-          expr("CASE WHEN exists(pa, a -> exists(pb, " +
-            "b -> b - a BETWEEN 1 AND 3)) THEN 1 ELSE 0 END").as("ordered_w"))
-        .where(col("n_near") > 0)
-        .orderBy(col("doc_id")))
+      (s, dir) => {
+        // compiled UDF, not HOF lambdas: the interpreted filter/exists
+        // chain measured 3.9 s over sf0.1 (CodegenFallback per element);
+        // the primitive-array scan below is the header's documented
+        // 40-100x swap. Emits (n_near, ordered_w) in one pass
+        val spanUdf = udf((ws: Seq[String]) => {
+          val arr = ws.toArray
+          val pa = Array.newBuilder[Int]
+          val pb = Array.newBuilder[Int]
+          var i = 0
+          while (i < arr.length) {
+            if (arr(i) == "scan") pa += i
+            else if (arr(i) == "filter") pb += i
+            i += 1
+          }
+          val as = pa.result(); val bs = pb.result()
+          var nNear = 0
+          var ordered = 0
+          var ai = 0
+          while (ai < as.length) {
+            val a = as(ai)
+            var bi = 0
+            var hit = false
+            while (bi < bs.length) {
+              val d = bs(bi) - a
+              if (d >= -3 && d <= 3) hit = true
+              if (d >= 1 && d <= 3) ordered = 1
+              bi += 1
+            }
+            if (hit) nNear += 1
+            ai += 1
+          }
+          (nNear.toLong, ordered)
+        })
+        t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .select(col("doc_id"), spanUdf(split(col("text"), " ")).as("r"))
+          .select(col("doc_id"), col("r._1").as("n_near"), col("r._2").as("ordered_w"))
+          .where(col("n_near") > 0)
+          .orderBy(col("doc_id"))
+      })
   )
 }
