@@ -891,6 +891,77 @@ object FtsOps {
           .limit(20)
       }),
 
+    Op("ltr_rerank_trees",
+      "LTR tree-ensemble rescoring: MultipleAdditiveTreesModel — the " +
+        "LambdaMART-style model next to LinearModel in the reference " +
+        "(modules/ltr/.../model/MultipleAdditiveTreesModel.java:102,325-" +
+        "342: score = sum over trees of weight * leaf, traversal " +
+        "feature <= threshold -> left else right). Same 100-doc rerank " +
+        "window and feature vector as ltr_rerank; two fixed trees " +
+        "(weight 1: split on phrase then originalScore; weight 2: split " +
+        "on freshness then quantized length) rendered as nested CASE " +
+        "chains — pure codegen'd projection over the broadcast window. " +
+        "The reference's NODE_SPLIT_SLACK (+1e-6 on thresholds) is " +
+        "numerically irrelevant here (features never land within 1e-6 of " +
+        "a threshold) and is omitted on both sides",
+      Some(s"""WITH lut AS ($byte4LookupSql),
+              |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1)) t(w, qp)),
+              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |  FROM documents WHERE length(text) > 0),
+              |stats AS (SELECT count(DISTINCT doc_id) AS n,
+              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
+              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+              |partials AS (SELECT tf.doc_id, qpos.qp,
+              |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
+              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
+              |base AS (SELECT doc_id,
+              |    round(list_reduce(list(p ORDER BY qp), (a, v) -> a + v), 6) AS score
+              |  FROM partials GROUP BY doc_id
+              |  ORDER BY score DESC, doc_id LIMIT 100),
+              |hor AS (SELECT CAST(max(doc_id) + 1 AS DOUBLE) AS horizon FROM documents),
+              |feats AS (SELECT d.doc_id, b.score,
+              |    CAST((SELECT max(v) FROM lut WHERE v <= len(string_split(d.text, ' '))) AS DOUBLE) AS dlq,
+              |    CASE WHEN strpos(d.text, 'data query') > 0 THEN 1.0 ELSE 0.0 END AS ph,
+              |    CAST(d.doc_id AS DOUBLE) / hor.horizon AS fresh
+              |  FROM documents d JOIN base b USING (doc_id), hor)
+              |SELECT doc_id, score AS base_score,
+              |  round(CAST(1.0 * (CASE WHEN ph <= 0.5
+              |      THEN (CASE WHEN score <= 2.0 THEN 0.1 ELSE 0.4 END)
+              |      ELSE 0.8 END)
+              |    + 2.0 * (CASE WHEN fresh <= 0.5 THEN 0.05
+              |      ELSE (CASE WHEN dlq <= 40 THEN 0.3 ELSE 0.15 END) END) AS DOUBLE), 6) AS tree_score
+              |FROM feats ORDER BY tree_score DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val idx = index(s, dir, "documents")
+        val base = bm25DoubleTopK(s, idx, Seq("data", "query"), k = 100)
+        val quantUdf = udf((n: Int) =>
+          graft.codec.SmallFloat.byte4ToInt(graft.codec.SmallFloat.intToByte4(n)))
+        val hor = t(s, dir, "documents")
+          .agg((max(col("doc_id")) + 1).cast("double").as("horizon"))
+        val feats = t(s, dir, "documents").join(broadcast(base), "doc_id")
+          .crossJoin(broadcast(hor))
+          .select(col("doc_id"), col("score"),
+            quantUdf(size(split(col("text"), " "))).cast("double").as("dlq"),
+            when(col("text").contains("data query"), 1.0).otherwise(0.0).as("ph"),
+            (col("doc_id").cast("double") / col("horizon")).as("fresh"))
+        val tree1 = when(col("ph") <= 0.5,
+          when(col("score") <= 2.0, 0.1).otherwise(0.4)).otherwise(0.8)
+        val tree2 = when(col("fresh") <= 0.5, 0.05)
+          .otherwise(when(col("dlq") <= 40, 0.3).otherwise(0.15))
+        feats
+          .withColumn("tree_score",
+            round(lit(1.0) * tree1 + lit(2.0) * tree2, 6))
+          .select(col("doc_id"), col("score").as("base_score"), col("tree_score"))
+          .orderBy(col("tree_score").desc, col("doc_id"))
+          .limit(20)
+      }),
+
     Op("fts_boost_function",
       "multiplicative boost function: the edismax boost= param / " +
         "{!boost} wrapper — relevance score MULTIPLIED by a per-doc " +
