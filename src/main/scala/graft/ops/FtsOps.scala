@@ -962,6 +962,79 @@ object FtsOps {
           .limit(20)
       }),
 
+    Op("ltr_rerank_neural",
+      "LTR neural rescoring: NeuralNetworkModel — the third and last " +
+        "model class in the reference's LTR module (modules/ltr/.../" +
+        "model/NeuralNetworkModel.java:31-80: layers of out = " +
+        "activation(W*in + b), activations identity/relu/sigmoid/tanh/" +
+        "leakyrelu). Fixed 4->3(relu)->1(identity) net over the same " +
+        "rerank-window features as ltr_rerank; relu = greatest(0, x) and " +
+        "the dot products are written out with identical left-to-right " +
+        "IEEE shape in the oracle, rounded 6dp. Same scale shape as the " +
+        "linear/tree models: a codegen'd projection over the broadcast " +
+        "100-row window",
+      Some(s"""WITH lut AS ($byte4LookupSql),
+              |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1)) t(w, qp)),
+              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |  FROM documents WHERE length(text) > 0),
+              |stats AS (SELECT count(DISTINCT doc_id) AS n,
+              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
+              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+              |partials AS (SELECT tf.doc_id, qpos.qp,
+              |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
+              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
+              |base AS (SELECT doc_id,
+              |    round(list_reduce(list(p ORDER BY qp), (a, v) -> a + v), 6) AS score
+              |  FROM partials GROUP BY doc_id
+              |  ORDER BY score DESC, doc_id LIMIT 100),
+              |hor AS (SELECT CAST(max(doc_id) + 1 AS DOUBLE) AS horizon FROM documents),
+              |feats AS (SELECT d.doc_id, b.score,
+              |    CAST((SELECT max(v) FROM lut WHERE v <= len(string_split(d.text, ' '))) AS DOUBLE) AS dlq,
+              |    CASE WHEN strpos(d.text, 'data query') > 0 THEN 1.0 ELSE 0.0 END AS ph,
+              |    CAST(d.doc_id AS DOUBLE) / hor.horizon AS fresh
+              |  FROM documents d JOIN base b USING (doc_id), hor),
+              |hid AS (SELECT doc_id, score,
+              |    greatest(CAST(0.0 AS DOUBLE), 1.2 * score + -0.01 * dlq + 0.7 * ph + 0.3 * fresh + 0.1) AS h1,
+              |    greatest(CAST(0.0 AS DOUBLE), -0.5 * score + 0.02 * dlq + 0.4 * ph + -0.2 * fresh + 0.05) AS h2,
+              |    greatest(CAST(0.0 AS DOUBLE), 0.9 * score + 0.005 * dlq + -0.3 * ph + 0.6 * fresh + -0.2) AS h3
+              |  FROM feats)
+              |SELECT doc_id, score AS base_score,
+              |  round(0.8 * h1 + -0.4 * h2 + 0.5 * h3 + 0.02, 6) AS nn_score
+              |FROM hid ORDER BY nn_score DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val idx = index(s, dir, "documents")
+        val base = bm25DoubleTopK(s, idx, Seq("data", "query"), k = 100)
+        val quantUdf = udf((n: Int) =>
+          graft.codec.SmallFloat.byte4ToInt(graft.codec.SmallFloat.intToByte4(n)))
+        val hor = t(s, dir, "documents")
+          .agg((max(col("doc_id")) + 1).cast("double").as("horizon"))
+        val feats = t(s, dir, "documents").join(broadcast(base), "doc_id")
+          .crossJoin(broadcast(hor))
+          .select(col("doc_id"), col("score"),
+            quantUdf(size(split(col("text"), " "))).cast("double").as("dlq"),
+            when(col("text").contains("data query"), 1.0).otherwise(0.0).as("ph"),
+            (col("doc_id").cast("double") / col("horizon")).as("fresh"))
+        def relu(x: org.apache.spark.sql.Column) = greatest(lit(0.0), x)
+        val h1 = relu(lit(1.2) * col("score") + lit(-0.01) * col("dlq")
+          + lit(0.7) * col("ph") + lit(0.3) * col("fresh") + lit(0.1))
+        val h2 = relu(lit(-0.5) * col("score") + lit(0.02) * col("dlq")
+          + lit(0.4) * col("ph") + lit(-0.2) * col("fresh") + lit(0.05))
+        val h3 = relu(lit(0.9) * col("score") + lit(0.005) * col("dlq")
+          + lit(-0.3) * col("ph") + lit(0.6) * col("fresh") + lit(-0.2))
+        feats
+          .withColumn("nn_score",
+            round(lit(0.8) * h1 + lit(-0.4) * h2 + lit(0.5) * h3 + lit(0.02), 6))
+          .select(col("doc_id"), col("score").as("base_score"), col("nn_score"))
+          .orderBy(col("nn_score").desc, col("doc_id"))
+          .limit(20)
+      }),
+
     Op("fts_boost_function",
       "multiplicative boost function: the edismax boost= param / " +
         "{!boost} wrapper — relevance score MULTIPLIED by a per-doc " +

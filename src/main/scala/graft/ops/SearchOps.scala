@@ -608,6 +608,30 @@ object SearchOps {
         .where(col("rejected_dups") > 1)
         .orderBy(col("signature"))),
 
+    Op("update_ttl_expire",
+      "DocExpirationUpdateProcessor: TTL semantics — an ingest-time " +
+        "computed expiration timestamp (_ttl_ -> expire-at field) plus " +
+        "the periodic deleteByQuery of everything past it (update/" +
+        "processor/DocExpirationUpdateProcessorFactory.java:60-120). " +
+        "TTL = 30 days from event ts; 'now' = max(ts) over the corpus so " +
+        "the op is deterministic. Emits the per-type live/expired split " +
+        "the reaper would act on — a single scan + conditional agg",
+      Some("""WITH now AS (SELECT max(ts) AS now FROM events)
+             |SELECT event_type,
+             |  sum(CASE WHEN ts + INTERVAL 30 DAY <= now.now THEN 1 ELSE 0 END) AS expired,
+             |  sum(CASE WHEN ts + INTERVAL 30 DAY > now.now THEN 1 ELSE 0 END) AS live
+             |FROM events, now GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val now = t(s, dir, "events").agg(max(col("ts")).as("now"))
+        val expireAt = col("ts") + expr("INTERVAL 30 DAY")
+        t(s, dir, "events").crossJoin(broadcast(now))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(expireAt <= col("now"), 1).otherwise(0)).as("expired"),
+            sum(when(expireAt > col("now"), 1).otherwise(0)).as("live"))
+          .orderBy(col("event_type"))
+      }),
+
     Op("luke_field_stats",
       "LukeRequestHandler index introspection: per-field summary — doc " +
         "count with a value, distinct-value cardinality, and the top-3 " +
