@@ -618,8 +618,8 @@ object SearchOps {
         "the reaper would act on — a single scan + conditional agg",
       Some("""WITH now AS (SELECT max(ts) AS now FROM events)
              |SELECT event_type,
-             |  sum(CASE WHEN ts + INTERVAL 30 DAY <= now.now THEN 1 ELSE 0 END) AS expired,
-             |  sum(CASE WHEN ts + INTERVAL 30 DAY > now.now THEN 1 ELSE 0 END) AS live
+             |  CAST(sum(CASE WHEN ts + INTERVAL 30 DAY <= now.now THEN 1 ELSE 0 END) AS BIGINT) AS expired,
+             |  CAST(sum(CASE WHEN ts + INTERVAL 30 DAY > now.now THEN 1 ELSE 0 END) AS BIGINT) AS live
              |FROM events, now GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, dir) => {
         val now = t(s, dir, "events").agg(max(col("ts")).as("now"))
