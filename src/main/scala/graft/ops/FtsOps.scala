@@ -120,6 +120,59 @@ object FtsOps {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Shared LTR rerank window + feature CTE chain (q = "data query",
+    * window k=100): ends in `feats(doc_id, score, dlq, ph, fresh)`.
+    * One definition for the linear / tree / neural model oracles so the
+    * window and feature math can never diverge between models. */
+  private def ltrWindowSql: String =
+    s"""lut AS ($byte4LookupSql),
+       |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1)) t(w, qp)),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE length(text) > 0),
+       |stats AS (SELECT count(DISTINCT doc_id) AS n,
+       |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
+       |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+       |partials AS (SELECT tf.doc_id, qpos.qp,
+       |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+       |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
+       |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
+       |base AS (SELECT doc_id,
+       |    round(list_reduce(list(p ORDER BY qp), (a, v) -> a + v), 6) AS score
+       |  FROM partials GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id LIMIT 100),
+       |hor AS (SELECT CAST(max(doc_id) + 1 AS DOUBLE) AS horizon FROM documents),
+       |feats AS (SELECT d.doc_id, b.score,
+       |    CAST((SELECT max(v) FROM lut WHERE v <= len(string_split(d.text, ' '))) AS DOUBLE) AS dlq,
+       |    CASE WHEN strpos(d.text, 'data query') > 0 THEN 1.0 ELSE 0.0 END AS ph,
+       |    CAST(d.doc_id AS DOUBLE) / hor.horizon AS fresh
+       |  FROM documents d JOIN base b USING (doc_id), hor)""".stripMargin
+
+  /** Spark twin of [[ltrWindowSql]]: (doc_id, score, dlq, ph, fresh) for
+    * the 100-row rerank window. The window broadcasts INTO the docs scan
+    * first; features are computed on the 100 surviving rows only — never
+    * as a full-corpus projection (the r3 version featurized every doc
+    * before the join). Freshness horizon = max(doc_id)+1, derived from the
+    * corpus so the recency feature stays in (0,1] at any size. */
+  private def ltrFeats(s: SparkSession, dir: String): DataFrame = {
+    val idx = index(s, dir, "documents")
+    val base = bm25DoubleTopK(s, idx, Seq("data", "query"), k = 100)
+    val quantUdf = udf((n: Int) =>
+      graft.codec.SmallFloat.byte4ToInt(graft.codec.SmallFloat.intToByte4(n)))
+    val hor = t(s, dir, "documents")
+      .agg((max(col("doc_id")) + 1).cast("double").as("horizon"))
+    t(s, dir, "documents").join(broadcast(base), "doc_id")
+      .crossJoin(broadcast(hor))
+      .select(col("doc_id"), col("score"),
+        quantUdf(size(split(col("text"), " "))).cast("double").as("dlq"),
+        when(col("text").contains("data query"), 1.0).otherwise(0.0).as("ph"),
+        (col("doc_id").cast("double") / col("horizon")).as("fresh"))
+  }
+
   /** Map a term column to its query position via a when-chain. */
   private def qposCol(qpos: Map[String, Int]): org.apache.spark.sql.Column =
     qpos.foldLeft(lit(-1)) { case (acc, (t, i)) =>
@@ -833,63 +886,17 @@ object FtsOps {
         "scan — features are computed on 100 rows, never as a full-corpus " +
         "projection; all model math is double with a fixed expression " +
         "shape, so DuckDB reproduces the rescored ranking bit-for-bit",
-      Some(s"""WITH lut AS ($byte4LookupSql),
-              |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1)) t(w, qp)),
-              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-              |  FROM documents WHERE length(text) > 0),
-              |stats AS (SELECT count(DISTINCT doc_id) AS n,
-              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
-              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
-              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
-              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
-              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
-              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
-              |partials AS (SELECT tf.doc_id, qpos.qp,
-              |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
-              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
-              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
-              |base AS (SELECT doc_id,
-              |    round(list_reduce(list(p ORDER BY qp), (a, v) -> a + v), 6) AS score
-              |  FROM partials GROUP BY doc_id
-              |  ORDER BY score DESC, doc_id LIMIT 100),
-              |hor AS (SELECT CAST(max(doc_id) + 1 AS DOUBLE) AS horizon FROM documents),
-              |feats AS (SELECT d.doc_id,
-              |    CAST((SELECT max(v) FROM lut WHERE v <= len(string_split(d.text, ' '))) AS DOUBLE) AS dlq,
-              |    CASE WHEN strpos(d.text, 'data query') > 0 THEN 1.0 ELSE 0.0 END AS ph,
-              |    CAST(d.doc_id AS DOUBLE) / hor.horizon AS fresh
-              |  FROM documents d JOIN base USING (doc_id), hor)
-              |SELECT b.doc_id, b.score AS base_score,
-              |  round(1.5 * b.score + 0.8 * f.ph + 0.2 * f.fresh - 0.004 * f.dlq, 6) AS ltr_score
-              |FROM base b JOIN feats f ON b.doc_id = f.doc_id
-              |ORDER BY ltr_score DESC, b.doc_id LIMIT 20""".stripMargin),
-      (s, dir) => {
-        import s.implicits._
-        val idx = index(s, dir, "documents")
-        val base = bm25DoubleTopK(s, idx, Seq("data", "query"), k = 100)
-        val quantUdf = udf((n: Int) =>
-          graft.codec.SmallFloat.byte4ToInt(graft.codec.SmallFloat.intToByte4(n)))
-        // freshness horizon derived from the corpus (max doc_id + 1), not a
-        // hardcoded 10000: keeps the recency feature in (0,1] at any corpus
-        // size instead of going negative past the constant
-        val hor = t(s, dir, "documents")
-          .agg((max(col("doc_id")) + 1).cast("double").as("horizon"))
-        // the 100-row window broadcasts INTO the docs scan first; features
-        // are then computed on the 100 surviving rows only — never as a
-        // full-corpus projection (r3 featurized every doc before the join)
-        t(s, dir, "documents").join(broadcast(base), "doc_id")
-          .crossJoin(broadcast(hor))
-          .select(col("doc_id"), col("score"),
-            quantUdf(size(split(col("text"), " "))).cast("double").as("dlq"),
-            when(col("text").contains("data query"), 1.0).otherwise(0.0).as("ph"),
-            (col("doc_id").cast("double") / col("horizon")).as("fresh"))
-          .withColumn("ltr_score",
-            round(lit(1.5) * col("score") + lit(0.8) * col("ph")
-              + lit(0.2) * col("fresh") - lit(0.004) * col("dlq"), 6))
-          .select(col("doc_id"), col("score").as("base_score"), col("ltr_score"))
-          .orderBy(col("ltr_score").desc, col("doc_id"))
-          .limit(20)
-      }),
+      Some(s"""WITH $ltrWindowSql
+              |SELECT doc_id, score AS base_score,
+              |  round(1.5 * score + 0.8 * ph + 0.2 * fresh - 0.004 * dlq, 6) AS ltr_score
+              |FROM feats ORDER BY ltr_score DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => ltrFeats(s, dir)
+        .withColumn("ltr_score",
+          round(lit(1.5) * col("score") + lit(0.8) * col("ph")
+            + lit(0.2) * col("fresh") - lit(0.004) * col("dlq"), 6))
+        .select(col("doc_id"), col("score").as("base_score"), col("ltr_score"))
+        .orderBy(col("ltr_score").desc, col("doc_id"))
+        .limit(20)),
 
     Op("ltr_rerank_trees",
       "LTR tree-ensemble rescoring: MultipleAdditiveTreesModel — the " +
@@ -904,32 +911,7 @@ object FtsOps {
         "The reference's NODE_SPLIT_SLACK (+1e-6 on thresholds) is " +
         "numerically irrelevant here (features never land within 1e-6 of " +
         "a threshold) and is omitted on both sides",
-      Some(s"""WITH lut AS ($byte4LookupSql),
-              |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1)) t(w, qp)),
-              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-              |  FROM documents WHERE length(text) > 0),
-              |stats AS (SELECT count(DISTINCT doc_id) AS n,
-              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
-              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
-              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
-              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
-              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
-              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
-              |partials AS (SELECT tf.doc_id, qpos.qp,
-              |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
-              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
-              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
-              |base AS (SELECT doc_id,
-              |    round(list_reduce(list(p ORDER BY qp), (a, v) -> a + v), 6) AS score
-              |  FROM partials GROUP BY doc_id
-              |  ORDER BY score DESC, doc_id LIMIT 100),
-              |hor AS (SELECT CAST(max(doc_id) + 1 AS DOUBLE) AS horizon FROM documents),
-              |feats AS (SELECT d.doc_id, b.score,
-              |    CAST((SELECT max(v) FROM lut WHERE v <= len(string_split(d.text, ' '))) AS DOUBLE) AS dlq,
-              |    CASE WHEN strpos(d.text, 'data query') > 0 THEN 1.0 ELSE 0.0 END AS ph,
-              |    CAST(d.doc_id AS DOUBLE) / hor.horizon AS fresh
-              |  FROM documents d JOIN base b USING (doc_id), hor)
+      Some(s"""WITH $ltrWindowSql
               |SELECT doc_id, score AS base_score,
               |  round(CAST(1.0 * (CASE WHEN ph <= 0.5
               |      THEN (CASE WHEN score <= 2.0 THEN 0.1 ELSE 0.4 END)
@@ -938,18 +920,7 @@ object FtsOps {
               |      ELSE (CASE WHEN dlq <= 40 THEN 0.3 ELSE 0.15 END) END) AS DOUBLE), 6) AS tree_score
               |FROM feats ORDER BY tree_score DESC, doc_id LIMIT 20""".stripMargin),
       (s, dir) => {
-        val idx = index(s, dir, "documents")
-        val base = bm25DoubleTopK(s, idx, Seq("data", "query"), k = 100)
-        val quantUdf = udf((n: Int) =>
-          graft.codec.SmallFloat.byte4ToInt(graft.codec.SmallFloat.intToByte4(n)))
-        val hor = t(s, dir, "documents")
-          .agg((max(col("doc_id")) + 1).cast("double").as("horizon"))
-        val feats = t(s, dir, "documents").join(broadcast(base), "doc_id")
-          .crossJoin(broadcast(hor))
-          .select(col("doc_id"), col("score"),
-            quantUdf(size(split(col("text"), " "))).cast("double").as("dlq"),
-            when(col("text").contains("data query"), 1.0).otherwise(0.0).as("ph"),
-            (col("doc_id").cast("double") / col("horizon")).as("fresh"))
+        val feats = ltrFeats(s, dir)
         val tree1 = when(col("ph") <= 0.5,
           when(col("score") <= 2.0, 0.1).otherwise(0.4)).otherwise(0.8)
         val tree2 = when(col("fresh") <= 0.5, 0.05)
@@ -973,32 +944,7 @@ object FtsOps {
         "IEEE shape in the oracle, rounded 6dp. Same scale shape as the " +
         "linear/tree models: a codegen'd projection over the broadcast " +
         "100-row window",
-      Some(s"""WITH lut AS ($byte4LookupSql),
-              |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1)) t(w, qp)),
-              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-              |  FROM documents WHERE length(text) > 0),
-              |stats AS (SELECT count(DISTINCT doc_id) AS n,
-              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
-              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
-              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
-              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
-              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
-              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
-              |partials AS (SELECT tf.doc_id, qpos.qp,
-              |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
-              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
-              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
-              |base AS (SELECT doc_id,
-              |    round(list_reduce(list(p ORDER BY qp), (a, v) -> a + v), 6) AS score
-              |  FROM partials GROUP BY doc_id
-              |  ORDER BY score DESC, doc_id LIMIT 100),
-              |hor AS (SELECT CAST(max(doc_id) + 1 AS DOUBLE) AS horizon FROM documents),
-              |feats AS (SELECT d.doc_id, b.score,
-              |    CAST((SELECT max(v) FROM lut WHERE v <= len(string_split(d.text, ' '))) AS DOUBLE) AS dlq,
-              |    CASE WHEN strpos(d.text, 'data query') > 0 THEN 1.0 ELSE 0.0 END AS ph,
-              |    CAST(d.doc_id AS DOUBLE) / hor.horizon AS fresh
-              |  FROM documents d JOIN base b USING (doc_id), hor),
+      Some(s"""WITH $ltrWindowSql,
               |hid AS (SELECT doc_id, score,
               |    greatest(CAST(0.0 AS DOUBLE), 1.2 * score + -0.01 * dlq + 0.7 * ph + 0.3 * fresh + 0.1) AS h1,
               |    greatest(CAST(0.0 AS DOUBLE), -0.5 * score + 0.02 * dlq + 0.4 * ph + -0.2 * fresh + 0.05) AS h2,
@@ -1008,18 +954,7 @@ object FtsOps {
               |  round(0.8 * h1 + -0.4 * h2 + 0.5 * h3 + 0.02, 6) AS nn_score
               |FROM hid ORDER BY nn_score DESC, doc_id LIMIT 20""".stripMargin),
       (s, dir) => {
-        val idx = index(s, dir, "documents")
-        val base = bm25DoubleTopK(s, idx, Seq("data", "query"), k = 100)
-        val quantUdf = udf((n: Int) =>
-          graft.codec.SmallFloat.byte4ToInt(graft.codec.SmallFloat.intToByte4(n)))
-        val hor = t(s, dir, "documents")
-          .agg((max(col("doc_id")) + 1).cast("double").as("horizon"))
-        val feats = t(s, dir, "documents").join(broadcast(base), "doc_id")
-          .crossJoin(broadcast(hor))
-          .select(col("doc_id"), col("score"),
-            quantUdf(size(split(col("text"), " "))).cast("double").as("dlq"),
-            when(col("text").contains("data query"), 1.0).otherwise(0.0).as("ph"),
-            (col("doc_id").cast("double") / col("horizon")).as("fresh"))
+        val feats = ltrFeats(s, dir)
         def relu(x: org.apache.spark.sql.Column) = greatest(lit(0.0), x)
         val h1 = relu(lit(1.2) * col("score") + lit(-0.01) * col("dlq")
           + lit(0.7) * col("ph") + lit(0.3) * col("fresh") + lit(0.1))

@@ -207,7 +207,9 @@ object ParserOps {
             val a = as(ai)
             var bi = 0
             var hit = false
-            while (bi < bs.length) {
+            // short-circuit once both facts are established for this a
+            // (the HOF exists() this replaced short-circuited too)
+            while (bi < bs.length && !(hit && ordered == 1)) {
               val d = bs(bi) - a
               if (d >= -3 && d <= 3) hit = true
               if (d >= 1 && d <= 3) ordered = 1

@@ -657,7 +657,6 @@ object SearchOps {
              |SELECT s.field, n_docs, n_distinct, top_values
              |FROM s JOIN top ON s.field = top.field ORDER BY s.field""".stripMargin),
       (s, dir) => {
-        import s.implicits._
         val d = t(s, dir, "documents")
         val f = d.where(col("lang").isNotNull)
           .select(lit("lang").as("field"), col("lang").as("v"))
