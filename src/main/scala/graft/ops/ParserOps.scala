@@ -82,6 +82,29 @@ object ParserOps {
         .where(col("n_matches") > 0)
         .orderBy(col("doc_id"))),
 
+    Op("rank_feature_query",
+      "{!rank} RankQParser: score docs by a per-doc static rank feature " +
+        "through Lucene FeatureField's shapes — saturation(weight, pivot) " +
+        "= weight * x/(x + pivot) and log(weight, scalingFactor) = " +
+        "weight * ln(scalingFactor + x) (search/RankQParserPlugin.java:" +
+        "44-85; RankField). Feature = n_chars; both scores emitted, " +
+        "top-20 by the saturation score. A pure projection + TakeOrdered " +
+        "— the scan shape of a static-rank boost at any corpus size; " +
+        "identical double expression shape both sides, rounded 6dp",
+      Some("""SELECT doc_id,
+             |  round(2.0 * (CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 500.0)), 6) AS satu_score,
+             |  round(1.5 * ln(1.0 + CAST(n_chars AS DOUBLE)), 6) AS log_score
+             |FROM documents ORDER BY satu_score DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val x = col("n_chars").cast("double")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            round(lit(2.0) * (x / (x + lit(500.0))), 6).as("satu_score"),
+            round(lit(1.5) * log(lit(1.0) + x), 6).as("log_score"))
+          .orderBy(col("satu_score").desc, col("doc_id"))
+          .limit(20)
+      }),
+
     Op("xml_query_parser",
       "{!xmlparser} (XmlQParserPlugin.java:33-36, Lucene CoreParser): a " +
         "query EXPRESSED AS XML — BooleanQuery with occurs=must/should/" +
