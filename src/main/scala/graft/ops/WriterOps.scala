@@ -17,6 +17,12 @@ object WriterOps {
   private def outDir(kind: String, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-writer/$kind-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
 
+  /** Join rank-tagged strings in ascending rank order — matches DuckDB's
+    * `string_agg(x, ',' ORDER BY rk)` regardless of collect_list's
+    * partition-arrival order. */
+  private val subSortUdf = udf((xs: Seq[org.apache.spark.sql.Row]) =>
+    xs.map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).map(_._2).mkString(","))
+
   def ops: Seq[Op] = Seq(
 
     Op("writer_json",
@@ -366,6 +372,48 @@ object WriterOps {
           .agg(sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
         s.range(1).select(lit("hello").as("echo"))
           .crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      }),
+
+    Op("doc_transform_subquery",
+      "[subquery] doc transformer: each RESULT doc carries the rows of a " +
+        "correlated subquery executed for it (response/transform/" +
+        "SubQueryAugmenterFactory.java — fromIndex lookup keyed on a " +
+        "result-doc field, rows limited per doc). Result set = top-10 " +
+        "customers by balance; subquery = each one's 3 most expensive " +
+        "orders, joined-as-string per the registry's array convention. " +
+        "Scale shape: the 10-row result window broadcasts into the " +
+        "orders scan (never orders x customers); the per-doc LIMIT is a " +
+        "PARTITIONED-by-parent ranking window",
+      Some("""WITH win AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+             |  ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey LIMIT 10),
+             |sub AS (SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
+             |    row_number() OVER (PARTITION BY o.o_custkey
+             |      ORDER BY CAST(o.o_totalprice AS DECIMAL(18,2)) DESC, o.o_orderkey) AS rk
+             |  FROM orders o JOIN win ON o.o_custkey = win.c_custkey)
+             |SELECT win.c_custkey, win.c_name, win.c_acctbal,
+             |  coalesce(string_agg(CAST(sub.o_orderkey AS VARCHAR), ',' ORDER BY sub.rk), '') AS top_orders
+             |FROM win LEFT JOIN sub ON sub.o_custkey = win.c_custkey AND sub.rk <= 3
+             |GROUP BY win.c_custkey, win.c_name, win.c_acctbal
+             |ORDER BY win.c_custkey""".stripMargin),
+      (s, dir) => {
+        val win = t(s, dir, "customer")
+          .orderBy(Op.dec2(col("c_acctbal")).desc, col("c_custkey")).limit(10)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val byCust = Window.partitionBy(col("o_custkey"))
+          .orderBy(Op.dec2(col("o_totalprice")).desc, col("o_orderkey"))
+        val sub = t(s, dir, "orders")
+          .join(broadcast(win.select(col("c_custkey").as("wk"))),
+            col("o_custkey") === col("wk"), "leftsemi")
+          .withColumn("rk", row_number().over(byCust))
+          .where(col("rk") <= 3)
+        // rank-ordered join-as-string (same sortTop shape as luke's)
+        val agg = sub.groupBy(col("o_custkey"))
+          .agg(subSortUdf(collect_list(struct(col("rk"),
+            col("o_orderkey").cast("string")))).as("top_orders"))
+        win.join(agg, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            coalesce(col("top_orders"), lit("")).as("top_orders"))
+          .orderBy(col("c_custkey"))
       }),
 
     Op("doc_transform",
