@@ -128,8 +128,10 @@ object MlOps {
         "tie-break. Per-(doc, class) sums accumulate in WORD order on " +
         "both sides (the registry's ordered-reduce parity pattern), so " +
         "the oracle reproduces the prediction exactly; class stats are " +
-        "5 rows -> broadcast; the scoring join is test-tokens x classes, " +
-        "linear in corpus size",
+        "5 rows -> broadcast, but the per-class word-count table wc is " +
+        "VOCABULARY x classes-sized, so it joins on (lang, w) with no " +
+        "broadcast hint (AQE may still elect one while it fits); the " +
+        "scoring join is test-tokens x classes, linear in corpus size",
       Some("""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
              |  FROM documents WHERE length(text) > 0),
              |train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
@@ -168,8 +170,11 @@ object MlOps {
           .agg(count(lit(1)).as("tfwc"))
         val tc = toks.where(col("doc_id") % 2 === 1)
           .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+        // wc is vocabulary x classes rows — never force-broadcast it; the
+        // (lang, w) equi-join shuffles at scale, AQE may still broadcast
+        // while it genuinely fits
         val contrib = tc.crossJoin(broadcast(cls))
-          .join(broadcast(wc),
+          .join(wc,
             col("lang") === col("wlang") && col("w") === col("ww"), "left")
           .select(col("doc_id"), col("lang"), col("w"), col("docs_c"),
             (col("cnt") * log((coalesce(col("tfwc"), lit(0L)) + lit(1.0))

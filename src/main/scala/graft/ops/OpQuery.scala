@@ -29,4 +29,11 @@ object Op {
   /** Exact money arithmetic: DECIMAL(18,2) (sums stay exact and associative,
     * unlike double, so Spark's and DuckDB's aggregation orders agree). */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Join rank-tagged strings in ascending rank order — matches DuckDB's
+    * `string_agg(x, ',' ORDER BY rk)` regardless of collect_list's
+    * partition-arrival order. Input rows are (rk: Int, value: String). */
+  val sortTopUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((xs: Seq[org.apache.spark.sql.Row]) =>
+      xs.map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).map(_._2).mkString(","))
 }

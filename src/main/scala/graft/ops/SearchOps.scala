@@ -14,11 +14,8 @@ import Op.t
   */
 object SearchOps {
 
-  /** Join rank-tagged strings in ascending rank order — matches DuckDB's
-    * `string_agg(x, ',' ORDER BY rk)` regardless of collect_list's
-    * partition-arrival order. */
-  private val sortTopUdf = udf((xs: Seq[org.apache.spark.sql.Row]) =>
-    xs.map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).map(_._2).mkString(","))
+  // rank-ordered string agg shared with WriterOps' [subquery] transformer
+  private val sortTopUdf = Op.sortTopUdf
 
   /** Sum doubles in ascending qp order — bit-identical to DuckDB's
     * `list_reduce(list(p ORDER BY qp), (a, v) -> a + v)` (the 0.0 fold

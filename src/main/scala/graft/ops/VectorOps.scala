@@ -190,8 +190,9 @@ object VectorOps {
         // in-threshold pair (SRP-LSH, Charikar STOC'02). At this LOW
         // threshold L grows ~ p^-bits ~ (n/64)^0.62 — LSH pair-mining near
         // theta ~ 63deg is inherently expensive — so bits cap at 12
-        // (L <= ~340): beyond ~260k vectors, bucket population (not table
-        // count) absorbs further growth, and genuinely low-threshold pair
+        // (L <= 540; 11 bits gives 350): beyond ~260k vectors, bucket
+        // population (not table count) absorbs further growth — each vector
+        // fans out to L (table, sig) rows — and genuinely low-threshold pair
         // mining at extreme scale belongs to the shingle/minhash family
         // (text_dedup_*). At production dedup thresholds (tau ~ 0.9,
         // p ~ 0.86) the same bound gives L <= 64 out to billions of rows

@@ -17,11 +17,8 @@ object WriterOps {
   private def outDir(kind: String, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-writer/$kind-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
 
-  /** Join rank-tagged strings in ascending rank order — matches DuckDB's
-    * `string_agg(x, ',' ORDER BY rk)` regardless of collect_list's
-    * partition-arrival order. */
-  private val subSortUdf = udf((xs: Seq[org.apache.spark.sql.Row]) =>
-    xs.map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).map(_._2).mkString(","))
+  // rank-ordered string agg shared with SearchOps' luke op (Op.sortTopUdf)
+  private val subSortUdf = Op.sortTopUdf
 
   def ops: Seq[Op] = Seq(
 
