@@ -539,42 +539,75 @@ object IndexBuilder {
       .select($"doc_id", $"segment_id", $"text", $"role", $"tool")
       .as[(Long, Int, String, String, String)]
       .mapPartitions { it =>
-        val bufs = new java.util.HashMap[(Int, String), PostingsBuf]()
-        def buf(seg: Int, term: String): PostingsBuf = {
-          val k = (seg, term)
-          var b = bufs.get(k)
-          if (b == null) { b = new PostingsBuf(); bufs.put(k, b) }
+        // Allocation-rate discipline (the postings stage is GC-bound at 16
+        // slots — measured 70s GC / 410s task time before this shape): terms
+        // intern to DENSE PER-TASK INT IDS once (one String->Integer map hit
+        // per occurrence, a new entry only on a task's first sight of a
+        // term), and each segment holds a flat id-indexed PostingsBuf array
+        // — no Tuple2 key, no per-(doc, term) scratch buffer, no per-doc
+        // HashMap: occurrences append incrementally (PostingsBuf.addOcc).
+        val dict = new java.util.HashMap[String, Integer]()
+        val terms = new scala.collection.mutable.ArrayBuffer[String]()
+        def idOf(t: String): Int = {
+          val got = dict.get(t)
+          if (got != null) got.intValue()
+          else {
+            val id = terms.length
+            dict.put(t, Integer.valueOf(id))
+            terms += t
+            id
+          }
+        }
+        // per-segment id-indexed buffers; tasks see one segment in practice
+        // (one task per segment-aligned docs file), so the outer map is hit
+        // through a single-entry cache
+        val segBufs = new java.util.HashMap[Integer, java.util.ArrayList[PostingsBuf]]()
+        var curSeg = Int.MinValue
+        var curArr: java.util.ArrayList[PostingsBuf] = null
+        def buf(seg: Int, id: Int): PostingsBuf = {
+          if (seg != curSeg) {
+            curArr = segBufs.get(seg)
+            if (curArr == null) { curArr = new java.util.ArrayList[PostingsBuf](); segBufs.put(seg, curArr) }
+            curSeg = seg
+          }
+          while (curArr.size() <= id) curArr.add(null)
+          var b = curArr.get(id)
+          if (b == null) { b = new PostingsBuf(); curArr.set(id, b) }
           b
         }
         val one = SmallFloat.intToByte4(1) // field norm: single-token dl
-        val tp = new java.util.HashMap[String, IntBuf]()
+        val lenId = idOf("") // norms sidecar = id 0
+        // role/tool field-term ids memoized per VALUE (skips the per-doc
+        // string concat + dict probe; role/tool cardinality is tiny)
+        val roleIds = new java.util.HashMap[String, Integer]()
+        val toolIds = new java.util.HashMap[String, Integer]()
+        def fieldId(cache: java.util.HashMap[String, Integer], field: String, v: String): Int = {
+          val got = cache.get(v)
+          if (got != null) got.intValue()
+          else {
+            val id = idOf(FieldTermPrefix + field + ":" + v)
+            cache.put(v, Integer.valueOf(id))
+            id
+          }
+        }
         it.foreach { case (docId, seg, text, role, tool) =>
-          val (terms, tposs) = analyzer.analyzeWithPositions(text)
-          val dl = terms.length
+          val (toks, tposs) = analyzer.analyzeWithPositions(text)
+          val dl = toks.length
           val norm = SmallFloat.intToByte4(dl)
-          val lenBuf = buf(seg, "")
+          val lenBuf = buf(seg, lenId)
           lenBuf.isLenRow = true
           lenBuf.add(docId, dl, norm)
           // single-token field postings (`role:user` keying): tf = 1,
           // norm = dl 1 — scored with the field's own stats, filtered
           // structurally; positions are not needed (no phrases on fields)
           if (role != null && role.nonEmpty)
-            buf(seg, FieldTermPrefix + "role:" + role).add(docId, 1, one)
+            buf(seg, fieldId(roleIds, "role", role)).add(docId, 1, one)
           if (tool != null && tool.nonEmpty)
-            buf(seg, FieldTermPrefix + "tool:" + tool).add(docId, 1, one)
-          tp.clear()
+            buf(seg, fieldId(toolIds, "tool", tool)).add(docId, 1, one)
           var i = 0
-          while (i < terms.length) {
-            val t = terms(i)
-            var l = tp.get(t)
-            if (l == null) { l = new IntBuf(); tp.put(t, l) }
-            l.add(tposs(i))
+          while (i < toks.length) {
+            buf(seg, idOf(toks(i))).addOcc(docId, norm, tposs(i))
             i += 1
-          }
-          val ts = tp.entrySet().iterator()
-          while (ts.hasNext) {
-            val e = ts.next()
-            buf(seg, e.getKey).addPos(docId, norm, e.getValue)
           }
         }
         // emit in (term, segment) order SORTED IN-TASK: rows flow straight to
@@ -582,18 +615,33 @@ object IndexBuilder {
         // WITHOUT a sortWithinPartitions — Spark's sorter would buffer a
         // second, full copy of the compressed segment per task (measured as
         // half the postings stage's live heap at local[16]). Each buf is
-        // dropped from the map as it is consumed, so peak memory is the raw
-        // accumulation map alone.
-        val keys = bufs.keySet().toArray(new Array[(Int, String)](0))
-        java.util.Arrays.sort(keys, Ordering.by((k: (Int, String)) => (k._2, k._1)))
+        // dropped from its slot as it is consumed, so peak memory is the raw
+        // accumulation buffers alone.
+        val keys = {
+          val ks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (seg, id)
+          val si = segBufs.entrySet().iterator()
+          while (si.hasNext) {
+            val e = si.next()
+            val arr = e.getValue
+            var id = 0
+            while (id < arr.size()) {
+              if (arr.get(id) != null) ks += ((e.getKey.intValue(), id))
+              id += 1
+            }
+          }
+          ks.toArray
+        }
+        java.util.Arrays.sort(keys, Ordering.by((k: (Int, Int)) => (terms(k._2), k._1)))
         new Iterator[PostingRow] {
           var i = 0
           def hasNext = i < keys.length
           def next() = {
-            val k = keys(i)
+            val (seg, id) = keys(i)
             i += 1
-            val b = bufs.remove(k)
-            PostingsAggregator.finish(b).withKey(k._1, k._2)
+            val arr = segBufs.get(seg)
+            val b = arr.get(id)
+            arr.set(id, null)
+            PostingsAggregator.finish(b).withKey(seg, terms(id))
           }
         }
       }

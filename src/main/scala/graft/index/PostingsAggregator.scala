@@ -65,6 +65,29 @@ final class PostingsBuf(
     posN += positions.n
   }
 
+  /** Append ONE token occurrence: if `doc` is already the last entry, bump
+    * its tf and append the position; otherwise open a new entry. The
+    * segment-build pass feeds each doc's occurrences consecutively in
+    * ascending position order, so this accumulates exactly what
+    * [[addPos]] built from a per-(doc, term) scratch buffer — without
+    * allocating that buffer per (doc, term) pair (~10 per doc; the
+    * allocation-rate driver of the postings stage's GC share at 16 slots). */
+  def addOcc(doc: Long, norm: Byte, position: Int): Unit = {
+    require(size == 0 || hasPos, "mixing positional entries into a position-less buf")
+    hasPos = true
+    if (size > 0 && docs(size - 1) == doc) tfs(size - 1) += 1
+    else {
+      if (size == docs.length) grow(size * 2)
+      if (sorted && size > 0 && docs(size - 1) > doc) sorted = false
+      docs(size) = doc; tfs(size) = 1; norms(size) = norm
+      size += 1
+    }
+    if (posN == pos.length)
+      pos = java.util.Arrays.copyOf(pos, math.max(16, pos.length * 2))
+    pos(posN) = position
+    posN += 1
+  }
+
   private def grow(cap: Int): Unit = {
     docs = java.util.Arrays.copyOf(docs, cap)
     tfs = java.util.Arrays.copyOf(tfs, cap)
