@@ -212,6 +212,16 @@ object Bench {
   private def calBaselineFile = new java.io.File(s"${workDir("")}/cal_baseline.txt")
   private def memBaselineFile = new java.io.File(s"${workDir("")}/mem_baseline.txt")
 
+  /** Committed calibration floor: "alu mem" best-ever counts (see the
+    * band_vs_floor_* report fields). None if absent/unparseable. */
+  private def calFloor: Option[(Double, Double)] =
+    try {
+      val parts = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/root/repo/scripts/cal_floor.txt"))
+        .trim.split("\\s+")
+      if (parts.length >= 2) Some((parts(0).toDouble, parts(1).toDouble)) else None
+    } catch { case _: Throwable => None }
+
   private def loadBaseline(f: java.io.File): Double =
     try java.nio.file.Files.readString(f.toPath).trim.toDouble
     catch { case _: Throwable => 0.0 }
@@ -423,6 +433,18 @@ object Bench {
       results("host_mem_best") = mems.max
       results("host_mem_last") = mems.last
       results("host_mem_baseline") = memRef
+      // Band context vs the COMMITTED calibration floor (scripts/
+      // cal_floor.txt: best-ever ALU + mem counts observed on this host).
+      // The tmpfs baseline above vanishes on reboot, so a degraded band can
+      // look self-consistently "gated" with nothing in the artifact saying
+      // the whole window ran at 60% of the host's known-good speed — these
+      // two REPORT-ONLY ratios make that attributable. Never used for
+      // gating: a host that stays degraded (or simply differs) must still
+      // produce same-window pairs rather than forfeit the phase.
+      for (floor <- calFloor) {
+        results("band_vs_floor_alu") = cals.max / floor._1
+        results("band_vs_floor_mem") = mems.max / floor._2
+      }
     }
 
     // ---- query latency over a dedicated index ---------------------------
@@ -578,7 +600,8 @@ object Bench {
       "query_mean_ms", "query_gated",
       "sweep_ops", "sweep_max_sec", "sweep_over_2s", "sweep_total_sec",
       "sweep_failed",
-      "fts_index_build_sec", "fts_searcher_init_sec", "dedup_prep_sec")
+      "fts_index_build_sec", "fts_searcher_init_sec", "dedup_prep_sec",
+      "band_vs_floor_alu", "band_vs_floor_mem")
     val headline = headlineKeys.flatMap(k => results.get(k).map(k -> _))
     println(s"""{"metric":"bench_total","value":$total,"unit":"sec","queries":${fmt(headline)},"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
   }
