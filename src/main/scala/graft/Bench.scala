@@ -433,18 +433,6 @@ object Bench {
       results("host_mem_best") = mems.max
       results("host_mem_last") = mems.last
       results("host_mem_baseline") = memRef
-      // Band context vs the COMMITTED calibration floor (scripts/
-      // cal_floor.txt: best-ever ALU + mem counts observed on this host).
-      // The tmpfs baseline above vanishes on reboot, so a degraded band can
-      // look self-consistently "gated" with nothing in the artifact saying
-      // the whole window ran at 60% of the host's known-good speed — these
-      // two REPORT-ONLY ratios make that attributable. Never used for
-      // gating: a host that stays degraded (or simply differs) must still
-      // produce same-window pairs rather than forfeit the phase.
-      for (floor <- calFloor) {
-        results("band_vs_floor_alu") = cals.max / floor._1
-        results("band_vs_floor_mem") = mems.max / floor._2
-      }
     }
 
     // ---- query latency over a dedicated index ---------------------------
@@ -567,6 +555,20 @@ object Bench {
 
     if (cals.nonEmpty) saveBaseline(calBaselineFile, math.max(calBase0, cals.max))
     if (mems.nonEmpty) saveBaseline(memBaselineFile, math.max(memBase0, mems.max))
+    // Band context vs the COMMITTED calibration floor (scripts/
+    // cal_floor.txt: best-ever ALU + mem counts observed on this host).
+    // The tmpfs baseline vanishes on reboot, so a degraded band can look
+    // self-consistently "gated" with nothing in the artifact saying the
+    // whole run executed at 60% of the host's known-good speed — these two
+    // REPORT-ONLY ratios make that attributable. Emitted from the pooled
+    // gate points of EVERY phase (scaling, query, sweep), so a query-only
+    // run still carries them. Never used for gating: a host that stays
+    // degraded (or simply differs) must still produce same-window pairs
+    // rather than forfeit a phase.
+    for (floor <- calFloor if cals.nonEmpty) {
+      results("band_vs_floor_alu") = cals.max / floor._1
+      if (mems.nonEmpty) results("band_vs_floor_mem") = mems.max / floor._2
+    }
     releaseMemBufs()
     val total = sec(System.nanoTime() - t00)
     def fmt(m: Iterable[(String, Double)]): String =
