@@ -88,13 +88,21 @@ final class Analyzer(stopwords: Set[String] = Set.empty) extends Serializable {
 
   import Analyzer.{ALPHA, DIGIT, EXTNL, cls, MID_LETTER, MID_NUM, MID_NUMLET}
 
-  /** ASCII UAX#29 scanner (see class doc). One pass, no per-call setup. */
-  private[graft] def asciiAnalyzeWithPositions(text: String): (Array[String], Array[Int]) = {
+  /** Word-segment callback for [[asciiScan]] — called once per kept word
+    * segment with its pre-stop position; the emitter applies the stop
+    * filter (positions must keep counting across removed stopwords, so the
+    * scanner cannot). Exactly two implementations exist (String path, id
+    * path), keeping the call site bimorphic for the JIT. */
+  private[graft] abstract class SegmentEmitter {
+    def emit(text: String, start: Int, end: Int, pos: Int): Unit
+  }
+
+  /** ASCII UAX#29 scanner (see class doc). One pass, no per-call setup.
+    * Segment SELECTION lives here — shared by the String and id paths so
+    * the two token streams cannot drift; segment MATERIALIZATION lives in
+    * the emitter. */
+  private[graft] def asciiScan(text: String, em: SegmentEmitter): Unit = {
     val n = text.length
-    var out = new Array[String](8)
-    var no = 0
-    var poss = new Array[Int](8)
-    var np = 0
     var pos = 0
     var i = 0
     while (i < n) {
@@ -126,20 +134,60 @@ final class Analyzer(stopwords: Set[String] = Set.empty) extends Serializable {
         // break rule fired) but "__"+ WORD_LETTER (the WB13a chain fired) —
         // probed directly against ICU4J; match it exactly
         if (hasWordChar || i - start >= 2) {
-          val tok = lowerSlice(text, start, i)
-          if (stopLower.isEmpty || !stopLower.contains(tok)) {
-            if (no == out.length) out = java.util.Arrays.copyOf(out, no * 2)
-            out(no) = tok
-            no += 1
-            if (np == poss.length) poss = java.util.Arrays.copyOf(poss, np * 2)
-            poss(np) = pos
-            np += 1
-          }
+          em.emit(text, start, i, pos)
           pos += 1
         }
       } else i += 1
     }
-    (java.util.Arrays.copyOf(out, no), java.util.Arrays.copyOf(poss, np))
+  }
+
+  private[graft] def asciiAnalyzeWithPositions(text: String): (Array[String], Array[Int]) = {
+    val em = new SegmentEmitter {
+      var out = new Array[String](8)
+      var no = 0
+      var poss = new Array[Int](8)
+      var np = 0
+      def emit(text: String, start: Int, end: Int, pos: Int): Unit = {
+        val tok = lowerSlice(text, start, end)
+        if (stopLower.isEmpty || !stopLower.contains(tok)) {
+          if (no == out.length) out = java.util.Arrays.copyOf(out, no * 2)
+          out(no) = tok
+          no += 1
+          if (np == poss.length) poss = java.util.Arrays.copyOf(poss, np * 2)
+          poss(np) = pos
+          np += 1
+        }
+      }
+    }
+    asciiScan(text, em)
+    (java.util.Arrays.copyOf(em.out, em.no), java.util.Arrays.copyOf(em.poss, em.np))
+  }
+
+  /** Indexing hot path: analyze straight to per-task term IDS, allocating
+    * no per-occurrence String on the ASCII path (the dict probes lowercased
+    * slices; see [[TokenDict]]). The sink is reset and refilled; token i is
+    * `(sink.ids(i), sink.poss(i))`, i < sink.n — identical, token for
+    * token, to [[analyzeWithPositions]] (AnalyzerSpec pins it). Non-ASCII
+    * text and non-empty stopword chains take the String path and intern
+    * after the fact — correctness first, the fast path covers the default
+    * chain on the overwhelmingly-ASCII transcript corpus. */
+  def analyzeIdsInto(text: String, dict: TokenDict, sink: TokenSink): Unit = {
+    sink.n = 0
+    if (text == null || text.isEmpty) return
+    var ascii = stopLower.isEmpty
+    var i = 0
+    val n = text.length
+    while (ascii && i < n) { if (text.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) {
+      asciiScan(text, new SegmentEmitter {
+        def emit(text: String, start: Int, end: Int, pos: Int): Unit =
+          sink.add(dict.idOfSlice(text, start, end), pos)
+      })
+    } else {
+      val (toks, poss) = analyzeWithPositions(text)
+      var j = 0
+      while (j < toks.length) { sink.add(dict.idOf(toks(j)), poss(j)); j += 1 }
+    }
   }
 
   /** ASCII-lowercased substring; allocation-minimal when already lowercase. */

@@ -540,24 +540,17 @@ object IndexBuilder {
       .as[(Long, Int, String, String, String)]
       .mapPartitions { it =>
         // Allocation-rate discipline (the postings stage is GC-bound at 16
-        // slots — measured 70s GC / 410s task time before this shape): terms
-        // intern to DENSE PER-TASK INT IDS once (one String->Integer map hit
-        // per occurrence, a new entry only on a task's first sight of a
-        // term), and each segment holds a flat id-indexed PostingsBuf array
-        // — no Tuple2 key, no per-(doc, term) scratch buffer, no per-doc
-        // HashMap: occurrences append incrementally (PostingsBuf.addOcc).
-        val dict = new java.util.HashMap[String, Integer]()
-        val terms = new scala.collection.mutable.ArrayBuffer[String]()
-        def idOf(t: String): Int = {
-          val got = dict.get(t)
-          if (got != null) got.intValue()
-          else {
-            val id = terms.length
-            dict.put(t, Integer.valueOf(id))
-            terms += t
-            id
-          }
-        }
+        // slots — measured 70s GC / 410s task time before this shape, and
+        // still 51s/250s with String-keyed interning): terms intern to
+        // DENSE PER-TASK INT IDS via slice probes that allocate NO String
+        // per occurrence (TokenDict — each distinct term materializes once
+        // per task), and each segment holds a flat id-indexed PostingsBuf
+        // array — no Tuple2 key, no per-(doc, term) scratch buffer, no
+        // per-doc HashMap, no per-token String: occurrences append
+        // incrementally (PostingsBuf.addOcc).
+        val dict = new graft.analysis.TokenDict()
+        val sink = new graft.analysis.TokenSink()
+        def idOf(t: String): Int = dict.idOf(t)
         // per-segment id-indexed buffers; tasks see one segment in practice
         // (one task per segment-aligned docs file), so the outer map is hit
         // through a single-entry cache
@@ -591,8 +584,8 @@ object IndexBuilder {
           }
         }
         it.foreach { case (docId, seg, text, role, tool) =>
-          val (toks, tposs) = analyzer.analyzeWithPositions(text)
-          val dl = toks.length
+          analyzer.analyzeIdsInto(text, dict, sink)
+          val dl = sink.n
           val norm = SmallFloat.intToByte4(dl)
           val lenBuf = buf(seg, lenId)
           lenBuf.isLenRow = true
@@ -605,8 +598,8 @@ object IndexBuilder {
           if (tool != null && tool.nonEmpty)
             buf(seg, fieldId(toolIds, "tool", tool)).add(docId, 1, one)
           var i = 0
-          while (i < toks.length) {
-            buf(seg, idOf(toks(i))).addOcc(docId, norm, tposs(i))
+          while (i < sink.n) {
+            buf(seg, sink.ids(i)).addOcc(docId, norm, sink.poss(i))
             i += 1
           }
         }
@@ -631,7 +624,7 @@ object IndexBuilder {
           }
           ks.toArray
         }
-        java.util.Arrays.sort(keys, Ordering.by((k: (Int, Int)) => (terms(k._2), k._1)))
+        java.util.Arrays.sort(keys, Ordering.by((k: (Int, Int)) => (dict.term(k._2), k._1)))
         new Iterator[PostingRow] {
           var i = 0
           def hasNext = i < keys.length
@@ -641,7 +634,7 @@ object IndexBuilder {
             val arr = segBufs.get(seg)
             val b = arr.get(id)
             arr.set(id, null)
-            PostingsAggregator.finish(b).withKey(seg, terms(id))
+            PostingsAggregator.finish(b).withKey(seg, dict.term(id))
           }
         }
       }

@@ -89,6 +89,52 @@ class AnalyzerSpec extends AnyFunSuite {
     }
     assert(ascii > texts.length / 2, "corpus sample unexpectedly non-ASCII")
   }
+
+  /** The id path (TokenDict slice probes, no per-occurrence String) must be
+    * token-for-token identical to the String path — terms AND positions —
+    * and one id must mean one term across an entire task's stream. */
+  private def assertIdPathAgrees(an: Analyzer, dict: graft.analysis.TokenDict,
+      sink: graft.analysis.TokenSink, text: String): Unit = {
+    val (toks, poss) = an.analyzeWithPositions(text)
+    an.analyzeIdsInto(text, dict, sink)
+    assert(sink.n == toks.length, s"count mismatch on <$text>")
+    for (i <- 0 until sink.n) {
+      assert(dict.term(sink.ids(i)) == toks(i),
+        s"term $i mismatch on <$text>: ${dict.term(sink.ids(i))} vs ${toks(i)}")
+      assert(sink.poss(i) == poss(i), s"pos $i mismatch on <$text>")
+    }
+  }
+
+  test("id path == String path on corpus texts, edge cases, and fuzz") {
+    val dict = new graft.analysis.TokenDict()
+    val sink = new graft.analysis.TokenSink()
+    // curated edges incl. case folding, non-ASCII (ICU fallback), empties
+    Seq("", "a", "CamelCase MIXED lower", "x86_64 v2.0 don't 1,234",
+      "café résumé data", "data CAFÉ Data DATA",
+      "日本語 text mix", "__ _a 3.14:q")
+      .foreach(assertIdPathAgrees(a, dict, sink, _))
+    // one id per distinct term even across the ASCII/ICU path boundary:
+    // "data" arrived via slice probe above AND via the ICU fallback line
+    a.analyzeIdsInto("data", dict, sink)
+    val idAscii = sink.ids(0)
+    a.analyzeIdsInto("data café", dict, sink)
+    assert(sink.ids(0) == idAscii, "cross-path id split for one term")
+    // corpus + punctuation fuzz through ONE shared dict (interning stays
+    // consistent as the table grows and rehashes)
+    (0L until 200L).iterator.flatMap(graft.index.TranscriptGen.turnsFor(_))
+      .foreach(t => assertIdPathAgrees(a, dict, sink, t.text))
+    val chars = "abcXYZ019_.,:;'\"-+*/\\ ()\té".toCharArray
+    val rnd = new scala.util.Random(20260820)
+    for (_ <- 1 to 4000) {
+      val len = rnd.nextInt(40)
+      val s = new String(Array.fill(len)(chars(rnd.nextInt(chars.length))))
+      assertIdPathAgrees(a, dict, sink, s)
+    }
+    // non-empty stopword chain takes the fallback path with positions intact
+    val stop = new Analyzer(Set("the", "and"))
+    Seq("The quick AND the dead", "the.and data THE")
+      .foreach(assertIdPathAgrees(stop, dict, sink, _))
+  }
 }
 
 class QueryParserSpec extends AnyFunSuite {
