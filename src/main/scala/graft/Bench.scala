@@ -169,11 +169,24 @@ object Bench {
     * time (measured: identical 16-core builds 21s with a fixed pre-touched
     * 8g Parallel heap vs 105-172s with a lazy 24g G1 heap). Small fixed
     * heaps are also what the flat-positions posting build actually needs. */
-  private def childBuild(turnsPath: String, cores: Int): Option[Double] = {
+  /** Total task slots of a ScalingProbe spec ("16" or "lc4x4"). */
+  private def specSlots(spec: String): Int = spec match {
+    case s if s.startsWith("lc") =>
+      val Array(n, c) = s.stripPrefix("lc").split("x"); n.toInt * c.toInt
+    case s => s.toInt
+  }
+
+  private def childBuild(turnsPath: String, spec: String): Option[Double] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val lc = spec.startsWith("lc")
+    val slots = specSlots(spec)
+    // lc specs pin one extra core: the child JVM is only the cluster
+    // DRIVER there (executors are separate pinned-by-inheritance JVMs
+    // with their own fixed pre-touched heaps, ScalingProbe.session)
+    val pinCores = if (lc) slots + 1 else slots
     val pin =
       if (new java.io.File("/usr/bin/taskset").exists())
-        Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
+        Seq("/usr/bin/taskset", "-c", s"0-${pinCores - 1}")
       else Seq.empty
     // 768 MiB/core (was 512): ParallelGC stop-the-world idles ALL slots, so
     // collection frequency hurts quadratically with cores — measured at 16c
@@ -181,17 +194,26 @@ object Bench {
     // 4c side neutral (140-144s at both). Still fixed + pre-touched; per-
     // core memory stays constant across levels (the honest N -> 4N shape),
     // and far below the 16 GiB lazy-page pathology (BASELINE.md §6.2).
-    val heapMb = (768 * cores).max(2048)
+    // lc children hold no task heaps — driver-sized only.
+    val heapMb = if (lc) 2048 else (768 * slots).max(2048)
     val cmd = (pin ++ Seq(javaBin, s"-Xms${heapMb}m", s"-Xmx${heapMb}m",
       "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
-      "graft.ops.ScalingProbe", turnsPath, cores.toString)).toArray
+      "graft.ops.ScalingProbe", turnsPath, spec)).toArray
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_PROBE_REPS", "1")
     pb.environment().put("SPARK_GRAFT_PROBE_DIR", workDir("probe"))
     pb.environment().put("GRAFT_SLIM_HADOOP_CONF", "1")
     pb.environment().put("GRAFT_LOCAL_DIR", workDir("spark-local"))
+    if (lc) {
+      // local-cluster launches real executor processes through the
+      // standalone Worker: it needs SPARK_HOME's launch scripts and an
+      // explicit scala version (no build dirs in a release layout)
+      pb.environment().put("SPARK_HOME",
+        sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+      pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    }
     pb.redirectErrorStream(true)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes())
@@ -365,7 +387,7 @@ object Bench {
                 Thread.sleep(20000) // storm: cool off, retry this level
               } else {
                 built = true // one build per round per level
-                val t = childBuild(scalePath, lvl)
+                val t = childBuild(scalePath, lvl.toString)
                 // post-build gate: a storm that STARTS mid-build passes the
                 // pre-gate but inflates the measurement — discard the rep if
                 // the host is degraded right after it finishes. 2s settle
@@ -395,7 +417,7 @@ object Bench {
       levels.foreach { lvl =>
         if (good(lvl).isEmpty) {
           gated = 0.0
-          childBuild(scalePath, lvl).foreach { x =>
+          childBuild(scalePath, lvl.toString).foreach { x =>
             good(lvl) += ((x, lastCpuSec))
             repDetail += s"""{"phase":"scale","lvl":$lvl,"wall_sec":${jnum(x)},"cpu_sec":${jnum(lastCpuSec)},"verdict":"ungated_fallback"}"""
           }
@@ -433,6 +455,59 @@ object Bench {
       results("host_mem_best") = mems.max
       results("host_mem_last") = mems.last
       results("host_mem_baseline") = memRef
+    }
+
+    // ---- executor-shape scaling (the north rule's literal N vs 4N) ------
+    //
+    // local-cluster[1,4] vs local-cluster[4,4]: REAL separate executor
+    // JVMs behind a standalone Worker — the rule's own shape ("multi-
+    // executor cluster at N and 4N executors"), complementing the
+    // local[4]/local[16] thread pair above. Identical engine code path;
+    // the thread pair stays the headline because the lc shape adds
+    // per-executor JVM launch/JIT noise the rule's steady-state cluster
+    // would amortize. One calibration-gated same-window pair; a failed
+    // launch (no usable SPARK_HOME) reports a detail row, never fails
+    // the bench.
+    if (doScaling && sys.env.getOrElse("SPARK_GRAFT_BENCH_EXEC_SHAPE", "1") == "1") {
+      val shapeLevels = sys.env.getOrElse("SPARK_GRAFT_EXEC_SHAPE_LEVELS", "lc1x4,lc4x4")
+        .split(",").map(_.trim).toSeq
+      var pair = Map.empty[String, (Double, Double)]
+      var attempts = 0
+      var launcherBroken = false
+      while (pair.isEmpty && attempts < 3 && !launcherBroken) {
+        attempts += 1
+        val thisRound = scala.collection.mutable.Map.empty[String, (Double, Double)]
+        var healthy = true
+        shapeLevels.foreach { spec =>
+          if (healthy && !launcherBroken) {
+            val (cal, calM) = calPoint()
+            if (!calHealthy(cal, calM)) {
+              repDetail += (f"""{"phase":"exec_shape","lvl":"$spec","pre_cal":$cal%.0f,""" +
+                f""""pre_mem":$calM%.0f,"verdict":"gated_pre"}""")
+              healthy = false
+              Thread.sleep(15000) // storm: cool off, retry the pair
+            } else childBuild(scalePath, spec) match {
+              case Some(t) =>
+                thisRound(spec) = (t, lastCpuSec)
+                repDetail += (f"""{"phase":"exec_shape","lvl":"$spec","wall_sec":${jnum(t)},""" +
+                  f""""cpu_sec":${jnum(lastCpuSec)},"pre_cal":$cal%.0f,"pre_mem":$calM%.0f,""" +
+                  """"verdict":"accepted"}""")
+              case None =>
+                repDetail += s"""{"phase":"exec_shape","lvl":"$spec","verdict":"launch_failed"}"""
+                launcherBroken = true
+            }
+          }
+        }
+        if (healthy && thisRound.size == shapeLevels.size) pair = thisRound.toMap
+      }
+      if (pair.size == shapeLevels.size && shapeLevels.size == 2) {
+        val (tN, cN) = pair(shapeLevels.head)
+        val (t4, c4) = pair(shapeLevels.last)
+        val factor = specSlots(shapeLevels.last).toDouble / specSlots(shapeLevels.head)
+        shapeLevels.foreach { s => results(s"index_build_${s}_sec") = pair(s)._1 }
+        results("scaling_efficiency_exec") = (tN / t4) / factor
+        results("scaling_exec_cpu_ratio") = c4 / cN
+      }
     }
 
     // ---- query latency over a dedicated index ---------------------------
@@ -598,6 +673,8 @@ object Bench {
       "index_build_4c_sec", "index_build_16c_sec",
       "index_turns_per_sec_4c", "index_turns_per_sec_16c",
       "scaling_efficiency", "index_turns", "scaling_gated",
+      "index_build_lc1x4_sec", "index_build_lc4x4_sec",
+      "scaling_efficiency_exec", "scaling_exec_cpu_ratio",
       "query_p50_ms", "query_p95_ms", "query_p95_steady_ms",
       "query_mean_ms", "query_gated",
       "sweep_ops", "sweep_max_sec", "sweep_over_2s", "sweep_total_sec",

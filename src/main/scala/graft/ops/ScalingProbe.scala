@@ -55,9 +55,16 @@ object ScalingProbe {
     sys.env.get("GRAFT_EXTRA_CONF").foreach(_.split(',').filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
     if (master.startsWith("local-cluster")) {
-      val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      // executor classpath: the parent JVM's own classpath (cwd-independent
+      // — a relative "target/scala-2.13/classes" breaks when the launcher
+      // runs from another directory); spark jars ride along via SPARK_HOME
+      val classes = System.getProperty("java.class.path")
       val lc(_, c) = spec: @unchecked
-      val execMb = 512 * c.toInt // per-core heap, matching the local[] bench
+      val execMb = 768 * c.toInt // per-core heap, matching Bench.childBuild
+      // (512/core measured GC-bound in the postings stage: 118s GC / 734
+      // task-s at 4x4 — each task's live PostingsBuf segment plus parquet
+      // write buffers no longer average out across a big shared pool the
+      // way they do in the single-JVM bench children)
       b.config("spark.executor.extraClassPath", classes)
         .config("spark.executor.memory", s"${execMb}m")
         // fixed pre-touched ParallelGC heap per executor, matching the
