@@ -169,21 +169,29 @@ object Bench {
     * time (measured: identical 16-core builds 21s with a fixed pre-touched
     * 8g Parallel heap vs 105-172s with a lazy 24g G1 heap). Small fixed
     * heaps are also what the flat-positions posting build actually needs. */
-  /** Total task slots of a ScalingProbe spec ("16" or "lc4x4"). */
-  private def specSlots(spec: String): Int = spec match {
-    case s if s.startsWith("lc") =>
-      val Array(n, c) = s.stripPrefix("lc").split("x"); n.toInt * c.toInt
-    case s => s.toInt
+  /** Total task slots of a ScalingProbe spec ("16" or "lc4x4"); None for a
+    * malformed spec — a config typo must degrade to a skipped phase, not a
+    * MatchError that kills the whole bench. */
+  private def specSlots(spec: String): Option[Int] = {
+    val lc = "lc(\\d+)x(\\d+)".r
+    spec match {
+      case lc(n, c) => Some(n.toInt * c.toInt)
+      case s => s.toIntOption
+    }
   }
 
   private def childBuild(turnsPath: String, spec: String): Option[Double] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val lc = spec.startsWith("lc")
-    val slots = specSlots(spec)
-    // lc specs pin one extra core: the child JVM is only the cluster
-    // DRIVER there (executors are separate pinned-by-inheritance JVMs
-    // with their own fixed pre-touched heaps, ScalingProbe.session)
-    val pinCores = if (lc) slots + 1 else slots
+    val slots = specSlots(spec).getOrElse(return None)
+    // lc specs pin one extra core when the host has one: the child JVM is
+    // only the cluster DRIVER there (executors are separate pinned-by-
+    // inheritance JVMs with their own fixed pre-touched heaps,
+    // ScalingProbe.session); on a host with exactly `slots` CPUs the
+    // driver shares instead — a slight tax beats never running
+    val pinCores =
+      if (lc) math.min(slots + 1, Runtime.getRuntime.availableProcessors())
+      else slots
     val pin =
       if (new java.io.File("/usr/bin/taskset").exists())
         Seq("/usr/bin/taskset", "-c", s"0-${pinCores - 1}")
@@ -235,14 +243,19 @@ object Bench {
   private def memBaselineFile = new java.io.File(s"${workDir("")}/mem_baseline.txt")
 
   /** Committed calibration floor: "alu mem" best-ever counts (see the
-    * band_vs_floor_* report fields). None if absent/unparseable. */
+    * band_vs_floor_* report fields). Resolved cwd-relative first (any
+    * checkout), then the canonical sandbox path; None if absent or
+    * unparseable — report-only, never load-bearing. */
   private def calFloor: Option[(Double, Double)] =
-    try {
-      val parts = java.nio.file.Files
-        .readString(java.nio.file.Paths.get("/root/repo/scripts/cal_floor.txt"))
-        .trim.split("\\s+")
-      if (parts.length >= 2) Some((parts(0).toDouble, parts(1).toDouble)) else None
-    } catch { case _: Throwable => None }
+    Seq("scripts/cal_floor.txt", "/root/repo/scripts/cal_floor.txt").iterator
+      .flatMap { p =>
+        try {
+          val parts = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+            .trim.split("\\s+")
+          if (parts.length >= 2) Some((parts(0).toDouble, parts(1).toDouble))
+          else None
+        } catch { case _: Throwable => None }
+      }.nextOption()
 
   private def loadBaseline(f: java.io.File): Double =
     try java.nio.file.Files.readString(f.toPath).trim.toDouble
@@ -471,42 +484,61 @@ object Bench {
     if (doScaling && sys.env.getOrElse("SPARK_GRAFT_BENCH_EXEC_SHAPE", "1") == "1") {
       val shapeLevels = sys.env.getOrElse("SPARK_GRAFT_EXEC_SHAPE_LEVELS", "lc1x4,lc4x4")
         .split(",").map(_.trim).toSeq
-      var pair = Map.empty[String, (Double, Double)]
-      var attempts = 0
-      var launcherBroken = false
-      while (pair.isEmpty && attempts < 3 && !launcherBroken) {
-        attempts += 1
-        val thisRound = scala.collection.mutable.Map.empty[String, (Double, Double)]
-        var healthy = true
-        shapeLevels.foreach { spec =>
-          if (healthy && !launcherBroken) {
-            val (cal, calM) = calPoint()
-            if (!calHealthy(cal, calM)) {
-              repDetail += (f"""{"phase":"exec_shape","lvl":"$spec","pre_cal":$cal%.0f,""" +
-                f""""pre_mem":$calM%.0f,"verdict":"gated_pre"}""")
-              healthy = false
-              Thread.sleep(15000) // storm: cool off, retry the pair
-            } else childBuild(scalePath, spec) match {
-              case Some(t) =>
-                thisRound(spec) = (t, lastCpuSec)
-                repDetail += (f"""{"phase":"exec_shape","lvl":"$spec","wall_sec":${jnum(t)},""" +
-                  f""""cpu_sec":${jnum(lastCpuSec)},"pre_cal":$cal%.0f,"pre_mem":$calM%.0f,""" +
-                  """"verdict":"accepted"}""")
-              case None =>
-                repDetail += s"""{"phase":"exec_shape","lvl":"$spec","verdict":"launch_failed"}"""
-                launcherBroken = true
+      if (shapeLevels.size != 2 || shapeLevels.exists(specSlots(_).isEmpty)) {
+        repDetail += s"""{"phase":"exec_shape","verdict":"bad_spec"}"""
+      } else {
+        var pair = Map.empty[String, (Double, Double)]
+        var attempts = 0
+        while (pair.isEmpty && attempts < 3) {
+          attempts += 1
+          val thisRound = scala.collection.mutable.Map.empty[String, (Double, Double)]
+          var healthy = true
+          shapeLevels.foreach { spec =>
+            if (healthy) {
+              val (cal, calM) = calPoint()
+              if (!calHealthy(cal, calM)) {
+                repDetail += (f"""{"phase":"exec_shape","lvl":"$spec","pre_cal":$cal%.0f,""" +
+                  f""""pre_mem":$calM%.0f,"verdict":"gated_pre"}""")
+                healthy = false
+                Thread.sleep(15000) // storm: cool off, retry the pair
+              } else childBuild(scalePath, spec) match {
+                case Some(t) =>
+                  // post-build gate, same reason as the thread-pair phase:
+                  // a storm STARTING mid-build passes the pre-gate but
+                  // inflates the rep (2s settle for the tmpfs flush tail)
+                  Thread.sleep(2000)
+                  val (post, postM) = calPoint()
+                  if (!calHealthy(post, postM)) {
+                    repDetail += (f"""{"phase":"exec_shape","lvl":"$spec","wall_sec":${jnum(t)},""" +
+                      f""""cpu_sec":${jnum(lastCpuSec)},"post_cal":$post%.0f,""" +
+                      f""""post_mem":$postM%.0f,"verdict":"gated_post"}""")
+                    healthy = false
+                  } else {
+                    thisRound(spec) = (t, lastCpuSec)
+                    repDetail += (f"""{"phase":"exec_shape","lvl":"$spec","wall_sec":${jnum(t)},""" +
+                      f""""cpu_sec":${jnum(lastCpuSec)},"pre_cal":$cal%.0f,"pre_mem":$calM%.0f,""" +
+                      f""""post_cal":$post%.0f,"post_mem":$postM%.0f,"verdict":"accepted"}""")
+                  }
+                case None =>
+                  // transient child death and a broken launcher look alike
+                  // from here; the attempt cap bounds the cost of retrying
+                  // either, and misattribution would end the phase forever
+                  repDetail += s"""{"phase":"exec_shape","lvl":"$spec","verdict":"child_failed"}"""
+                  healthy = false
+              }
             }
           }
+          if (healthy && thisRound.size == shapeLevels.size) pair = thisRound.toMap
         }
-        if (healthy && thisRound.size == shapeLevels.size) pair = thisRound.toMap
-      }
-      if (pair.size == shapeLevels.size && shapeLevels.size == 2) {
-        val (tN, cN) = pair(shapeLevels.head)
-        val (t4, c4) = pair(shapeLevels.last)
-        val factor = specSlots(shapeLevels.last).toDouble / specSlots(shapeLevels.head)
-        shapeLevels.foreach { s => results(s"index_build_${s}_sec") = pair(s)._1 }
-        results("scaling_efficiency_exec") = (tN / t4) / factor
-        results("scaling_exec_cpu_ratio") = c4 / cN
+        if (pair.size == 2) {
+          val (tN, cN) = pair(shapeLevels.head)
+          val (t4, c4) = pair(shapeLevels.last)
+          val factor = specSlots(shapeLevels.last).get.toDouble /
+            specSlots(shapeLevels.head).get
+          shapeLevels.foreach { s => results(s"index_build_${s}_sec") = pair(s)._1 }
+          results("scaling_efficiency_exec") = (tN / t4) / factor
+          results("scaling_exec_cpu_ratio") = c4 / cN
+        }
       }
     }
 

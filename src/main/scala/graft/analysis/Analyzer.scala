@@ -163,6 +163,16 @@ final class Analyzer(stopwords: Set[String] = Set.empty) extends Serializable {
     (java.util.Arrays.copyOf(em.out, em.no), java.util.Arrays.copyOf(em.poss, em.np))
   }
 
+  /** Reusable id-path emitter: construct ONE per task next to its
+    * TokenDict/TokenSink (a fresh closure per document would put one
+    * allocation per row back into the loop this path exists to
+    * de-allocate). */
+  final class IdEmitter(val dict: TokenDict, val sink: TokenSink)
+      extends SegmentEmitter {
+    def emit(text: String, start: Int, end: Int, pos: Int): Unit =
+      sink.add(dict.idOfSlice(text, start, end), pos)
+  }
+
   /** Indexing hot path: analyze straight to per-task term IDS, allocating
     * no per-occurrence String on the ASCII path (the dict probes lowercased
     * slices; see [[TokenDict]]). The sink is reset and refilled; token i is
@@ -171,22 +181,18 @@ final class Analyzer(stopwords: Set[String] = Set.empty) extends Serializable {
     * text and non-empty stopword chains take the String path and intern
     * after the fact — correctness first, the fast path covers the default
     * chain on the overwhelmingly-ASCII transcript corpus. */
-  def analyzeIdsInto(text: String, dict: TokenDict, sink: TokenSink): Unit = {
-    sink.n = 0
+  def analyzeIdsInto(text: String, em: IdEmitter): Unit = {
+    em.sink.n = 0
     if (text == null || text.isEmpty) return
     var ascii = stopLower.isEmpty
     var i = 0
     val n = text.length
     while (ascii && i < n) { if (text.charAt(i) >= 0x80) ascii = false; i += 1 }
-    if (ascii) {
-      asciiScan(text, new SegmentEmitter {
-        def emit(text: String, start: Int, end: Int, pos: Int): Unit =
-          sink.add(dict.idOfSlice(text, start, end), pos)
-      })
-    } else {
+    if (ascii) asciiScan(text, em)
+    else {
       val (toks, poss) = analyzeWithPositions(text)
       var j = 0
-      while (j < toks.length) { sink.add(dict.idOf(toks(j)), poss(j)); j += 1 }
+      while (j < toks.length) { em.sink.add(em.dict.idOf(toks(j)), poss(j)); j += 1 }
     }
   }
 

@@ -550,6 +550,7 @@ object IndexBuilder {
         // incrementally (PostingsBuf.addOcc).
         val dict = new graft.analysis.TokenDict()
         val sink = new graft.analysis.TokenSink()
+        val emitter = new analyzer.IdEmitter(dict, sink)
         def idOf(t: String): Int = dict.idOf(t)
         // per-segment id-indexed buffers; tasks see one segment in practice
         // (one task per segment-aligned docs file), so the outer map is hit
@@ -584,7 +585,7 @@ object IndexBuilder {
           }
         }
         it.foreach { case (docId, seg, text, role, tool) =>
-          analyzer.analyzeIdsInto(text, dict, sink)
+          analyzer.analyzeIdsInto(text, emitter)
           val dl = sink.n
           val norm = SmallFloat.intToByte4(dl)
           val lenBuf = buf(seg, lenId)

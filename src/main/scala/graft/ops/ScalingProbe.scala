@@ -14,7 +14,12 @@ object ScalingProbe {
   def session(spec: String): (SparkSession, Int) = {
     val lc = "lc(\\d+)x(\\d+)".r
     val (master, slots) = spec match {
-      case lc(n, c) => (s"local-cluster[$n,$c,4096]", n.toInt * c.toInt)
+      case lc(n, c) =>
+        // worker memory must cover the executor request below (768/core +
+        // headroom) — a hardcoded 4096 deadlocks any c >= 6 spec: the
+        // standalone Master simply never schedules an executor it can't fit
+        val workerMb = 768 * c.toInt + 512
+        (s"local-cluster[$n,$c,$workerMb]", n.toInt * c.toInt)
       case n => (s"local[$n]", n.toInt)
     }
     val b = SparkSession.builder()

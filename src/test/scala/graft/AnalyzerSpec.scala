@@ -96,7 +96,7 @@ class AnalyzerSpec extends AnyFunSuite {
   private def assertIdPathAgrees(an: Analyzer, dict: graft.analysis.TokenDict,
       sink: graft.analysis.TokenSink, text: String): Unit = {
     val (toks, poss) = an.analyzeWithPositions(text)
-    an.analyzeIdsInto(text, dict, sink)
+    an.analyzeIdsInto(text, new an.IdEmitter(dict, sink))
     assert(sink.n == toks.length, s"count mismatch on <$text>")
     for (i <- 0 until sink.n) {
       assert(dict.term(sink.ids(i)) == toks(i),
@@ -115,9 +115,10 @@ class AnalyzerSpec extends AnyFunSuite {
       .foreach(assertIdPathAgrees(a, dict, sink, _))
     // one id per distinct term even across the ASCII/ICU path boundary:
     // "data" arrived via slice probe above AND via the ICU fallback line
-    a.analyzeIdsInto("data", dict, sink)
+    val em = new a.IdEmitter(dict, sink)
+    a.analyzeIdsInto("data", em)
     val idAscii = sink.ids(0)
-    a.analyzeIdsInto("data café", dict, sink)
+    a.analyzeIdsInto("data café", em)
     assert(sink.ids(0) == idAscii, "cross-path id split for one term")
     // corpus + punctuation fuzz through ONE shared dict (interning stays
     // consistent as the table grows and rehashes)
