@@ -848,6 +848,99 @@ object TextOps {
           .limit(100)
       }),
 
+    Op("text_repetition_score",
+      "intra-document repetition quality signals, the Gopher-style " +
+        "repetition filters (Rae et al. 2021, app. A1: documents with a " +
+        "high fraction of duplicate n-grams or one dominant token are " +
+        "boilerplate/spam): per doc, the duplicate word-3-gram fraction " +
+        "(1 - distinct/total) and the most-frequent-token share, plus a " +
+        "keep/drop rendering of the thresholds. Plan is explode + two " +
+        "per-doc hash aggregations joined on doc_id — token-linear, no " +
+        "row-wise O(len^2) HOF, so a 100TB corpus pays two narrow " +
+        "shuffles on doc_id",
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |tf AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+             |tok AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(max(c) AS BIGINT) AS max_tf FROM tf GROUP BY doc_id),
+             |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |        WHERE len(string_split(text, ' ')) >= 3),
+             |    unnest(generate_series(1, len(w) - 2)) AS t(i)),
+             |g3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n3,
+             |    CAST(count(DISTINCT s) AS BIGINT) AS n3d FROM g GROUP BY doc_id)
+             |SELECT tok.doc_id, tok.n_tokens,
+             |  round(CAST(g3.n3 - g3.n3d AS DOUBLE) / g3.n3, 6) AS dup_3gram_frac,
+             |  round(CAST(tok.max_tf AS DOUBLE) / tok.n_tokens, 6) AS top_token_frac,
+             |  CASE WHEN CAST(g3.n3 - g3.n3d AS DOUBLE) / g3.n3 > 0.18
+             |         OR CAST(tok.max_tf AS DOUBLE) / tok.n_tokens > 0.3
+             |    THEN 'drop' ELSE 'keep' END AS verdict
+             |FROM tok JOIN g3 ON tok.doc_id = g3.doc_id
+             |ORDER BY tok.doc_id LIMIT 100""".stripMargin),
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .where(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val tok = base
+          .select(col("doc_id"), explode(col("ws")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_tf"))
+        val g3 = base
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws) - 3), " +
+              "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("s"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n3"), countDistinct(col("s")).as("n3d"))
+        val dup = (col("n3") - col("n3d")).cast("double") / col("n3")
+        val topf = col("max_tf").cast("double") / col("n_tokens")
+        tok.join(g3, "doc_id")
+          .select(col("doc_id"), col("n_tokens"),
+            round(dup, 6).as("dup_3gram_frac"),
+            round(topf, 6).as("top_token_frac"),
+            when(dup > 0.18 || topf > 0.3, "drop").otherwise("keep").as("verdict"))
+          .orderBy(col("doc_id"))
+          .limit(100)
+      }),
+
+    Op("text_pii_redact",
+      "PII scrubbing: regex-redact emails and phone-shaped numbers, " +
+        "emitting redaction counts + the scrubbed text — the standard " +
+        "pre-training hygiene pass next to dedup/decontamination. The " +
+        "synthetic corpus carries no PII, so the op first AUGMENTS each " +
+        "doc with deterministic doc_id-derived contact strings (both " +
+        "sides identically), then redacts; patterns stay in the " +
+        "character-class subset where Java regex and RE2 agree. A pure " +
+        "projection — scan-shaped at any corpus size",
+      Some("""WITH aug AS (SELECT doc_id,
+             |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             |    '@mail.example.org or 555-' ||
+             |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t2, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+             |  substring(regexp_replace(regexp_replace(t2,
+             |    '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+             |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), 1, 80) AS redacted_head
+             |FROM aug ORDER BY doc_id LIMIT 100""".stripMargin),
+      (s, dir) => {
+        val emailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+        val phoneRe = "[0-9]{3}-[0-9]{4}"
+        val t2 = concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.org or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), t2.as("t2"))
+          .select(col("doc_id"),
+            size(expr(s"regexp_extract_all(t2, '$emailRe', 0)")).as("n_emails"),
+            size(expr(s"regexp_extract_all(t2, '$phoneRe', 0)")).as("n_phones"),
+            substring(regexp_replace(regexp_replace(col("t2"),
+              emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), 1, 80).as("redacted_head"))
+          .orderBy(col("doc_id"))
+          .limit(100)
+      }),
+
     Op("text_multimodal_stub",
       "multimodal plumbing: opaque binary payload column + deterministic " +
         "fake decode (real schema/partitioning/batching; decode itself is a " +
