@@ -43,16 +43,20 @@ object ParserOps {
              |WHERE w IN (SELECT w FROM kept)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, dir) => {
-        import s.implicits._
         val qterms = Seq("data", "dup", "join", "scan")
         val toks = t(s, dir, "documents")
           .where(length(col("text")) > 0)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        val nd = toks.select(countDistinct(col("doc_id"))).as[Long].head()
-        val kept = toks.where(col("w").isin(qterms: _*))
-          .groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
-          .where(col("df") <= 0.6 * nd)
-          .select($"w").as[String].collect().toSeq // <= |query terms| rows
+        // ONE stats pass: corpus doc count + every query term's df as
+        // conditional distinct aggregates (three separate actions here
+        // would each re-scan and re-explode the corpus)
+        val aggs = countDistinct(col("doc_id")).as("nd") +:
+          qterms.map(q => countDistinct(when(col("w") === q, col("doc_id"))).as(s"df_$q"))
+        val row = toks.agg(aggs.head, aggs.tail: _*).head()
+        val nd = row.getLong(0)
+        val kept = qterms.zipWithIndex
+          .filter { case (_, i) => row.getLong(i + 1) <= 0.6 * nd }
+          .map(_._1)
         toks.where(col("w").isin(kept: _*))
           .groupBy(col("doc_id"))
           .agg(countDistinct(col("w")).as("matched"))

@@ -159,7 +159,10 @@ object SearchOps {
         // equals the oracle's whitespace split.
         val vocab = s.read
           .parquet(s"${FtsOps.index(s, dir, "documents")}/terms")
-          .where(!col("term").contains(":")) // field postings aren't vocabulary
+          // field postings aren't vocabulary — match on the v4 namespace
+          // prefix, NOT on ":": the analyzer legally emits colon-joined
+          // text tokens (UAX#29 MidLetter), which ARE vocabulary
+          .where(!col("term").startsWith(graft.index.IndexBuilder.FieldTermPrefix))
         val dfs = sr.termStats(input) // memoized point reads; absent -> no entry
         // per missing term: a distributed candidate filter + top-1
         // TakeOrdered over the (vocabulary-sized) terms table — bounded by

@@ -78,15 +78,19 @@ object TextOps {
     * for corpus docs sharing >= 5 distinct 3-gram shingles with the
     * benchmark slice (doc_id % 17 = 0). Shared by text_decontaminate and
     * pipeline_clean_corpus so the funnel's stage-3 predicate can never
-    * drift from the standalone op. The benchmark side is small by
-    * construction (eval sets vs a 100 TB corpus) -> broadcast; the corpus
-    * side stays one linear scan + partial agg. */
+    * drift from the standalone op. A REAL benchmark side is small (eval
+    * sets vs a 100 TB corpus) and would auto-broadcast under Spark's
+    * threshold — but this test rendering derives it as a 1/17 SLICE OF THE
+    * CORPUS, which grows linearly with corpus size, so the join carries no
+    * forced broadcast hint: AQE elects broadcast while the slice fits and
+    * falls back to a shuffle join when it doesn't (the same discipline as
+    * resolveFq / the BFS size switch). */
   private def contaminationHits(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleTable(s, dir)
       .select(col("doc_id"), explode(col("sh")).as("g"))
     val bench = sh.where(col("doc_id") % 17 === 0)
       .select(col("doc_id").as("bench_id"), col("g"))
-    sh.join(broadcast(bench), "g")
+    sh.join(bench, "g")
       .where(col("doc_id") =!= col("bench_id"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("overlap"))

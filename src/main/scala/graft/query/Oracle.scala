@@ -50,14 +50,14 @@ object Oracle {
       return spark.emptyDataset[Hit]
     val groupsAlive = parsed.groups
       .map(g => Group(g.terms.filter(t => dfMap.getOrElse(t, 0L) > 0),
-        g.phrases.filter(_.forall(t => dfMap.getOrElse(t, 0L) > 0))))
+        g.phrases.filter(_.terms.forall(t => dfMap.getOrElse(t, 0L) > 0))))
     if (groupsAlive.exists(g => g.terms.isEmpty && g.phrases.isEmpty))
       return spark.emptyDataset[Hit]
     // a conjunction group with any dead member (term or phrase term) can
     // never match — drops out
     val conjAlive = parsed.conjGroups
       .filter(g => g.terms.forall(t => dfMap.getOrElse(t, 0L) > 0) &&
-        g.phrases.forall(_.forall(t => dfMap.getOrElse(t, 0L) > 0)))
+        g.phrases.forall(_.terms.forall(t => dfMap.getOrElse(t, 0L) > 0)))
     val scoringLive = scoring.filter(t => dfMap.getOrElse(t, 0L) > 0)
     if (scoringLive.isEmpty && groupsAlive.isEmpty &&
       phrasesAlive.forall(_.occur == 2) && conjAlive.forall(_.occur == 2))
@@ -136,37 +136,44 @@ object Oracle {
     // MUST-group (grouped disjunction) partials: a doc matches if any live
     // member matches; matching members' scores sum in member order (term
     // members first, then phrase members — the engine's cursor order)
-    val groupPartials = groupsAlive.zipWithIndex.map { case (g, gi) =>
-      val gq = scoringLive.length + phrasesAlive.length + gi
-      val mIdx = g.terms.zipWithIndex.toMap
-      val mIdf = g.terms.map(t => t -> (parsed.boostOf(t) * bm25.idf(n, dfMap(t)))).toMap
+    // shared member-partial frame for grouped clauses: (doc_id, mi, mp)
+    // with mi = member index (terms first, then phrase members — the
+    // engine's cursor order) and mp = the member's BM25 partial; ONE
+    // definition so group and conjunction scoring can never drift
+    val memberSumUdf = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+      val arr = xs.map(r => (r.getInt(0), r.getFloat(1))).sortBy(_._1).map(_._2).toArray
+      bm25.sum(arr)
+    })
+    def memberPartials(terms: Vector[String], phrases: Vector[GroupPhrase]): DataFrame = {
+      val mIdx = terms.zipWithIndex.toMap
+      val mIdf = terms.map(t => t -> (parsed.boostOf(t) * bm25.idf(n, dfMap(t)))).toMap
       val mPartial = udf((term: String, tf: Int, dl: Int) =>
         bm25.score(tf, SmallFloat.intToByte4(dl), mIdf(term), avgdl))
-      val memberSum = udf((xs: Seq[org.apache.spark.sql.Row]) => {
-        val arr = xs.map(r => (r.getInt(0), r.getFloat(1))).sortBy(_._1).map(_._2).toArray
-        bm25.sum(arr)
-      })
       val termM =
-        if (g.terms.isEmpty) None
-        else Some(tf.where($"term".isin(g.terms: _*))
+        if (terms.isEmpty) None
+        else Some(tf.where($"term".isin(terms: _*))
           .join(dl, "doc_id")
           .withColumn("mi", udf((t: String) => mIdx(t)).apply($"term"))
           .withColumn("mp", mPartial($"term", $"tf", $"dl"))
           .select($"doc_id", $"mi", $"mp"))
-      val phraseM = g.phrases.zipWithIndex.map { case (pts, pi) =>
+      val phraseM = phrases.zipWithIndex.map { case (gp, pi) =>
         var idfSum = 0f
-        pts.foreach(t => idfSum += bm25.idf(n, dfMap(t)))
+        gp.terms.foreach(t => idfSum += bm25.idf(n, dfMap(t)))
         val pPartial = udf((freq: Int, dlv: Int) =>
           bm25.score(freq, SmallFloat.intToByte4(dlv), idfSum, avgdl))
-        docs.select($"doc_id", phraseFreqUdf(pts, 0)($"text").as("freq"))
+        docs.select($"doc_id", phraseFreqUdf(gp.terms, gp.slop)($"text").as("freq"))
           .where($"freq" > 0)
           .join(dl, "doc_id")
-          .select($"doc_id", lit(g.terms.length + pi).as("mi"),
+          .select($"doc_id", lit(terms.length + pi).as("mi"),
             pPartial($"freq", $"dl").as("mp"))
       }
-      val allM = (termM.toSeq ++ phraseM).reduce(_ unionByName _)
-      allM.groupBy($"doc_id")
-        .agg(memberSum(collect_list(struct($"mi", $"mp"))).as("partial"))
+      (termM.toSeq ++ phraseM).reduce(_ unionByName _)
+    }
+
+    val groupPartials = groupsAlive.zipWithIndex.map { case (g, gi) =>
+      val gq = scoringLive.length + phrasesAlive.length + gi
+      memberPartials(g.terms, g.phrases).groupBy($"doc_id")
+        .agg(memberSumUdf(collect_list(struct($"mi", $"mp"))).as("partial"))
         .select($"doc_id", lit(gq).as("qpos"), $"partial", lit(1).as("is_must"))
     }
 
@@ -175,35 +182,8 @@ object Oracle {
     // member order: terms first, then phrase members, like the engine)
     val conjPartials = conjAlive.zipWithIndex.filter(_._1.occur == 1).map { case (g, ci) =>
       val cq = scoringLive.length + phrasesAlive.length + groupsAlive.length + ci
-      val mIdx = g.terms.zipWithIndex.toMap
-      val mIdf = g.terms.map(t => t -> (parsed.boostOf(t) * bm25.idf(n, dfMap(t)))).toMap
-      val mPartial = udf((term: String, tf: Int, dl: Int) =>
-        bm25.score(tf, SmallFloat.intToByte4(dl), mIdf(term), avgdl))
-      val memberSum = udf((xs: Seq[org.apache.spark.sql.Row]) => {
-        val arr = xs.map(r => (r.getInt(0), r.getFloat(1))).sortBy(_._1).map(_._2).toArray
-        bm25.sum(arr)
-      })
-      val termM =
-        if (g.terms.isEmpty) None
-        else Some(tf.where($"term".isin(g.terms: _*))
-          .join(dl, "doc_id")
-          .withColumn("mi", udf((t: String) => mIdx(t)).apply($"term"))
-          .withColumn("mp", mPartial($"term", $"tf", $"dl"))
-          .select($"doc_id", $"mi", $"mp"))
-      val phraseM = g.phrases.zipWithIndex.map { case (pts, pi) =>
-        var idfSum = 0f
-        pts.foreach(t => idfSum += bm25.idf(n, dfMap(t)))
-        val pPartial = udf((freq: Int, dlv: Int) =>
-          bm25.score(freq, SmallFloat.intToByte4(dlv), idfSum, avgdl))
-        docs.select($"doc_id", phraseFreqUdf(pts, 0)($"text").as("freq"))
-          .where($"freq" > 0)
-          .join(dl, "doc_id")
-          .select($"doc_id", lit(g.terms.length + pi).as("mi"),
-            pPartial($"freq", $"dl").as("mp"))
-      }
-      (termM.toSeq ++ phraseM).reduce(_ unionByName _)
-        .groupBy($"doc_id")
-        .agg(memberSum(collect_list(struct($"mi", $"mp"))).as("partial"),
+      memberPartials(g.terms, g.phrases).groupBy($"doc_id")
+        .agg(memberSumUdf(collect_list(struct($"mi", $"mp"))).as("partial"),
           countDistinct($"mi").as("nm"))
         .where($"nm" === (g.terms.length + g.phrases.length))
         .select($"doc_id", lit(cq).as("qpos"), $"partial", lit(0).as("is_must"))
@@ -240,9 +220,9 @@ object Oracle {
         else tf.where($"term".isin(g.terms: _*))
           .groupBy($"doc_id").agg(countDistinct($"term").as("nm"))
           .where($"nm" === g.terms.length).select($"doc_id")
-      g.phrases.foreach { pts =>
+      g.phrases.foreach { gp =>
         matched = matched.join(
-          docs.select($"doc_id", phraseFreqUdf(pts, 0)($"text").as("freq"))
+          docs.select($"doc_id", phraseFreqUdf(gp.terms, gp.slop)($"text").as("freq"))
             .where($"freq" > 0).select($"doc_id"),
           Seq("doc_id"), "left_semi")
       }

@@ -37,25 +37,30 @@ import graft.analysis.Analyzer
   * 2 = MUST_NOT. */
 final case class Phrase(terms: Vector[String], occur: Int, slop: Int = 0)
 
+/** A phrase member of a grouped clause — analyzed terms plus slop, so
+  * `+(a "b c"~2)` keeps its proximity semantics inside the group (scored
+  * by the same greedy-chain PhraseCursor as a top-level sloppy phrase). */
+final case class GroupPhrase(terms: Vector[String], slop: Int = 0)
+
 /** A MUST-grouped disjunction `+(a b ...)`: the doc must match at least one
   * member; matching members all contribute score (BooleanQuery nesting —
   * bare and negated groups flatten into should/mustNot instead). Members
-  * may be terms or exact phrases (`+(a "b c")`, and multi-token synonyms
-  * of a MUST term): `phrases` holds each phrase member's analyzed terms,
+  * may be terms or phrases (`+(a "b c")`, `+(a "b c"~2)`, and multi-token
+  * synonyms of a MUST term): `phrases` holds each phrase member,
   * scored after the term members in member order. */
 final case class Group(terms: Vector[String],
-    phrases: Vector[Vector[String]] = Vector.empty)
+    phrases: Vector[GroupPhrase] = Vector.empty)
 
 /** A SHOULD- or MUST_NOT-level conjunction group: `x OR (a AND b)` makes
   * `(a AND b)` one optional clause that matches (and contributes the sum of
   * its members' scores) only when EVERY member matches; `-(a AND b)`
   * excludes exactly the docs matching all members. occur: 1 = SHOULD,
   * 2 = MUST_NOT. (`+(a AND b)` still distributes to `+a +b` — equivalent.)
-  * Members may be exact phrases (`x OR (a AND "b c")`): `phrases` holds
-  * each phrase member's analyzed terms, required and scored after the term
-  * members in member order. */
+  * Members may be phrases (`x OR (a AND "b c")`): `phrases` holds each
+  * phrase member, required and scored after the term members in member
+  * order. */
 final case class ConjGroup(terms: Vector[String], occur: Int,
-    phrases: Vector[Vector[String]] = Vector.empty)
+    phrases: Vector[GroupPhrase] = Vector.empty)
 
 /** A multi-term clause awaiting index-time expansion: kind 0 = prefix
   * (`body*`), kind 1 = fuzzy (`body~maxEdits`), kind 2 = general wildcard
@@ -85,8 +90,8 @@ final case class ParsedQuery(
     conjGroups: Vector[ConjGroup] = Vector.empty) {
   def allTerms: Vector[String] =
     (must ++ should ++ mustNot ++ phrases.flatMap(_.terms) ++
-      groups.flatMap(g => g.terms ++ g.phrases.flatten) ++
-      conjGroups.flatMap(g => g.terms ++ g.phrases.flatten)).distinct
+      groups.flatMap(g => g.terms ++ g.phrases.flatMap(_.terms)) ++
+      conjGroups.flatMap(g => g.terms ++ g.phrases.flatMap(_.terms))).distinct
   def positiveClauses: Int =
     should.length + must.length + groups.length +
       phrases.count(_.occur != 2) + multiTerms.count(_.occur != 2) +
@@ -140,7 +145,7 @@ object QueryParser {
     val (withSyn, without) = p.must.partition(t => synonyms.contains(t))
     val mustGroups = withSyn.map { t =>
       val (single, multi) = expansions(t)
-      Group((t +: single).distinct, multi)
+      Group((t +: single).distinct, multi.map(GroupPhrase(_)))
     }
     p.copy(
       should = shouldFlat,
@@ -319,7 +324,7 @@ object QueryParser {
             else clauseOccur()
           var j = i + 1
           val member = Vector.newBuilder[String]
-          val phraseMembers = Vector.newBuilder[Vector[String]]
+          val phraseMembers = Vector.newBuilder[GroupPhrase]
           var hasAnd = false
           while (j < toks.length && toks(j) != ")") {
             toks(j) match {
@@ -328,13 +333,27 @@ object QueryParser {
               case tok =>
                 val body = stripBoost(tok)._1
                 // a quoted member stays a positional unit: `+(a "b c")`
-                // matches a OR the exact phrase b c (Lucene's nested
-                // phrase-in-boolean); single-token quotes degrade to terms
-                if (body.length > 1 && body.head == '"' && body.last == '"') {
-                  val ts = analyzer.analyze(body.substring(1, body.length - 1)).toVector
-                  if (ts.length > 1) phraseMembers += ts
-                  else ts.foreach(member += _)
-                } else analyzer.analyze(body).foreach(member += _)
+                // matches a OR the exact phrase b c, and `"b c"~2` keeps
+                // its slop (Lucene's nested phrase-in-boolean); a
+                // single-token quote degrades to a term. A malformed
+                // suffix after the closing quote falls back to flat terms
+                val quoted: Option[(String, Int)] =
+                  if (body.length > 1 && body.head == '"') {
+                    val k = body.lastIndexOf('"')
+                    val suffix = if (k > 0) body.substring(k + 1) else "x"
+                    if (k > 0 && suffix.isEmpty) Some((body.substring(1, k), 0))
+                    else if (k > 0 && suffix.length > 1 && suffix.head == '~' &&
+                      suffix.tail.forall(_.isDigit))
+                      Some((body.substring(1, k), suffix.tail.toInt))
+                    else None
+                  } else None
+                quoted match {
+                  case Some((inner, slop)) =>
+                    val ts = analyzer.analyze(inner).toVector
+                    if (ts.length > 1) phraseMembers += GroupPhrase(ts, slop)
+                    else ts.foreach(member += _)
+                  case None => analyzer.analyze(body).foreach(member += _)
+                }
             }
             j += 1
           }
@@ -359,17 +378,17 @@ object QueryParser {
               // phrase members riding inside the group
               case Must =>
                 ms.foreach(m => clauses += Clause(Must, m, phrase = false, 1f))
-                pms.foreach(p => phrases += Phrase(p, occInt(Must)))
+                pms.foreach(p => phrases += Phrase(p.terms, occInt(Must), p.slop))
               case Should => conjGroups += ConjGroup(ms, 1, pms)
               case MustNot => conjGroups += ConjGroup(ms, 2, pms)
             } else occur match {
               case Must => groups += Group(ms, pms) // true nested disjunction
               case Should =>
                 ms.foreach(m => clauses += Clause(Should, m, phrase = false, 1f))
-                pms.foreach(p => phrases += Phrase(p, occInt(Should)))
+                pms.foreach(p => phrases += Phrase(p.terms, occInt(Should), p.slop))
               case MustNot =>
                 ms.foreach(m => clauses += Clause(MustNot, m, phrase = false, 1f))
-                pms.foreach(p => phrases += Phrase(p, occInt(MustNot)))
+                pms.foreach(p => phrases += Phrase(p.terms, occInt(MustNot), p.slop))
             }
           }
           lastEmit = 0

@@ -246,13 +246,13 @@ final class Searcher(
     // term members with df>0, phrase members with every term live
     val groupsAlive = parsed.groups
       .map(g => Group(g.terms.filter(t => dfs.getOrElse(t, 0L) > 0),
-        g.phrases.filter(_.forall(t => dfs.getOrElse(t, 0L) > 0))))
+        g.phrases.filter(_.terms.forall(t => dfs.getOrElse(t, 0L) > 0))))
     if (groupsAlive.exists(g => g.terms.isEmpty && g.phrases.isEmpty)) return None
     // a conjunction group (SHOULD or MUST_NOT) with ANY dead member —
     // term or phrase — can never match; it simply drops out (optional)
     val conjAlive = parsed.conjGroups
       .filter(g => g.terms.forall(t => dfs.getOrElse(t, 0L) > 0) &&
-        g.phrases.forall(_.forall(t => dfs.getOrElse(t, 0L) > 0)))
+        g.phrases.forall(_.terms.forall(t => dfs.getOrElse(t, 0L) > 0)))
     if (must.isEmpty && should.isEmpty && groupsAlive.isEmpty &&
       phrasesAlive.forall(_.occur == 2) && conjAlive.forall(_.occur == 2))
       return None
@@ -271,13 +271,13 @@ final class Searcher(
       phrasesAlive.zipWithIndex.map { case (p, i) =>
         (p.terms, p.occur, scoring.length + i, p.slop)
       }
-    val groupMeta: Vector[(Vector[String], Vector[Vector[String]], Int)] =
+    val groupMeta: Vector[(Vector[String], Vector[GroupPhrase], Int)] =
       groupsAlive.zipWithIndex.map { case (g, i) =>
         (g.terms, g.phrases, scoring.length + phrasesAlive.length + i)
       }
     // (conj terms, phrase members, occur 1|2, queryPos) — after the MUST
     // groups in order
-    val conjMeta: Vector[(Vector[String], Vector[Vector[String]], Int, Int)] =
+    val conjMeta: Vector[(Vector[String], Vector[GroupPhrase], Int, Int)] =
       conjAlive.zipWithIndex.map { case (g, i) =>
         (g.terms, g.phrases, g.occur,
           scoring.length + phrasesAlive.length + groupsAlive.length + i)
@@ -339,8 +339,8 @@ final class Searcher(
         fmap, hasFilter, conjMeta))
 
     val queried = (meta.keys ++ phraseMeta.flatMap(_._1) ++
-      groupMeta.flatMap(g => g._1 ++ g._2.flatten) ++
-      conjMeta.flatMap(g => g._1 ++ g._2.flatten)).toSeq.distinct
+      groupMeta.flatMap(g => g._1 ++ g._2.flatMap(_.terms)) ++
+      conjMeta.flatMap(g => g._1 ++ g._2.flatMap(_.terms))).toSeq.distinct
     // the norms sidecar rides along as the term=="" rows: one filtered scan
     // carries everything a segment needs to score itself
     val rows = postings
@@ -763,13 +763,13 @@ object Searcher {
   final case class QueryMeta(
       meta: Map[String, (Int, Int)], // term -> (queryPos, occur 0=must 1=should 2=not)
       phraseMeta: Vector[(Vector[String], Int, Int, Int)], // (terms, occur, queryPos, slop)
-      groupMeta: Vector[(Vector[String], Vector[Vector[String]], Int)], // (terms, phrase members, queryPos)
+      groupMeta: Vector[(Vector[String], Vector[GroupPhrase], Int)], // (terms, phrase members, queryPos)
       idfs: Map[String, Float],
       boosts: Map[String, Float],
       normCache: Array[Float],
       fmap: Map[Int, Array[Byte]], // null when !hasFilter OR the DocSet rides as FqRowTerm rows
       hasFilter: Boolean,
-      conjMeta: Vector[(Vector[String], Vector[Vector[String]], Int, Int)] =
+      conjMeta: Vector[(Vector[String], Vector[GroupPhrase], Int, Int)] =
         Vector.empty) // (terms, phrase members, occur 1|2, queryPos)
 
   /** Score one segment's rows (sidecar row + queried-term rows) — the
@@ -846,13 +846,13 @@ object Searcher {
       val termCursors: Vector[Cursor] = present.map(t =>
         new PostingCursor(byTerm(t).blocks, wIdf(t), nc, 0))
       val phraseCursors: Vector[Cursor] = phrases
-        .filter(_.forall(byTerm.contains))
-        .map { pts =>
-          val members = pts.map(t =>
+        .filter(_.terms.forall(byTerm.contains))
+        .map { gp =>
+          val members = gp.terms.map(t =>
             new PostingCursor(byTerm(t).blocks, qm.idfs(t), nc, 0)).toArray
           var idfSum = 0f
-          pts.foreach(t => idfSum += qm.idfs(t))
-          new PhraseCursor(members, idfSum, nc, 0, 0)
+          gp.terms.foreach(t => idfSum += qm.idfs(t))
+          new PhraseCursor(members, idfSum, nc, 0, gp.slop)
         }
       val all = (termCursors ++ phraseCursors).toArray
       if (all.isEmpty) missingMust = true // MUST group can't match here
@@ -864,15 +864,15 @@ object Searcher {
       // (it is optional). Member order: terms first, then phrase members —
       // score(norm) sums members in this fixed order
       if (terms.forall(byTerm.contains) &&
-        phrases.forall(_.forall(byTerm.contains))) {
+        phrases.forall(_.terms.forall(byTerm.contains))) {
         val termCursors: Vector[Cursor] = terms.map(t =>
           new PostingCursor(byTerm(t).blocks, wIdf(t), nc, 0))
-        val phraseCursors: Vector[Cursor] = phrases.map { pts =>
-          val pcs = pts.map(t =>
+        val phraseCursors: Vector[Cursor] = phrases.map { gp =>
+          val pcs = gp.terms.map(t =>
             new PostingCursor(byTerm(t).blocks, qm.idfs(t), nc, 0)).toArray
           var idfSum = 0f
-          pts.foreach(t => idfSum += qm.idfs(t))
-          new PhraseCursor(pcs, idfSum, nc, 0, 0)
+          gp.terms.foreach(t => idfSum += qm.idfs(t))
+          new PhraseCursor(pcs, idfSum, nc, 0, gp.slop)
         }
         val cc = new ConjunctionCursor((termCursors ++ phraseCursors).toArray, qpos)
         if (occ == 1) shouldCur += cc else notCur += cc

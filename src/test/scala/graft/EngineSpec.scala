@@ -320,7 +320,7 @@ class EngineSpec extends AnyFunSuite {
     // (term OR syn OR "multi syn") requirement; MUST_NOT excludes via phrase
     val pm = QueryParser.parseWithSynonyms("+error", Map("error" -> Seq("timeout", "merge group")))
     assert(pm.groups == Vector(graft.query.Group(Vector("error", "timeout"),
-      Vector(Vector("merge", "group")))))
+      Vector(graft.query.GroupPhrase(Vector("merge", "group"))))))
     assert(pm.phrases.isEmpty)
     val pn = QueryParser.parseWithSynonyms("retry -error", Map("error" -> Seq("merge group")))
     assert(pn.phrases == Vector(graft.query.Phrase(Vector("merge", "group"), occur = 2)))
@@ -343,11 +343,11 @@ class EngineSpec extends AnyFunSuite {
     val p3 = QueryParser.parse("error OR (data AND \"merge group\")")
     assert(p3.should == Vector("error"))
     assert(p3.conjGroups == Vector(graft.query.ConjGroup(Vector("data"), 1,
-      Vector(Vector("merge", "group")))), p3.toString)
+      Vector(graft.query.GroupPhrase(Vector("merge", "group"))))), p3.toString)
     assert(p3.phrases.isEmpty)
     val p4 = QueryParser.parse("retry -(data AND \"merge group\")")
     assert(p4.conjGroups == Vector(graft.query.ConjGroup(Vector("data"), 2,
-      Vector(Vector("merge", "group")))), p4.toString)
+      Vector(graft.query.GroupPhrase(Vector("merge", "group"))))), p4.toString)
     assert(p4.phrases.isEmpty)
   }
 
@@ -375,7 +375,7 @@ class EngineSpec extends AnyFunSuite {
     // (2) via the grammar: a quoted member inside a MUST group
     val pg = QueryParser.parse("+(error \"merge group\") retry")
     assert(pg.groups == Vector(graft.query.Group(Vector("error"),
-      Vector(Vector("merge", "group")))))
+      Vector(graft.query.GroupPhrase(Vector("merge", "group"))))))
     for (parsed <- Seq(pm, pg)) {
       val engine = searcher.topKHits(parsed, 10).collect()
       val oracle = Oracle.topK(spark,
@@ -394,6 +394,35 @@ class EngineSpec extends AnyFunSuite {
     val a = searcher.topKHits(termOnly, 200).collect().map(_.doc_id).toSet
     val b = searcher.topKHits(withPhrase, 200).collect().map(_.doc_id).toSet
     assert(a.subsetOf(b), "phrase member must widen the MUST match set")
+  }
+
+  test("sloppy phrase member: parse shape, engine == oracle, widens the exact member") {
+    // `+(x "b c"~2)` keeps the member's slop (it used to silently degrade
+    // to flat analyzed terms INCLUDING the slop digits, so a doc with the
+    // token '2' could satisfy the MUST group)
+    val ps = QueryParser.parse("+(error \"merge group\"~2) retry")
+    assert(ps.groups == Vector(graft.query.Group(Vector("error"),
+      Vector(graft.query.GroupPhrase(Vector("merge", "group"), 2)))), ps.toString)
+    // same for a SHOULD-level conjunction member
+    val pc = QueryParser.parse("retry OR (data AND \"merge group\"~1)")
+    assert(pc.conjGroups == Vector(graft.query.ConjGroup(Vector("data"), 1,
+      Vector(graft.query.GroupPhrase(Vector("merge", "group"), 1)))), pc.toString)
+    for (parsed <- Seq(ps, pc)) {
+      val engine = searcher.topKHits(parsed, 10).collect()
+      val oracle = Oracle.topK(spark,
+        searcher.docs.select($"doc_id", $"text", $"role", $"tool"), parsed, 10).collect()
+      assert(engine.length == oracle.length && engine.nonEmpty)
+      engine.zip(oracle).foreach { case (e, o) =>
+        assert(e.doc_id == o.doc_id && e.score == o.score,
+          s"sloppy group-phrase diverged: $e vs $o")
+      }
+    }
+    // slop widens (or equals) the exact member's match set
+    val exact = QueryParser.parse("+(error \"merge group\")")
+    val sloppy = QueryParser.parse("+(error \"merge group\"~3)")
+    val ea = searcher.topKHits(exact, 500).collect().map(_.doc_id).toSet
+    val sa = searcher.topKHits(sloppy, 500).collect().map(_.doc_id).toSet
+    assert(ea.subsetOf(sa), "slop must widen the member's match set")
   }
 
   test("early termination: unlimited budget == exact; small budget is a valid partial") {
