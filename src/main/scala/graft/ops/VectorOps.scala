@@ -374,6 +374,26 @@ object VectorOps {
       None,
       (s, dir) => binTopK(s, dir, k = 10, over = 8)),
 
+    Op("vec_ann_hnsw",
+      "HNSW ANN: per-partition navigable-small-world graphs (Malkov & " +
+        "Yashunin 2016) with greedy upper-level descent + ef-bounded beam " +
+        "search at level 0 — the Lucene per-segment HNSW analogue " +
+        "(DenseVectorField's default knn algorithm; Lucene builds one HNSW " +
+        "graph per segment and merges per-segment top-k, " +
+        "solr/core/src/java/org/apache/solr/schema/DenseVectorField.java). " +
+        "Each Spark partition is a 'segment': mapPartitions builds its " +
+        "graph (deterministic splitmix-seeded level draws, M=8, " +
+        "efConstruction=64), searches with efSearch=48, emits its top-k; " +
+        "a TakeOrdered merge yields the global page — identical shape to " +
+        "the engine's per-segment WAND + PQ merge. At 100TB the graph is " +
+        "a materialized per-segment sidecar (built once at index time, " +
+        "like postings), queries are one beam search per segment, " +
+        "embarrassingly parallel, no shuffle except the k-row merge. " +
+        "OpsSpec pins recall@10 >= 0.9 vs brute force and the large-ef " +
+        "deterministic exactness. Engine-only (approximate), no SQL oracle",
+      None,
+      (s, dir) => hnswTopK(s, dir, k = 10, m = 8, efConstruction = 64, efSearch = 48)),
+
     Op("vec_ann_ivf",
       "IVF ANN: deterministic k-means coarse quantizer (16 lists, trained " +
         "on a bounded driver-side sample, 8 Lloyd iterations on L2-" +
@@ -468,6 +488,40 @@ object VectorOps {
       .limit(k)
   }
 
+  /** HNSW top-k (see the `vec_ann_hnsw` op doc). Exposed with explicit
+    * (k, m, efConstruction, efSearch) so OpsSpec can gate recall and the
+    * large-ef deterministic exactness. One graph per Spark partition
+    * (= Lucene's one-graph-per-segment), merged by a global TakeOrdered —
+    * the per-partition page is k rows, so the merge input is
+    * k * numPartitions rows regardless of corpus size. */
+  def hnswTopK(s: SparkSession, dir: String, k: Int, m: Int,
+               efConstruction: Int, efSearch: Int): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).as[Seq[Float]].head()
+    val qn = l2norm(q.toArray.map(_.toDouble))
+    // the query is a dim-sized double array — tiny, captured by value (the
+    // same no-Broadcast-handle-in-hot-loop rule ivfTopK documents)
+    val corpus = e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    val pages = corpus.mapPartitions { it =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val ids = rows.map(_._1)
+        val vecs = rows.map(r => l2norm(r._2.toArray.map(_.toDouble)))
+        val g = new Hnsw(vecs, m, efConstruction)
+        g.search(qn, math.max(efSearch, k), k).iterator
+          .map { case (i, sim) => (ids(i), sim) }
+      }
+    }.toDF("vec_id", "sim")
+    // sim = dot of L2-normalized vectors == cosine of the raw vectors
+    pages.select(col("vec_id"), round(col("sim"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF-Flat top-10 (see the `vec_ann_ivf` op doc). Exposed with explicit
     * (nLists, nProbe) so OpsSpec can gate the full-probe identity. */
   def ivfTopK(s: SparkSession, dir: String, nLists: Int, nProbe: Int): DataFrame = {
@@ -518,6 +572,141 @@ object VectorOps {
         round(cosine(col("embedding"), typedLit(q)), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** Minimal deterministic HNSW (Malkov & Yashunin, TPAMI 2018; the
+    * algorithm Lucene's HnswGraphBuilder implements — re-derived from the
+    * paper, no Lucene code). Similarity = dot over L2-normalized vectors
+    * (== cosine). Level draws come from splitmix64 of the insertion index,
+    * so the graph — and therefore every search result — is bit-identical
+    * across runs. Insertion uses the paper's Algorithm 1 with simple
+    * closest-M neighbor selection; level-0 degree cap is 2M. */
+  private final class Hnsw(vecs: Array[Array[Double]], m: Int, efC: Int) {
+    private val n = vecs.length
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val maxM0 = 2 * m
+    private val levels = new Array[Int](n)
+    // nbrs(node)(level) = neighbor ids at that level
+    private val nbrs = new Array[Array[scala.collection.mutable.ArrayBuffer[Int]]](n)
+    private var entry = -1
+    private var maxLevel = -1
+
+    { // deterministic levels, then sequential insert (order = array order)
+      var i = 0
+      while (i < n) {
+        val u = (mix64(i.toLong * 2654435761L + 1) >>> 11).toDouble / (1L << 53).toDouble
+        levels(i) = math.floor(-math.log(u + 1e-300) * mL).toInt
+        nbrs(i) = Array.fill(levels(i) + 1)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        i += 1
+      }
+      i = 0
+      while (i < n) { insert(i); i += 1 }
+    }
+
+    private def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    private def sim(a: Int, q: Array[Double]): Double = dot(vecs(a), q)
+
+    /** Greedy hill-climb at `lev` toward q from `start`. */
+    private def greedy(q: Array[Double], start: Int, lev: Int): Int = {
+      var cur = start
+      var curSim = sim(cur, q)
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = nbrs(cur)(lev)
+        var i = 0
+        while (i < ns.length) {
+          val cand = ns(i)
+          val d = sim(cand, q)
+          if (d > curSim || (d == curSim && cand < cur)) {
+            cur = cand; curSim = d; improved = true
+          }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    /** Beam search at `lev`: ef-bounded best-first expansion (Algorithm 2).
+      * Returns (node, sim) sorted best-first, ties by lower id. */
+    private def searchLayer(q: Array[Double], ep: Int, ef: Int, lev: Int): Array[(Int, Double)] = {
+      val visited = new java.util.HashSet[Integer]()
+      // candidates: max-heap by sim; results: min-heap bounded at ef
+      val candOrd = Ordering.by[(Int, Double), (Double, Int)](t => (t._2, -t._1))
+      val cand = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](candOrd)
+      val res = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](candOrd.reverse)
+      val s0 = sim(ep, q)
+      visited.add(ep); cand.enqueue((ep, s0)); res.enqueue((ep, s0))
+      while (cand.nonEmpty) {
+        val (c, cSim) = cand.dequeue()
+        if (cSim < res.head._2 && res.size >= ef) cand.clear()
+        else {
+          val ns = nbrs(c)(lev)
+          var i = 0
+          while (i < ns.length) {
+            val e2 = ns(i)
+            if (!visited.contains(e2)) {
+              visited.add(e2)
+              val d = sim(e2, q)
+              if (res.size < ef || d > res.head._2) {
+                cand.enqueue((e2, d))
+                res.enqueue((e2, d))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      res.dequeueAll.toArray.sortBy(t => (-t._2, t._1))
+    }
+
+    private def insert(i: Int): Unit = {
+      val lvl = levels(i)
+      if (entry < 0) { entry = i; maxLevel = lvl; return }
+      val q = vecs(i)
+      var cur = entry
+      var lev = maxLevel
+      while (lev > lvl) { cur = greedy(q, cur, lev); lev -= 1 }
+      lev = math.min(lvl, maxLevel)
+      while (lev >= 0) {
+        val found = searchLayer(q, cur, efC, lev)
+        val cap = if (lev == 0) maxM0 else m
+        val sel = found.iterator.filter(_._1 != i).take(m).toArray
+        val mine = nbrs(i)(lev)
+        sel.foreach { case (nb, _) =>
+          mine += nb
+          val theirs = nbrs(nb)(lev)
+          theirs += i
+          if (theirs.length > cap) {
+            // prune to the cap closest (same closest-M rule as selection)
+            val kept = theirs.toArray
+              .map(x => (x, sim(x, vecs(nb))))
+              .sortBy(t => (-t._2, t._1))
+              .take(cap).map(_._1)
+            theirs.clear(); theirs ++= kept
+          }
+        }
+        if (found.nonEmpty) cur = found(0)._1
+        lev -= 1
+      }
+      if (lvl > maxLevel) { entry = i; maxLevel = lvl }
+    }
+
+    /** Top-k by cosine: greedy descent to level 1, ef-beam at level 0. */
+    def search(q: Array[Double], ef: Int, k: Int): Array[(Int, Double)] = {
+      if (entry < 0) return Array.empty
+      var cur = entry
+      var lev = maxLevel
+      while (lev > 0) { cur = greedy(q, cur, lev); lev -= 1 }
+      searchLayer(q, cur, ef, 0).take(k)
+    }
   }
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {

@@ -189,6 +189,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls.forall(_ >= 0.5), s"recall@10 under the pinned floor: $recalls")
   }
 
+  test("vec_ann_hnsw: recall@10 >= 0.9 vs exact; large-ef search == brute force") {
+    // The graph build is fully deterministic (splitmix-seeded level draws,
+    // fixed insertion order per partition), so both gates are stable. The
+    // strong gate: with efSearch >= corpus size, the level-0 beam visits
+    // every reachable node, so per-partition pages are exact local top-k
+    // and the merge must reproduce the brute-force ranking.
+    def exact(dir: String): Seq[Long] =
+      SparkEntry.queries("vec_ann_topk")(spark, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count().toInt
+      val full = graft.ops.VectorOps
+        .hnswTopK(spark, dir, k = 10, m = 8, efConstruction = 64, efSearch = n)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(full == exact(dir), s"$dir large-ef HNSW diverged from brute force")
+    }
+    val recalls = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").map { dir =>
+      val approx = SparkEntry.queries("vec_ann_hnsw")(spark, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      exact(dir).toSet.intersect(approx).size / 10.0
+    }
+    assert(recalls.forall(_ >= 0.9), s"HNSW recall@10 too low: $recalls")
+  }
+
   test("post-filter cost ordering: cheap predicate reaches the scan, expensive UDF stays residual") {
     // Solr's PostFilter contract (cost >= 100 filters run AFTER the cheap
     // DocSet intersection — search/ExtendedQueryBase.java): the Catalyst
