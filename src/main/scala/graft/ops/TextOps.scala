@@ -1014,6 +1014,43 @@ object TextOps {
         }.toDF("doc_id", "mime", "n_bytes", "width", "height", "frames",
           "n_sampled", "resized_w", "resized_h")
         decoded.orderBy(col("doc_id")).limit(100)
+      }),
+
+    Op("text_sample_mixture",
+      "deterministic stratified corpus sampling for training-data MIXTURE " +
+        "control (domain/language re-weighting, the standard pre-training " +
+        "data-mixing pass): each language stratum keeps rows whose " +
+        "md5(doc_id) 4-hex prefix falls under the stratum's rate threshold " +
+        "(en 0.25, es/zh 0.5, de/fr 0.75) — content-keyed like " +
+        "sample_deterministic, so the sample is reproducible across runs/" +
+        "resumes and identical in both engines (hex-string compare orders " +
+        "like the number: '0'-'9' < 'a'-'f'). The sampler itself is a " +
+        "STATELESS NARROW FILTER — at 100TB it rides the scan with zero " +
+        "shuffle and the mixture spec is a literal CASE; only this " +
+        "achieved-rate audit pays one tiny per-stratum agg",
+      Some("""WITH s AS (SELECT lang,
+             |    CASE lang WHEN 'en' THEN '4000' WHEN 'es' THEN '8000'
+             |      WHEN 'zh' THEN '8000' ELSE 'c000' END AS thr,
+             |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+             |  FROM documents)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+             |  CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  round(CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*), 6) AS achieved_rate
+             |FROM s GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val thr = when(col("lang") === "en", lit("4000"))
+          .when(col("lang").isin("es", "zh"), lit("8000"))
+          .otherwise(lit("c000"))
+        val kept = (substring(md5(col("doc_id").cast("string")), 1, 4) < thr)
+          .cast("int")
+        t(s, dir, "documents")
+          .select(col("lang"), kept.as("k"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("k")).cast("long").as("n_kept"),
+            round(sum(col("k")).cast("double") / count(lit(1)), 6).as("achieved_rate"))
+          .orderBy(col("lang"))
       })
   )
 }
