@@ -386,6 +386,44 @@ object TextOps {
   private def subwordVocabSql: String =
     SubwordVocab.map(w => s"'$w'").mkString(", ")
 
+  /** Fixed BPE merges table in priority order (the shape of a published
+    * merges.txt: most-frequent pairs first, later merges composing earlier
+    * ones). Frozen by contract — changing it changes every count. The list
+    * is a demonstration vocabulary sized for the synthetic corpus; a
+    * production run would load the real 50k-row merges file the same way
+    * (the chain below is generated from the table, not hand-written). */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "a" -> "t", "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "e" -> "r", "o" -> "n", "r" -> "e", "e" -> "n", "e" -> "s",
+    "o" -> "r", "a" -> "l", "s" -> "t", "l" -> "e", "s" -> "e",
+    "an" -> "d", "in" -> "g", "e" -> "d", "a" -> "r", "o" -> "w",
+    "d" -> "at", "dat" -> "a", "t" -> "a", "ta" -> "b", "tab" -> "le",
+    "q" -> "u", "qu" -> "e", "que" -> "r", "quer" -> "y", "f" -> "a",
+    "fa" -> "st", "h" -> "a", "ha" -> "sh", "s" -> "c", "sc" -> "an",
+    "r" -> "ow", "k" -> "e", "ke" -> "y", "v" -> "al", "val" -> "u",
+    "valu" -> "e", "m" -> "er", "mer" -> "ge", "s" -> "p", "sp" -> "ar",
+    "spar" -> "k", "w" -> "in", "win" -> "d", "wind" -> "ow", "b" -> "at",
+    "bat" -> "ch", "s" -> "o", "so" -> "rt", "l" -> "in", "lin" -> "e",
+    "p" -> "ar", "par" -> "t", "s" -> "l", "sl" -> "ow", "b" -> "a",
+    "ba" -> "tch", "l" -> "o", "lo" -> "g", "g" -> "r")
+
+  /** Symbol-stream encoding for the BPE chain: every symbol is wrapped in
+    * \u0001 sentinels, adjacent symbols share NOTHING (the separator
+    * between them is \u0001\u0001, word boundaries are \u0002), so a
+    * left-to-right non-overlapping replace() -- identical semantics in
+    * Spark and DuckDB -- applies one merge to every occurrence without
+    * rescans bleeding across matches. */
+  private val C1 = "\u0001"
+  private val C2 = "\u0002"
+
+  /** The merge loop rendered as a generated chain of plain replace()
+    * calls over `inner` — one per merges-table row, in priority order.
+    * Same generated text runs on both engines. */
+  private def bpeChainSql(inner: String): String =
+    BpeMerges.foldLeft(inner) { case (acc, (x, y)) =>
+      s"replace($acc, '$C1$x$C1$C1$y$C1', '$C1$x$y$C1')"
+    }
+
   def ops: Seq[Op] = Seq(
 
     Op("text_dedup_exact",
@@ -1051,6 +1089,44 @@ object TextOps {
             sum(col("k")).cast("long").as("n_kept"),
             round(sum(col("k")).cast("double") / count(lit(1)), 6).as("achieved_rate"))
           .orderBy(col("lang"))
+      }),
+
+    Op("text_token_count_bpe",
+      "REAL byte-pair-encoding token counting over a fixed merges table — " +
+        "the merges-table analogue the subword proxy op " +
+        "(text_token_count_subword) declares: each word becomes a sentinel-" +
+        "wrapped character-symbol stream, and the 65-row merges table is " +
+        "applied IN PRIORITY ORDER as a GENERATED chain of plain left-to-" +
+        "right replace() calls — each merge rewrites every occurrence of " +
+        "its symbol pair, exactly BPE's apply loop, and the sentinel " +
+        "layout makes adjacent matches share no characters, so non-" +
+        "overlapping replace is exact and identical in both engines. " +
+        "Counts are therefore EXACT and fully DuckDB-oracled (unlike " +
+        "opaque tokenizer libs). Plan: the whole chain is one narrow " +
+        "string-function projection — no shuffle before the output " +
+        "paging sort, scan-speed at 100TB; a production merges file " +
+        "(~50k rows) generates the same chain",
+      Some {
+        val encSql = s"array_to_string(list_transform(string_split(text, ' '), " +
+          s"w -> '$C1' || regexp_replace(w, '(.)', '\\1$C1$C1', 'g')), '$C2')"
+        s"""WITH enc AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+           |  ${bpeChainSql(encSql)} AS m
+           |  FROM documents WHERE length(text) > 0)
+           |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |  CAST(length(m) - length(replace(m, '$C1$C1', '$C1')) AS BIGINT) AS n_bpe_tokens
+           |FROM enc ORDER BY doc_id LIMIT 100""".stripMargin
+      },
+      (s, dir) => {
+        val encSql = s"concat_ws('$C2', transform(split(text, ' '), " +
+          s"w -> concat('$C1', regexp_replace(w, '(.)', '$$1$C1$C1'))))"
+        t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .withColumn("m", expr(bpeChainSql(encSql)))
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_words"),
+            (length(col("m")) - length(expr(s"replace(m, '$C1$C1', '$C1')")))
+              .cast("long").as("n_bpe_tokens"))
+          .orderBy(col("doc_id")).limit(100)
       })
   )
 }
