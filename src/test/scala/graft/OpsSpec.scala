@@ -213,6 +213,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls.forall(_ >= 0.9), s"HNSW recall@10 too low: $recalls")
   }
 
+  test("text_token_count_bpe: merges-table contract pins whole-word composition") {
+    // The merges table is frozen by contract; these words must compose to
+    // ONE token through the chained-replace rendering (each via its merge
+    // chain, e.g. a+t -> at, d+at -> dat, dat+a -> data). A change to the
+    // table or the sentinel encoding shows up here before the oracle diff.
+    val out = SparkEntry.queries("text_token_count_bpe")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 0: "key agg row scan slow fast table value part hash value table
+    // part a row fast merge batch part value fast spark a a the line sort
+    // table window table table key" — 32 words, all but 'agg' in the
+    // merges-table vocabulary -> 42 tokens (pinned from the oracled run)
+    assert(out(0L) == (32L, 42L), s"doc 0 drifted: ${out(0L)}")
+    out.foreach { case (id, (nw, nb)) =>
+      assert(nb >= nw, s"doc $id: fewer tokens than words ($nb < $nw)")
+    }
+  }
+
   test("post-filter cost ordering: cheap predicate reaches the scan, expensive UDF stays residual") {
     // Solr's PostFilter contract (cost >= 100 filters run AFTER the cheap
     // DocSet intersection — search/ExtendedQueryBase.java): the Catalyst
