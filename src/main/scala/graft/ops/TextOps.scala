@@ -370,6 +370,71 @@ object TextOps {
     jaccardRepPairsCached(s, dir, 0.6).count()
   }
 
+  /** Connected-component labels (node, lab = component min id) over an
+    * undirected pair list (i, j) — min-label propagation WITH pointer-
+    * jumping compression: each round first pulls neighbour labels (one
+    * join + min-aggregate) and then follows the label one more hop
+    * (lab(u) <- lab(lab(u)), a second join). Compression doubles the
+    * propagation radius per round, so convergence is O(log diameter)
+    * rounds, not O(diameter) — a 32-round cap covers any physically
+    * representable graph (2^32-hop chains), closing the adversarial-
+    * diameter failure mode the plain loop had (the Kiveris et al. 2014
+    * large-star/small-star alternation gives the same guarantee; the
+    * hook+compress rendering here reuses the existing loop shape).
+    * Labels only decrease, so sum(lab) is the fixpoint witness; the cap
+    * is a safety valve that fails loudly rather than returning silently
+    * split components.
+    *
+    * Iteration discipline: EAGER localCheckpoint per round — each table
+    * enters the next round's plan as a flat LogicalRDD, no lineage
+    * nesting (measured: persist/unpersist re-ran the upstream PPJoin
+    * subtree per round, 17s/round vs sub-second checkpointed). On a
+    * multi-executor cluster swap for reliable checkpoint() at the same
+    * spots. */
+  private[graft] def ccLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val sym = pairs
+      .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
+      .repartition(8, col("i"))
+      .localCheckpoint(true)
+    var labels = sym.select(col("i").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint(true)
+    // Long.MinValue sentinel: the init sum is not worth its own job;
+    // round 1 always runs. coalesce(sum, 0): an edge-free corpus has an
+    // empty label table whose sum is NULL — detect fixpoint, don't NPE
+    var lastSum = Long.MinValue
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 32) {
+      rounds += 1
+      val prop = sym.join(labels, sym("i") === labels("node"))
+        .select(sym("j").as("node"), col("lab"))
+      // checkpoint BEFORE the self-join: the jump must read the merged
+      // table twice, and a flat LogicalRDD sidesteps both recompute and
+      // the union-lineage self-join attribute ambiguity
+      val merged = labels.unionByName(prop)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint(true)
+      // pointer jumping: lab values are node ids of this same graph, so
+      // lab(lab(u)) resolves against the merged table itself; labels are
+      // monotone (lab(x) <= x), so the jumped label can only improve
+      val jump = merged.select(col("node").as("pn"), col("lab").as("plab"))
+      val next = merged
+        .join(jump, merged("lab") === jump("pn"), "left")
+        .select(merged("node"), coalesce(col("plab"), merged("lab")).as("lab"))
+        .localCheckpoint(true)
+      val s2 = next.agg(coalesce(sum(col("lab")), lit(0L))).as[Long].head()
+      labels = next
+      if (s2 == lastSum) converged = true else lastSum = s2
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ccLabels: not converged after $rounds rounds — with pointer " +
+          "jumping this needs a graph deeper than 2^32 hops; investigate")
+    labels
+  }
+
   /** Dev-probe accessors (CcProbe). */
   private[ops] def memPublic(s: SparkSession, dir: String): DataFrame = collapsed(s, dir)._1
   private[ops] def repPairsPublic(s: SparkSession, dir: String, minJ: Double): DataFrame =
@@ -702,45 +767,7 @@ object TextOps {
         // final output — 17s/round — vs sub-second rounds checkpointed).
         // On a multi-executor cluster swap for reliable checkpoint() at
         // the same spots (lineage safety under executor loss).
-        val sym = pairs
-          .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
-          .repartition(8, col("i"))
-          .localCheckpoint(true)
-        var labels = sym.select(col("i").as("node")).distinct()
-          .withColumn("lab", col("node"))
-          .localCheckpoint(true)
-        // labels only decrease => sum(lab) strictly decreases until the
-        // fixpoint — the convergence witness rides the round that computes
-        // it. Long.MinValue sentinel: the init sum is not worth its own
-        // job; round 1 always runs (labels can only be final already if
-        // there are no edges, and then round 1 IS the detection pass).
-        // coalesce(sum, 0): an edge-free corpus has an empty label table,
-        // whose sum is NULL — detect fixpoint, don't NPE
-        var lastSum = Long.MinValue
-        var rounds = 0
-        var converged = false
-        while (!converged && rounds < 32) {
-          rounds += 1
-          val prop = sym.join(labels, sym("i") === labels("node"))
-            .select(sym("j").as("node"), col("lab"))
-          val next = labels.unionByName(prop)
-            .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-            .localCheckpoint(true)
-          val s2 = next.agg(coalesce(sum(col("lab")), lit(0L))).as[Long].head()
-          labels = next
-          if (s2 == lastSum) converged = true else lastSum = s2
-        }
-        // the round cap is a SAFETY VALVE, not a convergence criterion: a
-        // near-dup chain with graph diameter > 32 (versioned-document
-        // corpora can produce one) would exit here with wrongly split
-        // components — fail loudly instead of returning silently-wrong
-        // groups; the fix at that scale is the Kiveris large-star/
-        // small-star alternation cited above (O(log^2) rounds)
-        if (!converged)
-          throw new IllegalStateException(
-            s"text_dedup_groups: min-label propagation not converged after $rounds " +
-              "rounds (graph diameter exceeds the cap); use the large-star/" +
-              "small-star CC variant for adversarial-diameter graphs")
+        val labels = ccLabels(s, pairs)
         // expand rep components through the duplicate groups; a dup group
         // with >= 2 members but no rep-level edge is its own component
         // (grp = its rep = its min doc_id)

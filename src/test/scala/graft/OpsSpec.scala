@@ -213,6 +213,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls.forall(_ >= 0.9), s"HNSW recall@10 too low: $recalls")
   }
 
+  test("ccLabels: pointer jumping converges on a 200-hop chain (old loop capped at 32)") {
+    // Adversarial-diameter graph (a versioned-document chain): the plain
+    // min-label loop needed diameter rounds and FAILED LOUDLY at its
+    // 32-round cap; pointer jumping needs O(log d) rounds. One component,
+    // all labels = 0, proves both convergence and correctness.
+    import spark.implicits._
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("i", "j")
+    val labels = graft.ops.TextOps.ccLabels(spark, pairs)
+    val labs = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labs.length == 200, s"expected 200 labelled nodes, got ${labs.length}")
+    assert(labs.forall(_._2 == 0L), "chain must collapse to one component rooted at 0")
+  }
+
   test("text_token_count_bpe: merges-table contract pins whole-word composition") {
     // The merges table is frozen by contract; these words must compose to
     // ONE token through the chained-replace rendering (each via its merge
