@@ -104,63 +104,10 @@ object VectorOps {
               |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
               |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.45
               |ORDER BY i, j""".stripMargin),
-      (s, dir) => {
-        // blocked exact gram computation: vectors grouped into fixed-size
-        // blocks, every block PAIR is one task computing its dense cosine
-        // tile with primitive-array loops — same exact output as the r1
-        // row-at-a-time pair join (31s at 2k vectors: BroadcastNestedLoop
-        // + per-pair UDF overhead), but compute-bound and embarrassingly
-        // parallel over block pairs. Exact threshold-pair LISTING is
-        // inherently O(n^2) compute; beyond ~10^6 vectors route through
-        // the LSH-bucketed op (vec_ann_lsh) instead.
-        import s.implicits._
-        val blockSize = 256
-        val e = t(s, dir, "embeddings")
-        val blocks = e
-          .select((col("vec_id") / blockSize).cast("int").as("blk"),
-            col("vec_id"), col("embedding"))
-          .groupBy(col("blk"))
-          .agg(collect_list(struct(col("vec_id").as("_1"), col("embedding").as("_2"))).as("vs"))
-        val tiles = blocks.as("a").join(blocks.as("b"), col("a.blk") <= col("b.blk"))
-          .select(col("a.blk").as("ba"), col("b.blk").as("bb"),
-            col("a.vs").as("va"), col("b.vs").as("vb"))
-          .as[(Int, Int, Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float])])]
-        val raw = tiles.flatMap { case (ba, bb, va, vb) =>
-          val as = va.sortBy(_._1).toArray
-          val bs = vb.sortBy(_._1).toArray
-          // hoist Seq->primitive-array conversion out of the O(|a|*|b|) loop
-          val aIds = as.map(_._1); val aVecs = as.map(_._2.toArray)
-          val bIds = bs.map(_._1); val bVecs = bs.map(_._2.toArray)
-          val out = Seq.newBuilder[(Long, Long, Double)]
-          var i = 0
-          while (i < aIds.length) {
-            val ia = aIds(i)
-            val ea = aVecs(i)
-            var j = if (ba == bb) i + 1 else 0
-            while (j < bIds.length) {
-              val jb = bIds(j)
-              val eb = bVecs(j)
-              // same fold as cosUdd: widen to double, index order (exact
-              // parity with the DuckDB list_reduce oracle)
-              var dot = 0.0; var na = 0.0; var nb = 0.0
-              var d = 0
-              val n = math.min(ea.length, eb.length)
-              while (d < n) {
-                val x = ea(d).toDouble; val y = eb(d).toDouble
-                dot += x * y; na += x * x; nb += y * y
-                d += 1
-              }
-              val c = dot / (math.sqrt(na) * math.sqrt(nb))
-              if (c >= 0.45) out += ((ia, jb, c))
-              j += 1
-            }
-            i += 1
-          }
-          out.result()
-        }.toDF("i", "j", "c")
-        raw.select(col("i"), col("j"), round(col("c"), 4).as("cos"))
-          .orderBy(col("i"), col("j"))
-      }),
+      (s, dir) =>
+        cosinePairs(s, dir, 0.45)
+          .select(col("i"), col("j"), round(col("c"), 4).as("cos"))
+          .orderBy(col("i"), col("j"))),
 
     Op("vec_dedup_lsh",
       "embedding near-duplicate PAIRS via SRP-LSH bucketing — the " +
@@ -374,6 +321,43 @@ object VectorOps {
       None,
       (s, dir) => binTopK(s, dir, k = 10, over = 8)),
 
+    Op("vec_dedup_groups",
+      "embedding near-duplicate GROUPS: connected components over the " +
+        "exact cosine>=0.45 pair graph — the stage an embedding-dedup " +
+        "pipeline needs after pair listing (pairs alone don't say which " +
+        "vectors to drop), completing the embedding leg the way " +
+        "text_dedup_groups completes the shingle leg. Components via the " +
+        "shared pointer-jumping min-label loop (O(log diameter) rounds, " +
+        "edge-linear per round); at scale the pair list comes from " +
+        "vec_dedup_lsh instead of the exact O(n^2) op — same group stage " +
+        "either way. Oracle = DuckDB recursive CTE over the same pair SQL",
+      Some(s"""WITH RECURSIVE p AS (SELECT a.vec_id AS i, b.vec_id AS j
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |  WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.45),
+              |edges AS (SELECT i, j FROM p UNION ALL SELECT j AS i, i AS j FROM p),
+              |reach(node, lab) AS (
+              |  SELECT i, i FROM edges
+              |  UNION
+              |  SELECT e.i, r.lab FROM edges e JOIN reach r ON e.j = r.node),
+              |labels AS (SELECT node, min(lab) AS grp FROM reach GROUP BY node)
+              |SELECT grp, CAST(count(*) AS BIGINT) AS size,
+              |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+              |FROM labels GROUP BY grp ORDER BY grp""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        // same blocked exact gram as vec_cosine_pairs feeds the pair list;
+        // the group stage itself is pair-bounded (tiny next to the corpus)
+        val pairs = cosinePairs(s, dir, 0.45).select(col("i"), col("j"))
+        val labels = TextOps.ccLabels(s, pairs)
+        labels.groupBy(col("lab").as("grp"))
+          .agg(count(lit(1)).as("size"),
+            array_join(
+              transform(sort_array(collect_list(col("node"))), _.cast("string")),
+              ",").as("members"))
+          .orderBy(col("grp"))
+          .select(col("grp"), col("size"), col("members"))
+      }),
+
     Op("vec_ann_hnsw",
       "HNSW ANN: per-partition navigable-small-world graphs (Malkov & " +
         "Yashunin 2016) with greedy upper-level descent + ef-bounded beam " +
@@ -413,6 +397,63 @@ object VectorOps {
       None,
       (s, dir) => ivfTopK(s, dir, nLists = 16, nProbe = 8))
   )
+
+  /** Exact cosine threshold pairs (i, j, c) — the blocked gram shared by
+    * vec_cosine_pairs and vec_dedup_groups: vectors grouped into fixed-
+    * size blocks, every block PAIR is one task computing its dense cosine
+    * tile with primitive-array loops — same exact output as the r1
+    * row-at-a-time pair join (31s at 2k vectors: BroadcastNestedLoop +
+    * per-pair UDF overhead), but compute-bound and embarrassingly
+    * parallel over block pairs. Exact threshold-pair LISTING is
+    * inherently O(n^2) compute; beyond ~10^6 vectors route through the
+    * LSH-bucketed op (vec_dedup_lsh) instead. */
+  private def cosinePairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
+    import s.implicits._
+    val blockSize = 256
+    val e = t(s, dir, "embeddings")
+    val blocks = e
+      .select((col("vec_id") / blockSize).cast("int").as("blk"),
+        col("vec_id"), col("embedding"))
+      .groupBy(col("blk"))
+      .agg(collect_list(struct(col("vec_id").as("_1"), col("embedding").as("_2"))).as("vs"))
+    val tiles = blocks.as("a").join(blocks.as("b"), col("a.blk") <= col("b.blk"))
+      .select(col("a.blk").as("ba"), col("b.blk").as("bb"),
+        col("a.vs").as("va"), col("b.vs").as("vb"))
+      .as[(Int, Int, Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float])])]
+    tiles.flatMap { case (ba, bb, va, vb) =>
+      val as = va.sortBy(_._1).toArray
+      val bs = vb.sortBy(_._1).toArray
+      // hoist Seq->primitive-array conversion out of the O(|a|*|b|) loop
+      val aIds = as.map(_._1); val aVecs = as.map(_._2.toArray)
+      val bIds = bs.map(_._1); val bVecs = bs.map(_._2.toArray)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < aIds.length) {
+        val ia = aIds(i)
+        val ea = aVecs(i)
+        var j = if (ba == bb) i + 1 else 0
+        while (j < bIds.length) {
+          val jb = bIds(j)
+          val eb = bVecs(j)
+          // same fold as cosUdf: widen to double, index order (exact
+          // parity with the DuckDB list_reduce oracle)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var d = 0
+          val n = math.min(ea.length, eb.length)
+          while (d < n) {
+            val x = ea(d).toDouble; val y = eb(d).toDouble
+            dot += x * y; na += x * x; nb += y * y
+            d += 1
+          }
+          val c = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (c >= thr) out += ((ia, jb, c))
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }.toDF("i", "j", "c")
+  }
 
   /** Int8 scalar-quantized top-k (see the `vec_ann_int8` op doc). Exposed
     * with explicit (k, over) so OpsSpec can gate recall and the over=all
