@@ -463,14 +463,15 @@ object TextOps {
     "o" -> "r", "a" -> "l", "s" -> "t", "l" -> "e", "s" -> "e",
     "an" -> "d", "in" -> "g", "e" -> "d", "a" -> "r", "o" -> "w",
     "d" -> "at", "dat" -> "a", "t" -> "a", "ta" -> "b", "tab" -> "le",
-    "q" -> "u", "qu" -> "e", "que" -> "r", "quer" -> "y", "f" -> "a",
-    "fa" -> "st", "h" -> "a", "ha" -> "sh", "s" -> "c", "sc" -> "an",
+    "q" -> "u", "qu" -> "er", "quer" -> "y", "f" -> "a",
+    "fa" -> "st", "s" -> "h", "h" -> "a", "ha" -> "sh",
+    "s" -> "c", "sc" -> "an",
     "r" -> "ow", "k" -> "e", "ke" -> "y", "v" -> "al", "val" -> "u",
-    "valu" -> "e", "m" -> "er", "mer" -> "ge", "s" -> "p", "sp" -> "ar",
-    "spar" -> "k", "w" -> "in", "win" -> "d", "wind" -> "ow", "b" -> "at",
-    "bat" -> "ch", "s" -> "o", "so" -> "rt", "l" -> "in", "lin" -> "e",
-    "p" -> "ar", "par" -> "t", "s" -> "l", "sl" -> "ow", "b" -> "a",
-    "ba" -> "tch", "l" -> "o", "lo" -> "g", "g" -> "r")
+    "valu" -> "e", "g" -> "e", "m" -> "er", "mer" -> "ge", "s" -> "p",
+    "sp" -> "ar", "spar" -> "k", "w" -> "in", "win" -> "d", "wind" -> "ow",
+    "c" -> "h", "b" -> "at", "bat" -> "ch", "s" -> "or", "sor" -> "t",
+    "l" -> "in", "lin" -> "e", "p" -> "ar", "par" -> "t", "s" -> "l",
+    "sl" -> "ow", "l" -> "o", "lo" -> "g", "g" -> "r")
 
   /** Symbol-stream encoding for the BPE chain: every symbol is wrapped in
     * \u0001 sentinels, adjacent symbols share NOTHING (the separator
@@ -1198,7 +1199,7 @@ object TextOps {
       "REAL byte-pair-encoding token counting over a fixed merges table — " +
         "the merges-table analogue the subword proxy op " +
         "(text_token_count_subword) declares: each word becomes a sentinel-" +
-        "wrapped character-symbol stream, and the 65-row merges table is " +
+        "wrapped character-symbol stream, and the 64-row merges table is " +
         "applied IN PRIORITY ORDER as a GENERATED chain of plain left-to-" +
         "right replace() calls — each merge rewrites every occurrence of " +
         "its symbol pair, exactly BPE's apply loop, and the sentinel " +
@@ -1212,7 +1213,8 @@ object TextOps {
       Some {
         val encSql = s"array_to_string(list_transform(string_split(text, ' '), " +
           s"w -> '$C1' || regexp_replace(w, '(.)', '\\1$C1$C1', 'g')), '$C2')"
-        s"""WITH enc AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+        s"""WITH enc AS (SELECT doc_id,
+           |  len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS n_words,
            |  ${bpeChainSql(encSql)} AS m
            |  FROM documents WHERE length(text) > 0)
            |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
@@ -1226,7 +1228,12 @@ object TextOps {
           .where(length(col("text")) > 0)
           .withColumn("m", expr(bpeChainSql(encSql)))
           .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_words"),
+            // non-EMPTY words only (a doc with doubled/trailing spaces
+            // splits into empty segments, which encode to a lone sentinel
+            // = 0 tokens; counting them as words would break the
+            // tokens >= words invariant the contract test pins)
+            size(expr("filter(split(text, ' '), w -> length(w) > 0)"))
+              .cast("long").as("n_words"),
             (length(col("m")) - length(expr(s"replace(m, '$C1$C1', '$C1')")))
               .cast("long").as("n_bpe_tokens"))
           .orderBy(col("doc_id")).limit(100)

@@ -344,7 +344,6 @@ object VectorOps {
               |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
               |FROM labels GROUP BY grp ORDER BY grp""".stripMargin),
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
         // same blocked exact gram as vec_cosine_pairs feeds the pair list;
         // the group stage itself is pair-bounded (tiny next to the corpus)
         val pairs = cosinePairs(s, dir, 0.45).select(col("i"), col("j"))
@@ -533,16 +532,17 @@ object VectorOps {
     * (k, m, efConstruction, efSearch) so OpsSpec can gate recall and the
     * large-ef deterministic exactness. One graph per Spark partition
     * (= Lucene's one-graph-per-segment), merged by a global TakeOrdered —
-    * the per-partition page is k rows, so the merge input is
-    * k * numPartitions rows regardless of corpus size. */
+    * each partition emits its full beam (ef-bounded), so the merge input
+    * is ef * numPartitions rows regardless of corpus size. */
   def hnswTopK(s: SparkSession, dir: String, k: Int, m: Int,
                efConstruction: Int, efSearch: Int): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
     val q = e.where(col("vec_id") === 0)
       .select(col("embedding")).as[Seq[Float]].head()
-    val qn = l2norm(q.toArray.map(_.toDouble))
-    // the query is a dim-sized double array — tiny, captured by value (the
+    val qRaw = q.toArray
+    val qn = l2norm(qRaw.map(_.toDouble))
+    // the query is a dim-sized array — tiny, captured by value (the
     // same no-Broadcast-handle-in-hot-loop rule ivfTopK documents)
     val corpus = e.where(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
@@ -551,13 +551,34 @@ object VectorOps {
       if (rows.isEmpty) Iterator.empty
       else {
         val ids = rows.map(_._1)
-        val vecs = rows.map(r => l2norm(r._2.toArray.map(_.toDouble)))
+        val raw = rows.map(_._2.toArray)
+        val vecs = raw.map(v => l2norm(v.map(_.toDouble)))
         val g = new Hnsw(vecs, m, efConstruction)
-        g.search(qn, math.max(efSearch, k), k).iterator
-          .map { case (i, sim) => (ids(i), sim) }
+        // emit the ENTIRE beam (up to ef members), not a k-truncated page:
+        // in-partition truncation would pick by raw double sim while the
+        // global merge orders by round(cos, 4) with a vec_id tiebreak — a
+        // 4-dp tie straddling the partition's k-boundary could then keep
+        // the wrong id. The beam is ef-bounded, so the merge input stays
+        // ef * numPartitions rows.
+        val ef = math.max(efSearch, k)
+        g.search(qn, ef, ef).iterator.map { case (i, _) =>
+          // the emitted value re-runs the EXACT one-pass fold vec_ann_topk
+          // uses (raw floats widened to double, index order) so the two
+          // ops can never disagree at a rounding boundary; the graph's
+          // internal normalized-dot sims steer the search only
+          val a = raw(i)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var d = 0
+          val n = math.min(a.length, qRaw.length)
+          while (d < n) {
+            val x = a(d).toDouble; val y = qRaw(d).toDouble
+            dot += x * y; na += x * x; nb += y * y
+            d += 1
+          }
+          (ids(i), dot / (math.sqrt(na) * math.sqrt(nb)))
+        }
       }
     }.toDF("vec_id", "sim")
-    // sim = dot of L2-normalized vectors == cosine of the raw vectors
     pages.select(col("vec_id"), round(col("sim"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
