@@ -721,7 +721,7 @@ class EngineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("parser fuzz: 150 seeded random query strings never crash parse -> expand -> topK") {
+  test("parser fuzz: 300 seeded random query strings never crash parse -> expand -> topK") {
     // the reference survives arbitrary user query strings (SyntaxError ->
     // 400, not a crash); our parser is total — worst case an empty result
     val rnd = new scala.util.Random(777)
@@ -729,7 +729,7 @@ class EngineSpec extends AnyFunSuite {
       "\"the data\"", "\"a b\"~2", "par*", "d?t*", "*", "?", "errer~1", "x~9",
       "+", "-", "AND", "OR", "NOT", "(", ")", "^2", "data^x", "[a TO b]",
       "role:[a TO", "\"unclosed", "~", "^", ":", "+-", "()", "a:b:c", "東京")
-    for (i <- 0 until 150) {
+    for (i <- 0 until 300) {
       val n = 1 + rnd.nextInt(6)
       val q = Seq.fill(n)(atoms(rnd.nextInt(atoms.length))).mkString(" ")
       try {
@@ -765,14 +765,14 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("randomized queries: engine == oracle on 40 seeded random term sets") {
+  test("randomized queries: engine == oracle on 80 seeded random term sets") {
     val rnd = new scala.util.Random(4242)
     // text vocabulary only: the v4 field-term namespace (\u0002-prefixed)
     // is not queryable as bare terms
     val terms = spark.read.parquet(s"$indexDir/terms")
       .where(!col("term").startsWith(IndexBuilder.FieldTermPrefix))
       .orderBy(desc("df")).limit(300).select("term").as[String].collect()
-    for (_ <- 0 until 40) {
+    for (_ <- 0 until 80) {
       val n = 1 + rnd.nextInt(4)
       val qTerms = Seq.fill(n)(terms(rnd.nextInt(terms.length))).distinct
       val op = rnd.nextInt(10)
