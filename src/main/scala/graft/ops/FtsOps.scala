@@ -86,6 +86,44 @@ object FtsOps {
   /** byte4 quantization LUT SQL, shared with ops outside this object. */
   def byte4LookupSqlPublic: String = byte4LookupSql
 
+  /** Rank-surface oracle SQL (VERDICT r4 task #4): the fts_bm25_oracle
+    * double-BM25 CTE chain projected to (rank, doc_id) only. `where` can
+    * restrict the RESULT doc set (fq semantics: corpus stats unchanged —
+    * df/avgdl/N always come from the whole corpus); `d` aliases the
+    * documents row of the scored doc. */
+  private def bm25RankSql(qpos: Seq[(String, Int)], k: Int,
+      where: String = "TRUE"): String = {
+    val vals = qpos.map { case (w, p) => s"('$w', $p)" }.mkString(", ")
+    s"""WITH lut AS ($byte4LookupSql),
+       |qpos AS (SELECT * FROM (VALUES $vals) t(w, qp)),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE length(text) > 0),
+       |stats AS (SELECT count(DISTINCT doc_id) AS n,
+       |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
+       |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+       |partials AS (SELECT tf.doc_id, qpos.qp,
+       |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+       |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl))) AS p
+       |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id) JOIN qpos USING (w), stats),
+       |scores AS (SELECT doc_id, list_reduce(list(p ORDER BY qp), (a, v) -> a + v) AS sc
+       |  FROM partials GROUP BY doc_id),
+       |kept AS (SELECT s.doc_id, s.sc FROM scores s JOIN documents d USING (doc_id)
+       |  WHERE $where)
+       |SELECT row_number() OVER (ORDER BY round(sc, 6) DESC, doc_id) AS rank, doc_id
+       |FROM kept ORDER BY round(sc, 6) DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Engine hit page -> the driver-hashable (rank, doc_id-external)
+    * projection (Searcher.search already ranks the <=k-row page). */
+  private def rankedEngine(hits: DataFrame): DataFrame =
+    hits.select(col("rank").cast("long").as("rank"),
+      regexp_extract(col("conv_id"), "(\\d+)", 1).cast("long").as("doc_id"))
+
   /** [[bm25DoubleTopK]] for ops outside this object. */
   def bm25DoubleTopKPublic(s: SparkSession, idx: String, qterms: Seq[String]): DataFrame =
     bm25DoubleTopK(s, idx, qterms)
@@ -1032,6 +1070,122 @@ object FtsOps {
         val c = s.read.parquet(s"${index(s, dir, "documents")}/corpus")
           .as[graft.index.CorpusStats].head()
         Seq((c.doc_count, c.sum_dl)).toDF("doc_count", "sum_dl")
+      }),
+
+    // ---- rank-surface oracles for the engine's float-scored paths -------
+    //
+    // The engine's BM25 scores are float32 (Lucene semantics) and can never
+    // hash-match a DuckDB double — but the RANKING can (VERDICT r4 task
+    // #4): each op below serves the real one-stage engine path (WAND,
+    // fq DocSets, dismax, cursorMark) and emits ONLY (rank, doc_id); the
+    // DuckDB twin recomputes the same ranking with the fts_bm25_oracle
+    // double-BM25 machinery. EngineSpec's rank-identity fuzz is what makes
+    // the float/double agreement safe to hash; these entries make it
+    // driver-visible.
+
+    Op("fts_topk_ranked",
+      "rank surface of fts_topk: BM25 top-10 via block-max WAND, projected " +
+        "to (rank, doc_id) and hash-checked against the double-precision " +
+        "oracle ranking (scores stay engine-only float)",
+      Some(bm25RankSql(Seq("data" -> 0, "query" -> 1, "fast" -> 2, "window" -> 3), 10)),
+      (s, dir) => rankedEngine(
+        searcher(s, dir, "documents").search("data query fast window", k = 10))),
+
+    Op("fts_boolean_ranked",
+      "rank surface of fts_boolean: +data -slow merge batch — MUST " +
+        "intersection, MUST_NOT exclusion, SHOULD clauses score when " +
+        "present; ranking hash-checked, scores engine-only",
+      Some(bm25RankSql(Seq("data" -> 0, "merge" -> 1, "batch" -> 2), 10,
+        where = "list_contains(string_split(d.text, ' '), 'data') AND NOT " +
+          "list_contains(string_split(d.text, ' '), 'slow')")),
+      (s, dir) => rankedEngine(
+        searcher(s, dir, "documents").search("+data -slow merge batch", k = 10))),
+
+    Op("fts_filtered_ranked",
+      "rank surface of the fq path over the documents corpus: role:src7 " +
+        "restricts candidates (structured filter, corpus stats unchanged — " +
+        "SolrIndexSearcher.getProcessedFilter), data+query score; ranking " +
+        "hash-checked",
+      Some(bm25RankSql(Seq("data" -> 0, "query" -> 1), 10,
+        where = "d.source = 'src7'")),
+      (s, dir) => rankedEngine(
+        searcher(s, dir, "documents").search("role:src7 data query", k = 10))),
+
+    Op("fts_cursor_ranked",
+      "rank surface of cursorMark deep paging: three searchAfter pages of " +
+        "10 stitched in page order must equal the one-shot top-30 ranking " +
+        "(search/CursorMark.java:46-63) — the stitched (rank, doc_id) list " +
+        "is hash-checked against the oracle's top-30",
+      Some(bm25RankSql(Seq("data" -> 0, "query" -> 1, "fast" -> 2, "window" -> 3), 30)),
+      (s, dir) => {
+        import s.implicits._
+        val idx = index(s, dir, "documents")
+        val sr = searcher(s, dir, "documents")
+        val parsed = graft.query.QueryParser.parse("data query fast window")
+        val p1 = sr.topKHits(parsed, 10).collect()
+        val p2 = sr.searchAfter(parsed, 10, p1.lastOption).collect()
+        val p3 = sr.searchAfter(parsed, 10, p2.lastOption).collect()
+        val stitched = (p1 ++ p2 ++ p3).zipWithIndex
+          .map { case (h, i) => (i + 1L, h.doc_id) }.toSeq
+        val idmap = s.read.parquet(s"$idx/docs")
+          .select(col("doc_id").as("hit_doc"),
+            regexp_extract(col("conv_id"), "(\\d+)", 1).cast("long").as("doc_id"))
+        stitched.toDF("rank", "hit_doc").join(idmap, "hit_doc")
+          .select(col("rank"), col("doc_id")).orderBy(col("rank"))
+      }),
+
+    Op("fts_edismax_ranked",
+      "rank surface of the ENGINE edismax path (per-term dismax over " +
+        "text^1/role^2, tie=0.1, mm=2): (rank, doc_id) hash-checked against " +
+        "the fts_edismax double-precision oracle ranking",
+      Some(s"""WITH lut AS ($byte4LookupSql),
+              |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1), ('src7', 2), ('fast', 3)) t(w, qp)),
+              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |  FROM documents WHERE length(text) > 0),
+              |stats AS (SELECT count(DISTINCT doc_id) AS n,
+              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
+              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+              |tpart AS (SELECT tf.doc_id, tf.w,
+              |    1.0 * (ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl)))) AS ws
+              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id), stats),
+              |sdf AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
+              |spart AS (SELECT d.doc_id, d.source AS w,
+              |    2.0 * (ln(1 + (stats.n - sdf.df + 0.5) / (sdf.df + 0.5))
+              |      * (1 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1 / 1)))) AS ws
+              |  FROM documents d JOIN sdf USING (source), stats
+              |  WHERE d.source IN (SELECT w FROM qpos)),
+              |allp AS (SELECT * FROM tpart UNION ALL SELECT * FROM spart),
+              |dmx AS (SELECT doc_id, w, max(ws) + 0.1 * (sum(ws) - max(ws)) AS dm
+              |  FROM allp GROUP BY doc_id, w),
+              |scored AS (SELECT doc_id,
+              |    list_reduce(list(dm ORDER BY qp), (a, v) -> a + v) AS sc,
+              |    count(DISTINCT w) AS nm
+              |  FROM dmx JOIN qpos USING (w) GROUP BY doc_id),
+              |kept AS (SELECT doc_id, sc FROM scored WHERE nm >= 2)
+              |SELECT row_number() OVER (ORDER BY round(sc, 6) DESC, doc_id) AS rank, doc_id
+              |FROM kept ORDER BY round(sc, 6) DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val idx = index(s, dir, "documents")
+        val sr = searcher(s, dir, "documents")
+        val idmap = s.read.parquet(s"$idx/docs")
+          .select(col("doc_id").as("hit_doc"),
+            regexp_extract(col("conv_id"), "(\\d+)", 1).cast("long").as("doc_id"))
+        val hits = sr.dismaxTopK("data query src7 fast",
+            Seq("text" -> 1f, "role" -> 2f), tie = 0.1f, mm = 2, k = 20)
+          .withColumnRenamed("doc_id", "hit_doc")
+          .join(idmap, "hit_doc")
+          .select(col("doc_id"), col("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        hits.withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("rank"), col("doc_id")).orderBy(col("rank"))
       }),
 
     Op("fts_per_turn_equality",

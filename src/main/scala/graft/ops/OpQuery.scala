@@ -22,9 +22,20 @@ final case class Op(
     run: (SparkSession, String) => DataFrame)
 
 object Op {
+  /** The single source-table resolver every registry op and the index
+    * build resolve their scans through — THE Iceberg swap point. Parquet
+    * stands in because the zero-egress sandbox ships no Iceberg jar; on a
+    * real deployment the swap is this one line, e.g.
+    * `Op.reader = (s, cat, name) => s.read.table(s"$cat.$name")`.
+    * SourceReaderSpec keeps the claim mechanically true: it swaps in a
+    * resolver for a virtual (nonexistent) dir and runs one op per family —
+    * any scan bypassing this hook dies on the missing path. */
+  @volatile var reader: (SparkSession, String, String) => DataFrame =
+    (s, dir, name) => s.read.parquet(s"$dir/$name.parquet")
+
   /** Table reader: parquet by convention `dir/name.parquet`. */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    reader(s, dir, name)
 
   /** Exact money arithmetic: DECIMAL(18,2) (sums stay exact and associative,
     * unlike double, so Spark's and DuckDB's aggregation orders agree). */

@@ -391,6 +391,20 @@ object TextOps {
     * subtree per round, 17s/round vs sub-second checkpointed). On a
     * multi-executor cluster swap for reliable checkpoint() at the same
     * spots. */
+  /** Storage-memory hygiene for the iterative loops below: a
+    * localCheckpointed Dataset is a flat LogicalRDD over a persisted RDD;
+    * once the NEXT round's tables are materialized the superseded rounds'
+    * RDDs are dead weight (up to 32 rounds × 2 tables accumulated before —
+    * ADVICE r4). Unpersist them explicitly; non-checkpointed plans are
+    * left alone. */
+  private def freeCheckpoints(dfs: DataFrame*): Unit =
+    dfs.foreach { df =>
+      df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
+
   private[graft] def ccLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
     val sym = pairs
@@ -425,9 +439,13 @@ object TextOps {
         .select(merged("node"), coalesce(col("plab"), merged("lab")).as("lab"))
         .localCheckpoint(true)
       val s2 = next.agg(coalesce(sum(col("lab")), lit(0L))).as[Long].head()
+      // next is eagerly materialized: the previous labels table and this
+      // round's merged intermediate are superseded — drop their blocks now
+      freeCheckpoints(labels, merged)
       labels = next
       if (s2 == lastSum) converged = true else lastSum = s2
     }
+    freeCheckpoints(sym) // labels is a flat LogicalRDD; sym is no longer needed
     if (!converged)
       throw new IllegalStateException(
         s"ccLabels: not converged after $rounds rounds — with pointer " +
@@ -502,6 +520,61 @@ object TextOps {
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
         .orderBy(col("cnt").desc, col("h"))
         .limit(20)),
+
+    Op("text_dedup_spans",
+      "SUBSTRING-level exact dedup (the missing leg below doc-level dedup, " +
+        "VERDICT r4 task #5): maximal duplicated token spans à la the " +
+        "suffix-array dedup method (Lee et al. 2022, 'Deduplicating " +
+        "Training Data Makes Language Models Better') rendered relationally " +
+        "— every token 5-gram occurring >= 2 times corpus-wide marks its " +
+        "positions; per doc, marked [p, p+4] coverages merge into maximal " +
+        "spans (gaps-and-islands over a doc-partitioned window), emitted as " +
+        "(doc_id, span_start, span_len, cluster = min gram of the span). " +
+        "Scale shape: the only corpus-sized shuffle is the gram-count " +
+        "groupBy (the MapReduce rendering of the suffix array's duplicate " +
+        "grouping — same shape as the minhash shingle-df table); the span " +
+        "merge is a per-doc window, never cross-doc. At 100 TB the gram " +
+        "strings would be 64-bit hashes (one xxhash projection) to shrink " +
+        "that shuffle; strings are kept here so the oracle is exact",
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 5),
+             |grams AS (SELECT doc_id, i AS p,
+             |    a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4] AS gram
+             |  FROM toks, unnest(generate_series(1, len(a) - 4)) AS t(i)),
+             |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+             |dp AS (SELECT g.doc_id, g.p, g.gram FROM grams g JOIN dup USING (gram)),
+             |flags AS (SELECT doc_id, p, gram,
+             |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 5
+             |      THEN 1 ELSE 0 END AS brk FROM dp),
+             |isl AS (SELECT doc_id, p, gram,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM flags)
+             |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+             |  CAST(max(p) + 5 - min(p) AS BIGINT) AS span_len, min(gram) AS cluster
+             |FROM isl GROUP BY doc_id, island
+             |ORDER BY doc_id, span_start""".stripMargin),
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("a"))
+          .where(size(col("a")) >= 5)
+        val grams = toks.select(col("doc_id"), posexplode(
+            expr("transform(sequence(1, size(a) - 4), i -> concat_ws(' ', slice(a, i, 5)))")))
+          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("gram"))
+        val dup = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+          .select(col("gram"))
+        val dp = grams.join(dup, "gram")
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("p"))
+        val flags = dp.withColumn("brk",
+          when(col("p") - lag(col("p"), 1).over(byDoc) > 5, 1).otherwise(0))
+        val isl = flags.withColumn("island", sum(col("brk")).over(byDoc))
+        isl.groupBy(col("doc_id"), col("island"))
+          .agg(min(col("p")).cast("long").as("span_start"),
+            (max(col("p")) + 5 - min(col("p"))).cast("long").as("span_len"),
+            min(col("gram")).as("cluster"))
+          .select(col("doc_id"), col("span_start"), col("span_len"), col("cluster"))
+          .orderBy(col("doc_id"), col("span_start"))
+      }),
 
     Op("text_decontaminate",
       // (impl shared with pipeline_clean_corpus via contaminationHits)

@@ -169,15 +169,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // nprobe == nLists every list is scanned and IVF must reproduce the
     // exact brute-force ranking bit-for-bit. The registry config's
     // (nprobe=8/16) recall is pinned as a regression floor.
-    def exact(dir: String): Seq[Long] =
-      SparkEntry.queries("vec_ann_topk")(spark, dir)
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    val exact: Map[String, Seq[Long]] = dirs.map { dir =>
+      dir -> SparkEntry.queries("vec_ann_topk")(spark, dir)
         .select("vec_id").collect().map(_.getLong(0)).toSeq
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    }.toMap
+    for (dir <- dirs) {
       val full = graft.ops.VectorOps.ivfTopK(spark, dir, nLists = 16, nProbe = 16)
         .select("vec_id").collect().map(_.getLong(0)).toSeq
       assert(full == exact(dir), s"full-probe IVF != brute force at $dir")
     }
-    val recalls = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").map { dir =>
+    val recalls = dirs.map { dir =>
       val approx = SparkEntry.queries("vec_ann_ivf")(spark, dir)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       exact(dir).toSet.intersect(approx).size / 10.0
@@ -189,28 +191,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls.forall(_ >= 0.5), s"recall@10 under the pinned floor: $recalls")
   }
 
-  test("vec_ann_hnsw: recall@10 >= 0.9 vs exact; large-ef search == brute force") {
+  test("vec_ann_hnsw: recall@10 >= 0.9 vs exact; large-ef search == brute force; level 0 fully reachable") {
     // The graph build is fully deterministic (splitmix-seeded level draws,
     // fixed insertion order per partition), so both gates are stable. The
     // strong gate: with efSearch >= corpus size, the level-0 beam visits
     // every reachable node, so per-partition pages are exact local top-k
-    // and the merge must reproduce the brute-force ranking.
-    def exact(dir: String): Seq[Long] =
-      SparkEntry.queries("vec_ann_topk")(spark, dir)
+    // and the merge must reproduce the brute-force ranking. "Reachable" is
+    // itself gated below: the insert-time degree-cap prune is one-sided, so
+    // full level-0 reachability is asserted explicitly (ADVICE r4 #1) —
+    // a disconnection ever introduced by data/parameter drift fails here,
+    // not by silently weakening the exactness claim.
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    val exact: Map[String, Seq[Long]] = dirs.map { dir =>
+      dir -> SparkEntry.queries("vec_ann_topk")(spark, dir)
         .select("vec_id").collect().map(_.getLong(0)).toSeq
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    }.toMap
+    for (dir <- dirs) {
+      val cov = graft.ops.VectorOps.hnswReachability(spark, dir, m = 8, efConstruction = 64)
+      assert(cov.nonEmpty && cov.forall { case (r, t) => r == t },
+        s"$dir HNSW level-0 graph not fully reachable: $cov")
       val n = spark.read.parquet(s"$dir/embeddings.parquet").count().toInt
       val full = graft.ops.VectorOps
         .hnswTopK(spark, dir, k = 10, m = 8, efConstruction = 64, efSearch = n)
         .select("vec_id").collect().map(_.getLong(0)).toSeq
       assert(full == exact(dir), s"$dir large-ef HNSW diverged from brute force")
     }
-    val recalls = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").map { dir =>
+    val recalls = dirs.map { dir =>
       val approx = SparkEntry.queries("vec_ann_hnsw")(spark, dir)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       exact(dir).toSet.intersect(approx).size / 10.0
     }
     assert(recalls.forall(_ >= 0.9), s"HNSW recall@10 too low: $recalls")
+    // batched serving contract: a batch of ONE is the same corpus filter
+    // (vec_id >= 1 == vec_id =!= 0), same partitioning, same graphs — the
+    // (rank, vec_id, cos) page must equal the single-query op exactly
+    for (dir <- dirs) {
+      val single = graft.ops.VectorOps
+        .hnswTopK(spark, dir, 10, 8, 64, 48)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = graft.ops.VectorOps
+        .hnswTopKBatch(spark, dir, nQueries = 1, 10, 8, 64, 48)
+        .select("vec_id", "cos")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch == single, s"$dir hnsw batch-of-one != single-query page")
+    }
   }
 
   test("ccLabels: pointer jumping converges on a 200-hop chain (old loop capped at 32)") {
