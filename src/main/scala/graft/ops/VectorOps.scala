@@ -42,6 +42,9 @@ object VectorOps {
 
   private def cosine(a: Column, b: Column): Column = cosUdf(a, b)
 
+  /** Dev-probe accessor (ProfileDedupLsh). */
+  private[ops] def cosinePublic(a: Column, b: Column): Column = cosine(a, b)
+
   private val duckDot =
     "list_reduce(list_transform(generate_series(1, len(%A%)), i -> " +
       "CAST(%A%[i] AS DOUBLE) * CAST(%B%[i] AS DOUBLE)), (acc, v) -> acc + v)"
@@ -117,10 +120,13 @@ object VectorOps {
         "population ~64, and tables = ln(0.05)/ln(1-p^bits) (p = the per-" +
         "bit collision probability of the WORST in-threshold pair) bounds " +
         "its miss at 5%; 500 test vectors -> 4 bits x 24 tables. " +
-        "Candidate pairs = same-bucket self-join per table, distinct, " +
-        "then EXACT cosine verify >= 0.45 — precision 1.0 by " +
-        "construction, only recall approximate (OpsSpec pins >= 0.9 vs " +
-        "the exact op). The bit cap means beyond ~260k vectors bucket " +
+        "Candidate pairs = same-bucket self-join per table, EXACT cosine " +
+        "verify >= 0.45, then distinct of the few survivors (verify-first: " +
+        "the pre-verify distinct paid a full candidate-multiset shuffle to " +
+        "save ~50% duplicate cosine evals — a bad trade, measured) — " +
+        "precision 1.0 by construction, only recall approximate (OpsSpec " +
+        "pins >= 0.9 vs the exact op). The bit cap means beyond ~260k " +
+        "vectors bucket " +
         "population grows instead of table count — low-threshold " +
         "(theta ~ 63deg) pair mining is inherently table-hungry; extreme-" +
         "scale low-threshold dedup belongs to the shingle/minhash family. " +
@@ -189,21 +195,42 @@ object VectorOps {
         // localCheckpoint: the bucket SELF-join would otherwise execute the
         // signature UDF (L*bits*dim dots/row) twice, once per side; the
         // materialized table is (id, table, sig) — L skinny rows/vector
+        // repartition by bucket key BEFORE the checkpoint: the small-SF
+        // parquet is one file -> one partition, and since verify-first
+        // removed the mid-plan dedup exchange, the whole downstream chain
+        // (self-join probe + vector joins + cosine) would otherwise run in
+        // that ONE task (measured: 15 s single-task vs 2.5 s spread). At
+        // scale the same repartition is the shuffle the self-join needs
+        // anyway; the rows are skinny (id, table, sig)
         val tabled = e
           .select(col("vec_id"), explode(sigsUdf(col("embedding"))).as("ts"))
           .select(col("vec_id"), col("ts._1").as("table"), col("ts._2").as("sig"))
+          .repartition(s.sparkContext.defaultParallelism, col("table"), col("sig"))
           .localCheckpoint()
         val cand = tabled.as("a")
           .join(tabled.as("b"),
             col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
               col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-          .dropDuplicates("i", "j")
+        // verify FIRST, distinct the SURVIVORS (r5, from the stage profile:
+        // the raw candidate multiset is ~1.5x the distinct set, so a
+        // pre-verify dropDuplicates paid a full-width shuffle of every
+        // candidate — 1.6 s of the op's 4.3 s at sf0.1 — to save ~50%
+        // duplicate cosine evals worth ~0.5 s. Verifying first keeps the
+        // joins map-side (vector side broadcasts at small n, shuffles by id
+        // at scale) and the distinct then touches only the >= threshold
+        // survivors, orders of magnitude fewer rows; cosine is
+        // deterministic per (i, j), so the result set is identical
+        // (Catalyst pushes the >= 0.45 filter into the last broadcast
+        // join's condition, evaluating the cosine UDF twice per candidate
+        // — measured harmless: ~1.7M extra 64-dim folds, ~0.15 s, cheaper
+        // than any fence that would block whole-stage fusion)
         cand
           .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
           .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
           .select(col("i"), col("j"), round(cosine(col("ea"), col("eb")), 4).as("cos"))
           .where(col("cos") >= 0.45)
+          .dropDuplicates("i", "j")
           .orderBy(col("i"), col("j"))
       }),
 
