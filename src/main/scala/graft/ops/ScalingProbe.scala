@@ -73,9 +73,16 @@ object ScalingProbe {
       b.config("spark.executor.extraClassPath", classes)
         .config("spark.executor.memory", s"${execMb}m")
         // fixed pre-touched ParallelGC heap per executor, matching the
-        // single-JVM bench children (see Bench.childBuild scaladoc)
+        // single-JVM bench children (see Bench.childBuild scaladoc).
+        // GC/JIT thread pools are capped to the executor's CORE allotment:
+        // each executor JVM sees the whole taskset affinity mask (17 CPUs
+        // for an lc4x4 run) and would size ~13 ParallelGC threads — four
+        // executors' concurrent STW collections then run ~52 GC threads
+        // over 17 cores, inflating exactly the exec-shape pair's CPU. On a
+        // real cluster the container's cpuset does this capping for us.
         .config("spark.executor.extraJavaOptions",
-          s"-Xms${execMb}m -XX:+AlwaysPreTouch -XX:+UseParallelGC")
+          s"-Xms${execMb}m -XX:+AlwaysPreTouch -XX:+UseParallelGC " +
+            s"-XX:ParallelGCThreads=${2 * c.toInt}")
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
