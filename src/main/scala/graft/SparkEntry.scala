@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{ExtendedOps, FtsOps, MlOps, Op, ParserOps, RelationalOps, SearchOps, StreamSetOps, TextOps, VectorOps, WriterOps}
+import graft.ops.{ExtendedOps, FtsOps, MlEvalOps, MlOps, Op, ParserOps, RelationalOps, SearchOps, StreamSetOps, TextOps, VectorOps, WriterOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
   def allOps: Seq[Op] =
     RelationalOps.ops ++ TextOps.ops ++ VectorOps.ops ++ SearchOps.ops ++
       FtsOps.ops ++ ExtendedOps.ops ++ WriterOps.ops ++ MlOps.ops ++
-      StreamSetOps.ops ++ ParserOps.ops
+      StreamSetOps.ops ++ ParserOps.ops ++ MlEvalOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * end-to-end inverted-index build + BM25/WAND top-k search. */

@@ -45,6 +45,7 @@ class SourceReaderSpec extends AnyFunSuite with BeforeAndAfterAll {
         "events_latest_by_key",// events table / RealTimeGet
         "text_dedup_exact",    // text pipeline (documents)
         "vec_ann_topk",        // vectors (embeddings)
+        "eval_kmeans",         // ML evaluator tier (events)
         "fts_topk_ranked")     // engine path: IndexBuilder build + search
       val failures = names.flatMap { n =>
         try { SparkEntry.queries(n)(spark, virtualDir).count(); None }
