@@ -412,10 +412,13 @@ object Bench {
       var waited = 0
       def ok: Boolean = (ra >= bandAluGate || a >= bandAluSess * calRef) &&
         rm >= bandMemGate
+      // 20 s steps: the commonest below-gate reading is the post-build
+      // tmpfs-flush memory dip, which recovers in one or two steps — long
+      // sleeps overpay for it and real storms are caught either way
       while (!ok && waited < budgetSec) {
         repDetail += (f"""{"phase":"$phase","band_alu":$ra%.3f,"band_mem":$rm%.3f,""" +
           """"verdict":"band_wait"}""")
-        Thread.sleep(30000); waited += 30
+        Thread.sleep(20000); waited += 20
         val p = calPoint(); a = p._1; m = p._2
         val r = bandRatios(a, m); ra = r._1; rm = r._2
       }
@@ -500,7 +503,7 @@ object Bench {
       }
 
     if (doScaling) runScaleRounds(reps, maxRounds = reps * 4,
-      waitBudget = sys.env.getOrElse("SPARK_GRAFT_BAND_WAIT_SEC", "240").toInt)
+      waitBudget = sys.env.getOrElse("SPARK_GRAFT_BAND_WAIT_SEC", "180").toInt)
 
     /** Finalize scaling results from whatever pairs exist — called AFTER
       * the late re-attempt so the headline reflects the best window of the
@@ -759,7 +762,7 @@ object Bench {
       val needRetry = bestPair.forall { case (eff, _, band) =>
         eff < target || band < bandAluGate }
       val elapsed0 = sec(System.nanoTime() - t00)
-      val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIME_CAP", "2700").toInt
+      val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIME_CAP", "2100").toInt
       if (needRetry && elapsed0 < capSec) {
         val lateReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_LATE_REPS", "2").toInt
         repDetail += (f"""{"phase":"scale_late","elapsed_sec":$elapsed0%.0f,""" +
@@ -769,7 +772,7 @@ object Bench {
         runScaleRounds(
           target = levels.map(l => good(l).length).max + lateReps,
           maxRounds = lateReps * 3,
-          waitBudget = sys.env.getOrElse("SPARK_GRAFT_BAND_WAIT_SEC", "240").toInt + 480)
+          waitBudget = sys.env.getOrElse("SPARK_GRAFT_BAND_WAIT_SEC", "180").toInt + 360)
       }
       finishScaling()
     }
