@@ -576,6 +576,67 @@ object TextOps {
           .orderBy(col("doc_id"), col("span_start"))
       }),
 
+    Op("text_strip_spans",
+      "the REMOVAL action over text_dedup_spans: emit each affected doc " +
+        "with its duplicated spans stripped (the suffix-array method's " +
+        "actual pipeline step — drop every token position covered by a " +
+        "duplicated 5-gram, keep the rest in order). Share of the corpus " +
+        "touched and token counts before/after make the op auditable. " +
+        "Scale shape: same gram-count shuffle as text_dedup_spans, then " +
+        "one per-doc ordered string_agg — no cross-doc state",
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 5),
+             |grams AS (SELECT doc_id, i AS p,
+             |    a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4] AS gram
+             |  FROM toks, unnest(generate_series(1, len(a) - 4)) AS t(i)),
+             |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+             |dp AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (gram)),
+             |cov AS (SELECT DISTINCT doc_id, p + o AS q FROM dp,
+             |    unnest(generate_series(0, 4)) AS t(o)),
+             |pos AS (SELECT doc_id, q AS p, a[q] AS w FROM toks,
+             |    unnest(generate_series(1, len(a))) AS t(q)),
+             |kept AS (SELECT pos.doc_id, pos.p, pos.w FROM pos
+             |  LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.q
+             |  WHERE cov.q IS NULL),
+             |affected AS (SELECT DISTINCT doc_id FROM cov)
+             |SELECT a.doc_id,
+             |  coalesce(string_agg(k.w, ' ' ORDER BY k.p), '') AS cleaned,
+             |  CAST(count(k.p) AS BIGINT) AS kept_tokens
+             |FROM affected a LEFT JOIN kept k USING (doc_id)
+             |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("a"))
+          .where(size(col("a")) >= 5)
+        val grams = toks.select(col("doc_id"), posexplode(
+            expr("transform(sequence(1, size(a) - 4), i -> concat_ws(' ', slice(a, i, 5)))")))
+          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("gram"))
+        val dup = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+          .select(col("gram"))
+        val cov = grams.join(dup, "gram")
+          .select(col("doc_id"), explode(expr("sequence(p, p + 4)")).as("q"))
+          .distinct()
+        val pos = toks.select(col("doc_id"), posexplode(col("a")))
+          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("w"))
+        val kept = pos.join(cov,
+            pos("doc_id") === cov("doc_id") && pos("p") === cov("q"), "left_anti")
+        val affected = cov.select(col("doc_id")).distinct()
+        // per-doc ordered reassembly: array_sort on (p, w) structs pins
+        // position order regardless of collect_list arrival order; a doc
+        // whose every token is covered reduces to the empty string on both
+        // sides (concat_ws skips the left-join null, string_agg -> NULL
+        // coalesced to '')
+        affected.join(kept, Seq("doc_id"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            concat_ws(" ", expr(
+              "transform(array_sort(collect_list(struct(p, w))), x -> x.w)"))
+              .as("cleaned"),
+            count(col("p")).cast("long").as("kept_tokens"))
+          .orderBy(col("doc_id"))
+      }),
+
     Op("text_decontaminate",
       // (impl shared with pipeline_clean_corpus via contaminationHits)
       "training-data decontamination: flag corpus docs sharing >= 5 " +
