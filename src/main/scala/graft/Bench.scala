@@ -407,10 +407,18 @@ object Bench {
       * vs the committed floor (1.0 when no floor exists). */
     def bandWait(budgetSec: Int, phase: String): Double = {
       if (calFloor.isEmpty) return 1.0
+      // session reference EXCLUDING the probe being judged: calRef folds
+      // every probe in as it is taken, so comparing a probe against a
+      // reference containing itself passes trivially right after a tmpfs
+      // reset (the review-pass finding). Seed one reading first when no
+      // prior reference exists, then judge each probe against everything
+      // BEFORE it.
+      if (calRef <= 0.0) calPoint()
+      var ref = calRef
       var (a, m) = calPoint()
       var (ra, rm) = bandRatios(a, m)
       var waited = 0
-      def ok: Boolean = (ra >= bandAluGate || a >= bandAluSess * calRef) &&
+      def ok: Boolean = (ra >= bandAluGate || a >= bandAluSess * ref) &&
         rm >= bandMemGate
       // 20 s steps: the commonest below-gate reading is the post-build
       // tmpfs-flush memory dip, which recovers in one or two steps — long
@@ -419,6 +427,7 @@ object Bench {
         repDetail += (f"""{"phase":"$phase","band_alu":$ra%.3f,"band_mem":$rm%.3f,""" +
           """"verdict":"band_wait"}""")
         Thread.sleep(20000); waited += 20
+        ref = math.max(ref, a)
         val p = calPoint(); a = p._1; m = p._2
         val r = bandRatios(a, m); ra = r._1; rm = r._2
       }
@@ -759,8 +768,11 @@ object Bench {
     // run, exactly what the north rule's two-cluster-size criterion wants.
     if (doScaling) {
       val target = sys.env.getOrElse("SPARK_GRAFT_SCALE_TARGET_EFF", "0.8").toDouble
-      val needRetry = bestPair.forall { case (eff, _, band) =>
-        eff < target || band < bandAluGate }
+      // retry on a below-target pair only: in a below-floor host EPOCH
+      // (the current steady state) a band-based clause would re-run the
+      // late phase on every single bench even when the pair already
+      // cleared the rule (review-pass finding)
+      val needRetry = bestPair.forall(_._1 < target)
       val elapsed0 = sec(System.nanoTime() - t00)
       val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIME_CAP", "2100").toInt
       if (needRetry && elapsed0 < capSec) {

@@ -114,8 +114,13 @@ object FtsOps {
        |  FROM partials GROUP BY doc_id),
        |kept AS (SELECT s.doc_id, s.sc FROM scores s JOIN documents d USING (doc_id)
        |  WHERE $where)
-       |SELECT row_number() OVER (ORDER BY round(sc, 6) DESC, doc_id) AS rank, doc_id
-       |FROM kept ORDER BY round(sc, 6) DESC, doc_id LIMIT $k""".stripMargin
+       |SELECT row_number() OVER (ORDER BY sc DESC, doc_id) AS rank, doc_id
+       |FROM kept ORDER BY sc DESC, doc_id LIMIT $k""".stripMargin
+    // rank by the UNROUNDED double: a round(sc, 6) ordering key would
+    // manufacture oracle-side ties (broken by doc_id) that the engine's
+    // float ordering does not see the same way (review-pass finding);
+    // genuinely-equal doubles still tie to doc_id identically on both
+    // sides, and float-vs-double rank agreement is EngineSpec's gate
   }
 
   /** Engine hit page -> the driver-hashable (rank, doc_id-external)
@@ -123,6 +128,41 @@ object FtsOps {
   private def rankedEngine(hits: DataFrame): DataFrame =
     hits.select(col("rank").cast("long").as("rank"),
       regexp_extract(col("conv_id"), "(\\d+)", 1).cast("long").as("doc_id"))
+
+  /** The edismax double-precision oracle CTE chain (through `scored`),
+    * shared by fts_edismax and fts_edismax_ranked so the two DuckDB twins
+    * can never drift (review-pass finding): per-term dismax over
+    * text^1.0 / source^2.0, tie=0.1, with the mm count in `nm`. */
+  private def edismaxCtes: String =
+    s"""lut AS ($byte4LookupSql),
+       |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1), ('src7', 2), ('fast', 3)) t(w, qp)),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE length(text) > 0),
+       |stats AS (SELECT count(DISTINCT doc_id) AS n,
+       |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
+       |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
+       |tpart AS (SELECT tf.doc_id, tf.w,
+       |    1.0 * (ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+       |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl)))) AS ws
+       |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id), stats),
+       |sdf AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
+       |spart AS (SELECT d.doc_id, d.source AS w,
+       |    2.0 * (ln(1 + (stats.n - sdf.df + 0.5) / (sdf.df + 0.5))
+       |      * (1 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1 / 1)))) AS ws
+       |  FROM documents d JOIN sdf USING (source), stats
+       |  WHERE d.source IN (SELECT w FROM qpos)),
+       |allp AS (SELECT * FROM tpart UNION ALL SELECT * FROM spart),
+       |dmx AS (SELECT doc_id, w, max(ws) + 0.1 * (sum(ws) - max(ws)) AS dm
+       |  FROM allp GROUP BY doc_id, w),
+       |scored AS (SELECT doc_id,
+       |    list_reduce(list(dm ORDER BY qp), (a, v) -> a + v) AS sc,
+       |    count(DISTINCT w) AS nm
+       |  FROM dmx JOIN qpos USING (w) GROUP BY doc_id)""".stripMargin
 
   /** [[bm25DoubleTopK]] for ops outside this object. */
   def bm25DoubleTopKPublic(s: SparkSession, idx: String, qterms: Seq[String]): DataFrame =
@@ -489,35 +529,7 @@ object FtsOps {
         "replacing the integer-containment toy dismax as flagship. " +
         "Text-field scores come from the INDEX; driver-checkable because " +
         "all math is double with fixed accumulation order",
-      Some(s"""WITH lut AS ($byte4LookupSql),
-              |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1), ('src7', 2), ('fast', 3)) t(w, qp)),
-              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-              |  FROM documents WHERE length(text) > 0),
-              |stats AS (SELECT count(DISTINCT doc_id) AS n,
-              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
-              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
-              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
-              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
-              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
-              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
-              |tpart AS (SELECT tf.doc_id, tf.w,
-              |    1.0 * (ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
-              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl)))) AS ws
-              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id), stats),
-              |sdf AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
-              |spart AS (SELECT d.doc_id, d.source AS w,
-              |    2.0 * (ln(1 + (stats.n - sdf.df + 0.5) / (sdf.df + 0.5))
-              |      * (1 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1 / 1)))) AS ws
-              |  FROM documents d JOIN sdf USING (source), stats
-              |  WHERE d.source IN (SELECT w FROM qpos)),
-              |allp AS (SELECT * FROM tpart UNION ALL SELECT * FROM spart),
-              |dmx AS (SELECT doc_id, w, max(ws) + 0.1 * (sum(ws) - max(ws)) AS dm
-              |  FROM allp GROUP BY doc_id, w),
-              |scored AS (SELECT doc_id,
-              |    list_reduce(list(dm ORDER BY qp), (a, v) -> a + v) AS sc,
-              |    count(DISTINCT w) AS nm
-              |  FROM dmx JOIN qpos USING (w) GROUP BY doc_id)
+      Some(s"""WITH $edismaxCtes
               |SELECT doc_id, round(sc, 6) AS score FROM scored WHERE nm >= 2
               |ORDER BY round(sc, 6) DESC, doc_id LIMIT 20""".stripMargin),
       (s, dir) => {
@@ -1138,38 +1150,10 @@ object FtsOps {
       "rank surface of the ENGINE edismax path (per-term dismax over " +
         "text^1/role^2, tie=0.1, mm=2): (rank, doc_id) hash-checked against " +
         "the fts_edismax double-precision oracle ranking",
-      Some(s"""WITH lut AS ($byte4LookupSql),
-              |qpos AS (SELECT * FROM (VALUES ('data', 0), ('query', 1), ('src7', 2), ('fast', 3)) t(w, qp)),
-              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-              |  FROM documents WHERE length(text) > 0),
-              |stats AS (SELECT count(DISTINCT doc_id) AS n,
-              |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM toks),
-              |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
-              |  WHERE w IN (SELECT w FROM qpos) GROUP BY doc_id, w),
-              |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
-              |  WHERE w IN (SELECT w FROM qpos) GROUP BY w),
-              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-              |dlq AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl) AS dlq FROM dl),
-              |tpart AS (SELECT tf.doc_id, tf.w,
-              |    1.0 * (ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
-              |      * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlq.dlq / stats.avgdl)))) AS ws
-              |  FROM tf JOIN dfs USING (w) JOIN dlq USING (doc_id), stats),
-              |sdf AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
-              |spart AS (SELECT d.doc_id, d.source AS w,
-              |    2.0 * (ln(1 + (stats.n - sdf.df + 0.5) / (sdf.df + 0.5))
-              |      * (1 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1 / 1)))) AS ws
-              |  FROM documents d JOIN sdf USING (source), stats
-              |  WHERE d.source IN (SELECT w FROM qpos)),
-              |allp AS (SELECT * FROM tpart UNION ALL SELECT * FROM spart),
-              |dmx AS (SELECT doc_id, w, max(ws) + 0.1 * (sum(ws) - max(ws)) AS dm
-              |  FROM allp GROUP BY doc_id, w),
-              |scored AS (SELECT doc_id,
-              |    list_reduce(list(dm ORDER BY qp), (a, v) -> a + v) AS sc,
-              |    count(DISTINCT w) AS nm
-              |  FROM dmx JOIN qpos USING (w) GROUP BY doc_id),
+      Some(s"""WITH $edismaxCtes,
               |kept AS (SELECT doc_id, sc FROM scored WHERE nm >= 2)
-              |SELECT row_number() OVER (ORDER BY round(sc, 6) DESC, doc_id) AS rank, doc_id
-              |FROM kept ORDER BY round(sc, 6) DESC, doc_id LIMIT 20""".stripMargin),
+              |SELECT row_number() OVER (ORDER BY sc DESC, doc_id) AS rank, doc_id
+              |FROM kept ORDER BY sc DESC, doc_id LIMIT 20""".stripMargin),
       (s, dir) => {
         val idx = index(s, dir, "documents")
         val sr = searcher(s, dir, "documents")

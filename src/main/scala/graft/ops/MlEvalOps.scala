@@ -60,14 +60,10 @@ object MlEvalOps {
     """SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v
       |  FROM events WHERE value IS NOT NULL""".stripMargin
 
-  private val duckDot =
-    "list_reduce(list_transform(generate_series(1, len(%A%)), i -> " +
-      "CAST(%A%[i] AS DOUBLE) * CAST(%B%[i] AS DOUBLE)), (acc, v) -> acc + v)"
-
-  private def duckCos(a: String, b: String): String = {
-    def d(x: String, y: String) = duckDot.replace("%A%", x).replace("%B%", y)
-    s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
-  }
+  // the bit-parity cosine fold (Spark + DuckDB sides) comes from
+  // VectorOps — one definition per engine, no cross-module drift
+  private def duckCos(a: String, b: String): String =
+    VectorOps.duckCosPublic(a, b)
 
   def ops: Seq[Op] = Seq(
 

@@ -3,7 +3,12 @@ package graft.ops
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev utility: stage-by-stage timing of the vec_dedup_lsh plan. */
+/** Dev utility: stage-by-stage timing of the vec_dedup_lsh plan.
+  *
+  * The sub-stages below REPLICATE the op's internals as of r5 (including
+  * the (table, sig) repartition at the checkpoint); the authoritative
+  * timing is always the "full" rows at the top — if the op changes, trust
+  * those and re-sync the stages before trusting the breakdown. */
 object ProfileDedupLsh {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -63,6 +68,7 @@ object ProfileDedupLsh {
     val tabled = e
       .select(col("vec_id"), explode(sigsUdf(col("embedding"))).as("ts"))
       .select(col("vec_id"), col("ts._1").as("table"), col("ts._2").as("sig"))
+      .repartition(spark.sparkContext.defaultParallelism, col("table"), col("sig"))
       .localCheckpoint()
     time("tabled (checkpoint)") { tabled.count() }
     val cand = tabled.as("a")

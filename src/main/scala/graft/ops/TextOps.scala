@@ -405,6 +405,51 @@ object TextOps {
       }
     }
 
+  /** Shared duplicated-5-gram machinery for the text_dedup_spans /
+    * text_strip_spans detection/removal pair — ONE definition of the gram
+    * width (5), duplication threshold (>= 2) and tokenization, so the two
+    * ops (and their oracles, via [[spanGramCtes]]) can never drift.
+    * Returns (toks(doc_id, a: token array), dp(doc_id, p, gram) = the
+    * positions whose gram occurs >= 2 times corpus-wide). */
+  private def spanGramTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .where(size(col("a")) >= 5)
+    val grams = toks.select(col("doc_id"), posexplode(
+        expr("transform(sequence(1, size(a) - 4), i -> concat_ws(' ', slice(a, i, 5)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      .select(col("gram"))
+    (toks, grams.join(dup, "gram"))
+  }
+
+  /** DuckDB twin of [[spanGramTables]]: the toks/grams/dup/dp CTE prefix. */
+  private val spanGramCtes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |grams AS (SELECT doc_id, i AS p,
+      |    a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4] AS gram
+      |  FROM toks, unnest(generate_series(1, len(a) - 4)) AS t(i)),
+      |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+      |dp AS (SELECT g.doc_id, g.p, g.gram FROM grams g JOIN dup USING (gram))""".stripMargin
+
+  private val spanDedupDoc =
+    "SUBSTRING-level exact dedup (the missing leg below doc-level dedup, " +
+      "VERDICT r4 task #5): maximal duplicated token spans à la the " +
+      "suffix-array dedup method (Lee et al. 2022, 'Deduplicating " +
+      "Training Data Makes Language Models Better') rendered relationally " +
+      "— every token 5-gram occurring >= 2 times corpus-wide marks its " +
+      "positions; per doc, marked [p, p+4] coverages merge into maximal " +
+      "spans (gaps-and-islands over a doc-partitioned window), emitted as " +
+      "(doc_id, span_start, span_len, cluster = min gram of the span). " +
+      "Scale shape: the only corpus-sized shuffle is the gram-count " +
+      "groupBy (the MapReduce rendering of the suffix array's duplicate " +
+      "grouping — same shape as the minhash shingle-df table); the span " +
+      "merge is a per-doc window, never cross-doc. At 100 TB the gram " +
+      "strings would be 64-bit hashes (one xxhash projection) to shrink " +
+      "that shuffle; strings are kept here so the oracle is exact"
+
   private[graft] def ccLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
     val sym = pairs
@@ -522,27 +567,8 @@ object TextOps {
         .limit(20)),
 
     Op("text_dedup_spans",
-      "SUBSTRING-level exact dedup (the missing leg below doc-level dedup, " +
-        "VERDICT r4 task #5): maximal duplicated token spans à la the " +
-        "suffix-array dedup method (Lee et al. 2022, 'Deduplicating " +
-        "Training Data Makes Language Models Better') rendered relationally " +
-        "— every token 5-gram occurring >= 2 times corpus-wide marks its " +
-        "positions; per doc, marked [p, p+4] coverages merge into maximal " +
-        "spans (gaps-and-islands over a doc-partitioned window), emitted as " +
-        "(doc_id, span_start, span_len, cluster = min gram of the span). " +
-        "Scale shape: the only corpus-sized shuffle is the gram-count " +
-        "groupBy (the MapReduce rendering of the suffix array's duplicate " +
-        "grouping — same shape as the minhash shingle-df table); the span " +
-        "merge is a per-doc window, never cross-doc. At 100 TB the gram " +
-        "strings would be 64-bit hashes (one xxhash projection) to shrink " +
-        "that shuffle; strings are kept here so the oracle is exact",
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents
-             |  WHERE len(string_split(text, ' ')) >= 5),
-             |grams AS (SELECT doc_id, i AS p,
-             |    a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4] AS gram
-             |  FROM toks, unnest(generate_series(1, len(a) - 4)) AS t(i)),
-             |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
-             |dp AS (SELECT g.doc_id, g.p, g.gram FROM grams g JOIN dup USING (gram)),
+      spanDedupDoc,
+      Some(s"""WITH $spanGramCtes,
              |flags AS (SELECT doc_id, p, gram,
              |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 5
              |      THEN 1 ELSE 0 END AS brk FROM dp),
@@ -553,16 +579,7 @@ object TextOps {
              |FROM isl GROUP BY doc_id, island
              |ORDER BY doc_id, span_start""".stripMargin),
       (s, dir) => {
-        val toks = t(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("a"))
-          .where(size(col("a")) >= 5)
-        val grams = toks.select(col("doc_id"), posexplode(
-            expr("transform(sequence(1, size(a) - 4), i -> concat_ws(' ', slice(a, i, 5)))")))
-          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("gram"))
-        val dup = grams.groupBy(col("gram"))
-          .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
-          .select(col("gram"))
-        val dp = grams.join(dup, "gram")
+        val (_, dp) = spanGramTables(s, dir)
         val byDoc = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("p"))
         val flags = dp.withColumn("brk",
@@ -576,6 +593,7 @@ object TextOps {
           .orderBy(col("doc_id"), col("span_start"))
       }),
 
+
     Op("text_strip_spans",
       "the REMOVAL action over text_dedup_spans: emit each affected doc " +
         "with its duplicated spans stripped (the suffix-array method's " +
@@ -584,13 +602,7 @@ object TextOps {
         "touched and token counts before/after make the op auditable. " +
         "Scale shape: same gram-count shuffle as text_dedup_spans, then " +
         "one per-doc ordered string_agg — no cross-doc state",
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents
-             |  WHERE len(string_split(text, ' ')) >= 5),
-             |grams AS (SELECT doc_id, i AS p,
-             |    a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4] AS gram
-             |  FROM toks, unnest(generate_series(1, len(a) - 4)) AS t(i)),
-             |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
-             |dp AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (gram)),
+      Some(s"""WITH $spanGramCtes,
              |cov AS (SELECT DISTINCT doc_id, p + o AS q FROM dp,
              |    unnest(generate_series(0, 4)) AS t(o)),
              |pos AS (SELECT doc_id, q AS p, a[q] AS w FROM toks,
@@ -605,16 +617,8 @@ object TextOps {
              |FROM affected a LEFT JOIN kept k USING (doc_id)
              |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin),
       (s, dir) => {
-        val toks = t(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("a"))
-          .where(size(col("a")) >= 5)
-        val grams = toks.select(col("doc_id"), posexplode(
-            expr("transform(sequence(1, size(a) - 4), i -> concat_ws(' ', slice(a, i, 5)))")))
-          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("gram"))
-        val dup = grams.groupBy(col("gram"))
-          .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
-          .select(col("gram"))
-        val cov = grams.join(dup, "gram")
+        val (toks, dp) = spanGramTables(s, dir)
+        val cov = dp
           .select(col("doc_id"), explode(expr("sequence(p, p + 4)")).as("q"))
           .distinct()
         val pos = toks.select(col("doc_id"), posexplode(col("a")))

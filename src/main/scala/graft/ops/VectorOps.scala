@@ -42,8 +42,13 @@ object VectorOps {
 
   private def cosine(a: Column, b: Column): Column = cosUdf(a, b)
 
-  /** Dev-probe accessor (ProfileDedupLsh). */
+  /** Dev-probe / cross-module accessor (ProfileDedupLsh, MlEvalOps). */
   private[ops] def cosinePublic(a: Column, b: Column): Column = cosine(a, b)
+
+  /** The DuckDB twin of [[cosinePublic]] for ops outside this object —
+    * one definition so the bit-parity fold can never drift between
+    * modules (review-pass finding). */
+  private[ops] def duckCosPublic(a: String, b: String): String = duckCos(a, b)
 
   private val duckDot =
     "list_reduce(list_transform(generate_series(1, len(%A%)), i -> " +
@@ -656,7 +661,11 @@ object VectorOps {
     val queries = e.where(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .collect().sortBy(_._1).map { case (id, v) => (id, v.toArray) }
-    require(queries.nonEmpty, s"hnswTopKBatch: no vec_id < $nQueries in $dir")
+    require(queries.length == nQueries,
+      s"hnswTopKBatch: expected vec_ids 0..${nQueries - 1} as the query " +
+        s"batch but found ${queries.length} of them in $dir/embeddings — " +
+        "a sparse id range would silently serve fewer queries while still " +
+        "carving the full range out of the corpus")
     val corpus = e.where(col("vec_id") >= nQueries)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
     val pages = hnswPages(corpus, queries, m, efConstruction,
