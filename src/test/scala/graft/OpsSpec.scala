@@ -65,6 +65,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ns.distinct.length == ns.length)
   }
 
+  test("rank-surface ops emit a contiguous 1..k ranking with distinct doc_ids") {
+    // the five *_ranked entries hash against the DuckDB double-BM25
+    // ranking; this pins their cheap structural contract (row_number is
+    // gapless from 1, ids unique) so a windowing regression fails here
+    // before it fails as an opaque driver hash mismatch
+    val ks = Map("fts_topk_ranked" -> 10, "fts_boolean_ranked" -> 10,
+      "fts_filtered_ranked" -> 10, "fts_cursor_ranked" -> 30,
+      "fts_edismax_ranked" -> 20)
+    for ((name, k) <- ks) {
+      val rows = SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.map(_._1).toSeq == (1L to k).toSeq,
+        s"$name ranks not contiguous 1..$k: ${rows.map(_._1).toSeq}")
+      assert(rows.map(_._2).distinct.length == rows.length,
+        s"$name returned duplicate doc_ids")
+    }
+  }
+
   test("sketch aggs track their exact twins (approx percentile + HLL)") {
     val dir = "/root/testdata/sf0.01"
     // percentile sketch vs the exact rank-formula twin: GK with
